@@ -1,0 +1,60 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Discrepancy alerting — glue-scripts/glue_job_2_reconcile.py:118-141.
+  *
+  * The reference filters discrepancy != 0, counts, collects 5 sample rows
+  * and publishes an SNS message — recomputing the whole join tree for each
+  * action (SURVEY.md §3.2). We model the message build as a pure function
+  * DataFrame → Option[AlertReport] so the side effect (notify) is injected
+  * by the caller, and we cache the filtered frame so count + top-k share
+  * one computation.
+  *
+  * Deviation (SURVEY.md §2.7 L1): the reference's bare limit(5) samples
+  * nondeterministically; we take a deterministic top-k by |discrepancy|
+  * (worst offenders first, sku tie-break) → TakeOrderedAndProject, which
+  * never materializes more than k rows per partition.
+  */
+object Alerts {
+
+  final case class AlertReport(count: Long, examples: Seq[String], message: String)
+
+  /** F1 — mismatch predicate. Null-safe only because fillna(0) already ran
+    * inside Reconcile.reconcile (reference ordering preserved).
+    */
+  def discrepancies(recon: DataFrame): DataFrame =
+    recon.where(col("discrepancy_amount") =!= 0)
+
+  /** L1 (deterministic) — worst k offenders. */
+  def topOffenders(disc: DataFrame, k: Int): DataFrame =
+    disc
+      .orderBy(abs(col("discrepancy_amount")).desc, col("sku"))
+      .limit(k)
+
+  /** Builds the alert iff any discrepancy exists — returns None otherwise.
+    * One pass: cache → count → bounded collect(k).
+    */
+  def build(recon: DataFrame, k: Int = 5): Option[AlertReport] = {
+    val disc = discrepancies(recon).cache()
+    try {
+      val n = disc.count()
+      if (n == 0) None
+      else {
+        val rows: Array[Row] = topOffenders(disc, k).collect()
+        val examples = rows.toSeq.map { r =>
+          val name = Option(r.getAs[String]("product_name")).getOrElse("N/A")
+          val sku = r.getAs[String]("sku")
+          val amt = r.getAs[Long]("discrepancy_amount")
+          s"SKU $sku ($name): discrepancy $amt"
+        }
+        val msg =
+          s"""Inventory reconciliation found $n discrepancies.
+             |Top ${examples.size} by magnitude:
+             |${examples.mkString("\n")}""".stripMargin
+        Some(AlertReport(n, examples, msg))
+      }
+    } finally disc.unpersist()
+  }
+}

@@ -1,0 +1,60 @@
+package graft.etl
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+
+import graft.Tables
+
+/** All-days reconciliation — the shape the flagship query takes at 100 TB.
+  *
+  * The reference runs one Glue job per processing date (re-invoked by the
+  * Airflow DAG, dags/retail_pipeline_dag.py:19,35). At scale that is a full
+  * input rescan per day; the set-oriented form below reconciles every date
+  * in one pass:
+  *
+  *   daily(sku, d, qty)                      one aggregate over the fact
+  *   opening  = daily shifted to d+1         (yesterday's stock opens today)
+  *   closing  = sales = daily
+  *   full-outer join on (date_key, sku)      composite-key shuffle
+  *
+  * One scan, one aggregate exchange on (d, sku), one join exchange — vs.
+  * O(days) jobs. Both join inputs derive from the same aggregate, so the
+  * physical plan reuses the exchange. This generalizes SURVEY.md §2.1 S4
+  * (snapshot-pair scan) into a shifted self-join.
+  */
+object MultiDayReconcile {
+
+  /** Per-(day, sku) quantity aggregate of lineitem, bounded to [from, to]. */
+  private def daily(spark: SparkSession, dir: String, from: LocalDate, to: LocalDate): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_shipdate").cast(DateType).as("d"),
+        RetailMapping.skuCol(col("l_partkey")).as("sku"),
+        col("l_quantity").cast("int").as("q"))
+      .where(col("d").between(lit(from.toString).cast(DateType), lit(to.toString).cast(DateType)))
+      .groupBy("d", "sku")
+      .agg(sum("q").as("qty"))
+
+  /** Reconciliation rows for every date in [from, to] (+1 day of spill from
+    * the opening shift), ordered output left to the caller.
+    */
+  def reconcileRange(spark: SparkSession, dir: String, from: LocalDate, to: LocalDate): DataFrame = {
+    val base = daily(spark, dir, from, to)
+    val opening = base.select(
+      date_add(col("d"), 1).as("date_key"), col("sku"), col("qty").as("opening_stock"))
+    val closing = base.select(
+      col("d").as("date_key"), col("sku"),
+      col("qty").as("actual_closing_stock"), col("qty").as("quantity_sold"))
+    opening
+      .join(closing, Seq("date_key", "sku"), "full_outer")
+      .na.fill(0L, Seq("opening_stock", "actual_closing_stock", "quantity_sold"))
+      .withColumn("expected_closing_stock", col("opening_stock") - col("quantity_sold"))
+      .withColumn("discrepancy_amount", col("actual_closing_stock") - col("expected_closing_stock"))
+      .select(
+        col("date_key"), col("sku"), col("opening_stock"), col("quantity_sold"),
+        col("expected_closing_stock"), col("actual_closing_stock"), col("discrepancy_amount"))
+  }
+}
