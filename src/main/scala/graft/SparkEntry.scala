@@ -1,13 +1,211 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Alerts, MultiDayReconcile, RetailMapping, StageSales}
+import graft.schemas.Schemas
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` has a matching DuckDB oracle in `oracleSql`
+  * (same column names, total ORDER BY, aggregates cast to BIGINT on both
+  * sides — SURVEY.md §7.4) unless the operator is not SQL-expressible, in
+  * which case the driver records a rows-only check.
+  */
 object SparkEntry {
+
+  /** Flagship processing date (present at every scale factor). */
+  private val D = RetailMapping.Day // 1995-06-15
+  private val P = D.minusDays(1)
+  private val N = D.plusDays(1)
+  /** multi-day range. */
+  private val From = LocalDate.parse("1995-06-01")
+  private val To = LocalDate.parse("1995-06-30")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RetailMapping.reconciliation(spark, "/root/testdata/sf0.001", D).orderBy("sku")
+
+  // ---------------------------------------------------------------- SQL
+  // Shared oracle fragments (DuckDB dialect). Names mirror the Spark side.
+
+  /** sku rendering — RetailMapping.skuCol. */
+  private def skuOf(key: String): String =
+    s"upper(trim('SKU-' || lpad(CAST($key AS VARCHAR), 6, '0')))"
+
+  /** Per-(day, sku) qty aggregate over [from, until) — RetailMapping.dailyQty. */
+  private def dailySql(from: LocalDate, until: LocalDate): String =
+    s"""SELECT CAST(l_shipdate AS DATE) AS d,
+       |       ${skuOf("l_partkey")} AS sku,
+       |       CAST(sum(CAST(l_quantity AS INTEGER)) AS BIGINT) AS qty
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '$from' AND l_shipdate < TIMESTAMP '$until'
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Deterministic product dim — RetailMapping.dimProducts. */
+  private val dimSql: String =
+    s"""SELECT sku, product_name, category FROM (
+       |  SELECT sku, product_name, category,
+       |         row_number() OVER (PARTITION BY sku
+       |                            ORDER BY product_name, category) AS rn
+       |  FROM (SELECT ${skuOf("p_partkey")} AS sku,
+       |               trim(p_name) AS product_name,
+       |               trim(p_type) AS category
+       |        FROM part)) WHERE rn = 1""".stripMargin
+
+  /** Flagship reconciliation body — Reconcile.reconcile over the mapping. */
+  private val reconciliationSql: String =
+    s"""WITH daily AS (${dailySql(P, N)}),
+       |opening AS (SELECT sku, qty AS opening_stock FROM daily WHERE d = DATE '$P'),
+       |closing AS (SELECT sku, qty AS actual_closing_stock FROM daily WHERE d = DATE '$D'),
+       |sales   AS (SELECT sku, qty AS total_quantity_sold  FROM daily WHERE d = DATE '$D'),
+       |dim     AS (SELECT sku, product_name FROM ($dimSql))
+       |SELECT DATE '$D' AS date_key, sku, product_name,
+       |       COALESCE(opening_stock, 0) AS opening_stock,
+       |       COALESCE(total_quantity_sold, 0) AS quantity_sold,
+       |       COALESCE(opening_stock, 0) - COALESCE(total_quantity_sold, 0)
+       |         AS expected_closing_stock,
+       |       COALESCE(actual_closing_stock, 0) AS actual_closing_stock,
+       |       COALESCE(actual_closing_stock, 0)
+       |         - (COALESCE(opening_stock, 0) - COALESCE(total_quantity_sold, 0))
+       |         AS discrepancy_amount
+       |FROM opening
+       |FULL JOIN closing USING (sku)
+       |LEFT JOIN sales   USING (sku)
+       |LEFT JOIN dim     USING (sku)""".stripMargin
+
+  private val stageSalesSql: String =
+    s"""SELECT DATE '$D' AS date_key,
+       |       ${skuOf("l_partkey")} AS sku,
+       |       CAST(sum(CAST(l_quantity AS INTEGER)) AS BIGINT) AS total_quantity_sold
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '$D' AND l_shipdate < TIMESTAMP '$N'
+       |GROUP BY 2 ORDER BY sku""".stripMargin
+
+  // ------------------------------------------------------------- queries
+
+  /** Query signature: (session, sf directory) → result frame. */
+  type Q = (SparkSession, String) => DataFrame
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, Q] = Map[String, Q](
+    // S2/P1 — parquet scan + projection.
+    "scan_parquet" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")),
+
+    // S3 — pushdown-pruned scan: half-open shipdate range reaches the
+    // parquet reader as PushedFilters (row-group min/max skipping).
+    "pruned_scan" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(RetailMapping.shipdateIn(From, To.plusDays(1)))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // S1/P3/P5/A1/P6/P7 — CSV ingest with pinned schema (reference's
+    // primary ingest, glue_job_1_stage_sales.py:32-37) → staged sales.
+    // Round-trips one day of raw sales through CSV to exercise the real
+    // text parse path; result must equal stage_sales exactly.
+    "csv_roundtrip" -> ((s, dir) => {
+      val tmp = "/root/repo/target/tmp/csv_roundtrip"
+      RetailMapping.rawSales(s, dir, D)
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      val raw = s.read.schema(Schemas.posSalesRaw).option("header", "true").csv(tmp)
+      StageSales.stage(raw, D).orderBy("sku")
+    }),
+
+    // A1/P3/P5/P6/P7 — stage & aggregate one day of sales.
+    "stage_sales" -> ((s, dir) =>
+      RetailMapping.stagedSales(s, dir, D).orderBy("sku")),
+
+    // A2/P4 — deterministic dedup dimension build.
+    "dim_products" -> ((s, dir) =>
+      RetailMapping.dimProducts(s, dir).orderBy("sku")),
+
+    // S4 — snapshot-pair scan (as-of previous day), full-outer, nulls kept.
+    "snapshot_pair" -> ((s, dir) =>
+      RetailMapping.snapshot(s, dir, P, "opening_stock")
+        .join(RetailMapping.snapshot(s, dir, D, "actual_closing_stock"), Seq("sku"), "full_outer")
+        .orderBy("sku")),
+
+    // J1/J2/J3/P9/P8/P2/P6/P7 — the flagship reconciliation.
+    "reconciliation" -> ((s, dir) =>
+      RetailMapping.reconciliation(s, dir, D).orderBy("sku")),
+
+    // F1 — mismatch filter.
+    "discrepancies" -> ((s, dir) =>
+      Alerts.discrepancies(RetailMapping.reconciliation(s, dir, D)).orderBy("sku")),
+
+    // L1/F2 — deterministic top-k offenders with in-plan N/A coalesce.
+    "top_offenders" -> ((s, dir) =>
+      Alerts.topOffenders(
+        Alerts.discrepancies(RetailMapping.reconciliation(s, dir, D)), 5)),
+
+    // Multi-day set-oriented reconciliation (the 100 TB shape).
+    "multi_day_reconciliation" -> ((s, dir) =>
+      MultiDayReconcile.reconcileRange(s, dir, From, To).orderBy("date_key", "sku")),
+  ) ++ ExtQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey",
+
+    "pruned_scan" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_returnflag
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '$From' AND l_shipdate < TIMESTAMP '${To.plusDays(1)}'
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "csv_roundtrip" -> stageSalesSql,
+
+    "stage_sales" -> stageSalesSql,
+
+    "dim_products" -> s"$dimSql ORDER BY sku",
+
+    "snapshot_pair" ->
+      s"""WITH daily AS (${dailySql(P, N)}),
+         |opening AS (SELECT sku, qty AS opening_stock FROM daily WHERE d = DATE '$P'),
+         |closing AS (SELECT sku, qty AS actual_closing_stock FROM daily WHERE d = DATE '$D')
+         |SELECT sku, opening_stock, actual_closing_stock
+         |FROM opening FULL JOIN closing USING (sku) ORDER BY sku""".stripMargin,
+
+    "reconciliation" -> s"$reconciliationSql ORDER BY sku",
+
+    "discrepancies" ->
+      s"""SELECT * FROM ($reconciliationSql)
+         |WHERE discrepancy_amount != 0 ORDER BY sku""".stripMargin,
+
+    "top_offenders" ->
+      s"""SELECT date_key, sku, COALESCE(product_name, 'N/A') AS product_name,
+         |       opening_stock, quantity_sold, expected_closing_stock,
+         |       actual_closing_stock, discrepancy_amount
+         |FROM ($reconciliationSql)
+         |WHERE discrepancy_amount != 0
+         |ORDER BY abs(discrepancy_amount) DESC, sku LIMIT 5""".stripMargin,
+
+    "multi_day_reconciliation" ->
+      s"""WITH daily AS (${dailySql(From.minusDays(1), To.plusDays(1))}),
+         |opening AS (SELECT d + 1 AS date_key, sku, qty AS opening_stock FROM daily),
+         |closing AS (SELECT d AS date_key, sku, qty AS actual_closing_stock,
+         |                   qty AS quantity_sold FROM daily)
+         |SELECT date_key, sku,
+         |       COALESCE(opening_stock, 0) AS opening_stock,
+         |       COALESCE(quantity_sold, 0) AS quantity_sold,
+         |       COALESCE(opening_stock, 0) - COALESCE(quantity_sold, 0)
+         |         AS expected_closing_stock,
+         |       COALESCE(actual_closing_stock, 0) AS actual_closing_stock,
+         |       COALESCE(actual_closing_stock, 0)
+         |         - (COALESCE(opening_stock, 0) - COALESCE(quantity_sold, 0))
+         |         AS discrepancy_amount
+         |FROM opening FULL JOIN closing USING (date_key, sku)
+         |WHERE date_key BETWEEN DATE '$From' AND DATE '$To'
+         |ORDER BY date_key, sku""".stripMargin,
+  ) ++ ExtQueries.oracleSql
 }

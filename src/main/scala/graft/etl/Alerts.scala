@@ -27,9 +27,14 @@ object Alerts {
   def discrepancies(recon: DataFrame): DataFrame =
     recon.where(col("discrepancy_amount") =!= 0)
 
-  /** L1 (deterministic) — worst k offenders. */
+  /** L1 (deterministic) — worst k offenders. F2's null→"N/A" display
+    * fallback (glue_job_2_reconcile.py:132, driver-side in the reference)
+    * is lifted into the plan as a coalesce, so it distributes and is
+    * oracle-checkable.
+    */
   def topOffenders(disc: DataFrame, k: Int): DataFrame =
     disc
+      .withColumn("product_name", coalesce(col("product_name"), lit("N/A")))
       .orderBy(abs(col("discrepancy_amount")).desc, col("sku"))
       .limit(k)
 
@@ -44,7 +49,7 @@ object Alerts {
       else {
         val rows: Array[Row] = topOffenders(disc, k).collect()
         val examples = rows.toSeq.map { r =>
-          val name = Option(r.getAs[String]("product_name")).getOrElse("N/A")
+          val name = r.getAs[String]("product_name") // "N/A"-coalesced in-plan
           val sku = r.getAs[String]("sku")
           val amt = r.getAs[Long]("discrepancy_amount")
           s"SKU $sku ($name): discrepancy $amt"

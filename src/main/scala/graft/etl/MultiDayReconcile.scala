@@ -6,8 +6,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DateType
 
-import graft.Tables
-
 /** All-days reconciliation — the shape the flagship query takes at 100 TB.
   *
   * The reference runs one Glue job per processing date (re-invoked by the
@@ -24,25 +22,27 @@ import graft.Tables
   * O(days) jobs. Both join inputs derive from the same aggregate, so the
   * physical plan reuses the exchange. This generalizes SURVEY.md §2.1 S4
   * (snapshot-pair scan) into a shifted self-join.
+  *
+  * Boundary semantics: the aggregate covers `[from-1, to]` so that
+  * `date_key = from` sees its true opening stock (day from-1), and the
+  * joined output is filtered back to `[from, to]` so the opening shift
+  * does not fabricate an all-zero-closing day at to+1. Each retained
+  * date_key then agrees exactly with the single-day
+  * `RetailMapping.reconciliation` for that date.
   */
 object MultiDayReconcile {
 
-  /** Per-(day, sku) quantity aggregate of lineitem, bounded to [from, to]. */
+  /** Per-(day, sku) quantity aggregate of lineitem over `[from, to]`
+    * (inclusive), via the pushdown-safe half-open shipdate range.
+    */
   private def daily(spark: SparkSession, dir: String, from: LocalDate, to: LocalDate): DataFrame =
-    Tables.lineitem(spark, dir)
-      .select(
-        col("l_shipdate").cast(DateType).as("d"),
-        RetailMapping.skuCol(col("l_partkey")).as("sku"),
-        col("l_quantity").cast("int").as("q"))
-      .where(col("d").between(lit(from.toString).cast(DateType), lit(to.toString).cast(DateType)))
-      .groupBy("d", "sku")
-      .agg(sum("q").as("qty"))
+    RetailMapping.dailyQty(spark, dir, from, to.plusDays(1))
 
-  /** Reconciliation rows for every date in [from, to] (+1 day of spill from
-    * the opening shift), ordered output left to the caller.
+  /** Reconciliation rows for every date in `[from, to]`, ordered output
+    * left to the caller.
     */
   def reconcileRange(spark: SparkSession, dir: String, from: LocalDate, to: LocalDate): DataFrame = {
-    val base = daily(spark, dir, from, to)
+    val base = daily(spark, dir, from.minusDays(1), to)
     val opening = base.select(
       date_add(col("d"), 1).as("date_key"), col("sku"), col("qty").as("opening_stock"))
     val closing = base.select(
@@ -50,6 +50,8 @@ object MultiDayReconcile {
       col("qty").as("actual_closing_stock"), col("qty").as("quantity_sold"))
     opening
       .join(closing, Seq("date_key", "sku"), "full_outer")
+      .where(col("date_key").between(
+        lit(from.toString).cast(DateType), lit(to.toString).cast(DateType)))
       .na.fill(0L, Seq("opening_stock", "actual_closing_stock", "quantity_sold"))
       .withColumn("expected_closing_stock", col("opening_stock") - col("quantity_sold"))
       .withColumn("discrepancy_amount", col("actual_closing_stock") - col("expected_closing_stock"))

@@ -3,6 +3,7 @@ package graft.etl
 import java.time.LocalDate
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** In-process orchestrator replacing the reference's Airflow DAG
   * (dags/retail_pipeline_dag.py:65-100; SURVEY.md §3.3).
@@ -11,7 +12,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * collapse to three function calls in dependency order; idempotent daily
   * re-runs use dynamic partition overwrite instead of DELETE-by-date
   * (SURVEY.md §4.1): re-running a date replaces exactly that date's
-  * partition and nothing else.
+  * partition and nothing else. The overwrite mode is set per-write (an
+  * .option on the writer), not on the session, so it cannot leak into
+  * unrelated writes later in the same SparkSession.
   */
 object Pipeline {
 
@@ -35,15 +38,15 @@ object Pipeline {
       rawInventoryClose: DataFrame,
       date: LocalDate,
       outputRoot: String): Result = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
     val salesPath = s"$outputRoot/fact_daily_sales"
     val dimPath = s"$outputRoot/dim_products"
     val reconPath = s"$outputRoot/fact_inventory_reconciliation"
 
     // Job 1 — stage sales (K1: overwrite exactly this date's partition).
     val staged = StageSales.stage(rawSales, date)
-    staged.write.mode(SaveMode.Overwrite).partitionBy("date_key").parquet(salesPath)
+    staged.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("date_key").parquet(salesPath)
 
     // Dim job — full refresh (K4). Small by construction; single file kept
     // deliberately (reference's coalesce(1), glue_job_create_dims.py:56) —
@@ -53,27 +56,34 @@ object Pipeline {
 
     // Job 2 — reconcile (reads back the staged outputs like the reference
     // reads its staging zone, glue_job_2_reconcile.py:50,74).
-    val opening = DimProducts.build(rawInventoryOpen) // normalization only
-      .select("sku") // placeholder projection; stock joined below
     val openingStock = rawInventoryOpen
       .select(
-        StageSales.normalizeSku(org.apache.spark.sql.functions.col("sku")).as("sku"),
-        org.apache.spark.sql.functions.col("stock_on_hand").cast("long").as("opening_stock"))
+        StageSales.normalizeSku(col("sku")).as("sku"),
+        col("stock_on_hand").cast("long").as("opening_stock"))
     val closingStock = rawInventoryClose
       .select(
-        StageSales.normalizeSku(org.apache.spark.sql.functions.col("sku")).as("sku"),
-        org.apache.spark.sql.functions.col("stock_on_hand").cast("long").as("actual_closing_stock"))
+        StageSales.normalizeSku(col("sku")).as("sku"),
+        col("stock_on_hand").cast("long").as("actual_closing_stock"))
     val sales = spark.read.parquet(salesPath)
-      .where(org.apache.spark.sql.functions.col("date_key") === date.toString)
+      .where(col("date_key") === date.toString)
       .select("sku", "total_quantity_sold")
     val dimRead = spark.read.parquet(dimPath)
 
-    val recon = Reconcile.reconcile(openingStock, closingStock, sales, dimRead, date)
-    recon.write.mode(SaveMode.Overwrite).partitionBy("date_key").parquet(reconPath)
+    // Dim read-back is a bounded single file (coalesce(1) above) → safe to
+    // hint broadcast, matching the reference's DISTSTYLE ALL intent.
+    val recon = Reconcile.reconcile(
+      openingStock, closingStock, sales, dimRead, date, broadcastDim = true)
+    recon.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("date_key").parquet(reconPath)
 
     // Alert actions run on the written fact (read-back, not a 3rd recompute
-    // of the join tree — fixes the reference's triple replay, SURVEY.md §3.2).
-    val alert = Alerts.build(spark.read.parquet(reconPath))
+    // of the join tree — fixes the reference's triple replay, SURVEY.md
+    // §3.2), restricted to THIS run's partition: the reference alerts only
+    // on the current processing date (glue_job_2_reconcile.py:118-133), and
+    // the date_key filter is a partition-pruned read, not a full-fact scan.
+    val alert = Alerts.build(
+      spark.read.parquet(reconPath).where(col("date_key") === date.toString))
     Result(salesPath, dimPath, reconPath, alert)
   }
 }
