@@ -29,12 +29,18 @@ object StageSales {
   def normalizeSku(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     upper(trim(c))
 
-  /** raw(sku: string, quantity: string|int, ...) → staged daily sales. */
+  /** raw(sku: string, quantity: string|int, ...) → staged daily sales.
+    *
+    * `try_cast` (not `cast`): the reference runs non-ANSI Spark where a
+    * malformed quantity silently becomes null and is ignored by sum
+    * (glue_job_1_stage_sales.py:46); under Spark 4's default ANSI mode a
+    * plain cast would instead fail the whole job on one bad row.
+    */
   def stage(raw: DataFrame, processingDate: LocalDate): DataFrame =
     raw
       .select(
         normalizeSku(col("sku")).as("sku"),
-        col("quantity").cast(IntegerType).as("quantity"))
+        expr("try_cast(quantity AS int)").as("quantity"))
       .groupBy("sku")
       .agg(sum("quantity").as("total_quantity_sold"))
       .select(

@@ -1,0 +1,42 @@
+package graft.etl
+
+import java.sql.Date
+
+import graft.SparkSpec
+
+/** Alerts — glue_job_2_reconcile.py:118-141 as a pure function. */
+class AlertsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def recon(rows: Seq[(String, java.lang.Long)]) =
+    rows.map { case (sku, disc) =>
+      (Date.valueOf("2024-01-02"), sku, if (sku < "M") "name-" + sku else null,
+        0L, 0L, 0L, 0L, disc)
+    }.toDF("date_key", "sku", "product_name", "opening_stock", "quantity_sold",
+      "expected_closing_stock", "actual_closing_stock", "discrepancy_amount")
+
+  test("no discrepancies → None (empty-day alert gate)") {
+    assert(Alerts.build(recon(Seq("A" -> 0L, "B" -> 0L))) === None)
+  }
+
+  test("alert carries total count and worst-k examples") {
+    val r = Alerts.build(recon(Seq("A" -> 3L, "B" -> -10L, "C" -> 0L, "D" -> 7L)), k = 2).get
+    assert(r.count === 3)
+    assert(r.examples.size === 2)
+    assert(r.examples.head.contains("SKU B")) // |−10| largest
+    assert(r.message.contains("3 discrepancies"))
+  }
+
+  test("topOffenders orders by |discrepancy| desc with sku tie-break") {
+    val top = Alerts.topOffenders(
+      Alerts.discrepancies(recon(Seq("B" -> -5L, "A" -> 5L, "C" -> 9L))), 3)
+      .collect().map(_.getString(1)).toSeq
+    assert(top === Seq("C", "A", "B"))
+  }
+
+  test("null product_name is coalesced to N/A in-plan") {
+    val top = Alerts.topOffenders(
+      Alerts.discrepancies(recon(Seq("Z" -> 1L))), 1).collect().head
+    assert(top.getString(2) === "N/A")
+  }
+}

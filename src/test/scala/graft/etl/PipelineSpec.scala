@@ -1,0 +1,54 @@
+package graft.etl
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+/** Pipeline — the in-process orchestrator (DAG replacement, SURVEY §3.3):
+  * end-to-end run, idempotent re-run, partition isolation across dates.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d1 = LocalDate.parse("2024-01-02")
+  private val d2 = LocalDate.parse("2024-01-03")
+
+  private def sales = Seq(("a1", "3"), ("a1", "2"), ("b2", "4")).toDF("sku", "quantity")
+  private def invOpen = Seq(("a1", 10, "apple", "f"), ("b2", 8, "beet", "v"))
+    .toDF("sku", "stock_on_hand", "product_name", "category")
+  private def invClose = Seq(("a1", 5, "apple", "f"), ("b2", 5, "beet", "v"))
+    .toDF("sku", "stock_on_hand", "product_name", "category")
+
+  test("end-to-end run writes all three outputs and alerts on discrepancies") {
+    val root = Files.createTempDirectory("graft-pipe").toString
+    val res = Pipeline.run(spark, sales, invOpen, invClose, d1, root)
+    assert(spark.read.parquet(res.stagedSalesPath).count() === 2)
+    assert(spark.read.parquet(res.dimProductsPath).count() === 2)
+    val recon = spark.read.parquet(res.reconciliationPath)
+    assert(recon.count() === 2)
+    // a1: open 10, sold 5, expected 5, actual 5 → ok; b2: 8-4=4 vs 5 → 1
+    val alert = res.alert.get
+    assert(alert.count === 1)
+    assert(alert.examples.head.contains("SKU B2"))
+  }
+
+  test("re-running the same date is idempotent (dynamic partition overwrite)") {
+    val root = Files.createTempDirectory("graft-pipe").toString
+    Pipeline.run(spark, sales, invOpen, invClose, d1, root)
+    val res2 = Pipeline.run(spark, sales, invOpen, invClose, d1, root)
+    assert(spark.read.parquet(res2.stagedSalesPath).count() === 2)
+    assert(spark.read.parquet(res2.reconciliationPath).count() === 2)
+  }
+
+  test("a second date adds its partition without touching the first") {
+    val root = Files.createTempDirectory("graft-pipe").toString
+    Pipeline.run(spark, sales, invOpen, invClose, d1, root)
+    Pipeline.run(spark, sales.limit(1), invOpen, invClose, d2, root)
+    val recon = spark.read.parquet(s"$root/fact_inventory_reconciliation")
+    assert(recon.where(col("date_key") === d1.toString).count() === 2)
+    assert(recon.where(col("date_key") === d2.toString).count() === 2)
+  }
+}
