@@ -1,12 +1,335 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Extension-surface queries (SURVEY.md §2.11 X1–X6 + LLM-data-pipeline
-  * ops) — declared separately so the core retail contract stays readable.
-  * Filled in as each ext operator lands.
+import graft.ext.{Dedup, Events, Multimodal, Similarity, TextOps}
+
+/** Extension-surface queries (SURVEY.md §2.11 X1–X6 + the LLM-data-
+  * pipeline north star): dedup, text analysis, similarity search, JSON /
+  * sessionization, multimodal plumbing. Declared separately so the core
+  * retail contract stays readable.
+  *
+  * Every oracle mirrors the Spark computation exactly — hashing is md5
+  * (bit-identical across engines), counts are BIGINT on both sides,
+  * ratios are rounded, rankings break ties on ids.
   */
 object ExtQueries {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // shared DuckDB fragments ------------------------------------------------
+
+  /** DuckDB mirror of TextOps.normalized/tokens. */
+  private val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+  private val toksSql = s"string_split($normSql, ' ')"
+  private def inList(vals: Seq[String]): String = vals.map(v => s"'$v'").mkString("(", ", ", ")")
+
+  private val stopEn = inList(TextOps.langProfiles.head._2)
+
+  /** DuckDB mirror of the 2-word shingle set. */
+  private val shinglesSql =
+    s"""list_distinct([array_to_string(t[i:i+1], ' ')
+       |  for i in range(1, greatest(len(t), 1))])""".stripMargin
+
+  /** DuckDB mirror of the 16 md5 minhashes (lexicographic min of digests). */
+  private val minhashSqls: Seq[String] = (0 until Dedup.SigCount).map { i =>
+    s"list_min(list_transform(shingles, s -> md5('$i|' || s)))"
+  }
+
+  /** DuckDB mirror of the per-probe cosine (double accumulation, index
+    * order, 6dp round) — matches graft.functions.CosineSimilarity.
+    */
+  private val cosSql =
+    """round(
+      |  list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+      |  (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |    i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+      |   sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+      |    i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6)""".stripMargin
+
+  // queries ----------------------------------------------------------------
+
+  def queries: Map[String, Q] = Map[String, Q](
+    // X2 — per-document stats + quality score.
+    "text_stats" -> ((s, dir) =>
+      castLongs(TextOps.textStats(Tables.documents(s, dir)),
+        "n_tokens", "n_distinct_tokens", "n_chars").orderBy("doc_id")),
+
+    // X2 — language-ID heuristic vs the labeled lang.
+    "lang_id" -> ((s, dir) =>
+      TextOps.langId(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // X2 — whitespace + BPE-ish token counting.
+    "token_counts" -> ((s, dir) =>
+      castLongs(TextOps.tokenCounts(Tables.documents(s, dir)),
+        "ws_tokens", "bpe_pieces", "n_chars").orderBy("doc_id")),
+
+    // X2 — content + canonical fingerprints.
+    "doc_fingerprints" -> ((s, dir) =>
+      TextOps.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // X2 — corpus top-20 word frequency (count desc, token asc).
+    "word_freq" -> ((s, dir) =>
+      TextOps.wordFreq(Tables.documents(s, dir), 20)),
+
+    // X1 — exact dedup by content hash, deterministic survivor.
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // X4 — MinHash + LSH banded near-dup, verified Jaccard ≥ 0.5.
+    "near_dup_minhash" -> ((s, dir) =>
+      Dedup.nearDupMinhash(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+
+    // X4 — SimHash banded near-dup, Hamming ≤ 3.
+    "near_dup_simhash" -> ((s, dir) =>
+      castLongs(Dedup.nearDupSimhash(Tables.documents(s, dir)), "hamming")
+        .orderBy("doc_a", "doc_b")),
+
+    // X4 — blocked char-3-gram Jaccard ≥ 0.8 within lang blocks.
+    "ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardBlocked(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+
+    // X5 — JSON property extraction + rollup.
+    "json_props" -> ((s, dir) =>
+      Events.jsonProps(Tables.events(s, dir)).orderBy("k")),
+
+    // X6 — batch sessionization (6h gap).
+    "sessionize" -> ((s, dir) =>
+      Events.sessionize(Tables.events(s, dir)).orderBy("user_id", "session_no")),
+
+    // X6 — tumbling 1-hour rollup by event type.
+    "event_windows" -> ((s, dir) =>
+      Events.hourlyRollup(Tables.events(s, dir)).orderBy("hour_start", "event_type")),
+
+    // X3 — brute-force cosine top-k (custom codegen'd expression).
+    "ann_topk" -> ((s, dir) =>
+      castLongs(Similarity.topKBruteForce(Tables.embeddings(s, dir)), "rank")
+        .orderBy("probe_id", "rank")),
+
+    // X3 — IVF-style cell-restricted top-k (the scale path).
+    "ann_topk_ivf" -> ((s, dir) =>
+      castLongs(Similarity.topKIvf(Tables.embeddings(s, dir)), "rank")
+        .orderBy("probe_id", "rank")),
+
+    // X3 — embedding-cosine near-dup pairs, cell-blocked candidates.
+    "embedding_near_dup" -> ((s, dir) =>
+      Similarity.nearDupCosine(Tables.embeddings(s, dir)).orderBy("vec_a", "vec_b")),
+
+    // Multimodal — binary payload + stubbed decode, expression variant.
+    "multimodal_features" -> ((s, dir) =>
+      castLongs(Multimodal.featurizeExpr(Tables.documents(s, dir)), "n_bytes")
+        .orderBy("doc_id")),
+  )
+
+  /** Cast int-typed count/rank columns to long so Spark schemas match
+    * DuckDB's BIGINT len()/count()/row_number() outputs.
+    */
+  private def castLongs(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("long")))
+
+  // oracles ----------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  len(toks) AS n_tokens,
+         |  len(list_distinct(toks)) AS n_distinct_tokens,
+         |  length(text) AS n_chars,
+         |  floor(list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) * 10000) / 10000
+         |    AS avg_token_len,
+         |  floor((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+         |    / length(text) * 10000) / 10000 AS punct_ratio,
+         |  floor(len(list_filter(toks, t -> t IN $stopEn))::DOUBLE / len(toks) * 10000) / 10000
+         |    AS stopword_ratio
+         |FROM t)
+         |SELECT *, floor((0.4 * least(1.0, n_tokens / 50.0)
+         |    + 0.3 * (1.0 - punct_ratio)
+         |    + 0.3 * least(1.0, stopword_ratio * 5)) * 10000) / 10000 AS quality_score
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "lang_id" -> {
+      val scores = TextOps.langProfiles.map { case (code, words) =>
+        s"len(list_filter(toks, t -> t IN ${inList(words)})) AS s_$code"
+      }.mkString(",\n  ")
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  $scores
+         |FROM t)
+         |SELECT doc_id, lang,
+         |  CASE WHEN s_en + s_es + s_de + s_fr = 0 THEN 'und'
+         |       WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+         |       WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+         |       WHEN s_de >= s_fr THEN 'de'
+         |       ELSE 'fr' END AS predicted_lang,
+         |  lang = CASE WHEN s_en + s_es + s_de + s_fr = 0 THEN 'und'
+         |       WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+         |       WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+         |       WHEN s_de >= s_fr THEN 'de'
+         |       ELSE 'fr' END AS agree
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "token_counts" ->
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '\\S+')) AS ws_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_pieces,
+         |  length(text) AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprints" ->
+      s"""SELECT doc_id,
+         |  md5($normSql) AS content_md5,
+         |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fingerprint_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "word_freq" ->
+      s"""SELECT token, count(*) AS n
+         |FROM (SELECT unnest($toksSql) AS token FROM documents)
+         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "dedup_exact" ->
+      s"""WITH k AS (SELECT doc_id, md5($normSql) AS content_key FROM documents),
+         |r AS (SELECT doc_id, content_key,
+         |        row_number() OVER (PARTITION BY content_key ORDER BY doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY content_key) AS group_size
+         |      FROM k)
+         |SELECT doc_id, content_key, group_size FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "near_dup_minhash" -> {
+      val rows = Dedup.SigCount / Dedup.BandCount
+      val sigList = minhashSqls.zipWithIndex
+        .map { case (m, i) => s"$m AS sig$i" }.mkString(",\n  ")
+      val bandList = (0 until Dedup.BandCount).map { j =>
+        val parts = (0 until rows).map(r => s"sig${j * rows + r}").mkString(" || ")
+        s"md5($parts)"
+      }.mkString("[", ", ", "]")
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM tok WHERE len(t) > 0),
+         |sg AS (SELECT doc_id, shingles,
+         |  $sigList
+         |FROM sh WHERE len(shingles) > 0),
+         |bd AS (SELECT doc_id, unnest(range(0, ${Dedup.BandCount})) AS band_idx,
+         |              unnest($bandList) AS band_val FROM sg),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bd a JOIN bd b
+         |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |          AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+         |    / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
+         |FROM cand
+         |JOIN sh sa ON sa.doc_id = doc_a
+         |JOIN sh sb ON sb.doc_id = doc_b
+         |WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "near_dup_simhash" -> {
+      val high = "('8','9','a','b','c','d','e','f')"
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM tok WHERE len(t) > 0),
+         |h AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hashes
+         |  FROM sh WHERE len(shingles) > 0),
+         |fp AS (SELECT doc_id, array_to_string(
+         |    [CASE WHEN list_sum(list_transform(hashes,
+         |       h -> CASE WHEN substr(h, b, 1) IN $high THEN 1 ELSE -1 END)) > 0
+         |     THEN '1' ELSE '0' END for b in range(1, ${Dedup.SimhashBits + 1})], '') AS fp
+         |  FROM h),
+         |bd AS (SELECT doc_id, fp, unnest(range(0, 4)) AS band_idx,
+         |       unnest([substr(fp, 1, 8), substr(fp, 9, 8), substr(fp, 17, 8), substr(fp, 25, 8)]) AS band_val
+         |  FROM fp),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                a.fp AS fp_a, b.fp AS fp_b
+         |         FROM bd a JOIN bd b
+         |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |          AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  len(list_filter(range(1, ${Dedup.SimhashBits + 1}),
+         |    i -> substr(fp_a, i, 1) != substr(fp_b, i, 1))) AS hamming
+         |FROM cand
+         |WHERE hamming <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "ngram_jaccard" ->
+      s"""WITH n AS (SELECT doc_id, lang, $normSql AS s FROM documents),
+         |g AS (SELECT doc_id, lang,
+         |        list_distinct([substr(s, i, 3)
+         |          for i in range(1, greatest(len(s) - 1, 1))]) AS grams
+         |      FROM n),
+         |gg AS (SELECT * FROM g WHERE len(grams) > 0)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.grams, b.grams))::DOUBLE
+         |    / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+         |FROM gg a JOIN gg b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE jaccard >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "json_props" ->
+      s"""SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
+         |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "sessionize" ->
+      s"""WITH o AS (SELECT user_id, ts, event_id, event_type, value,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |f AS (SELECT *, CASE WHEN prev_ts IS NULL
+         |    OR epoch_us(ts) - epoch_us(prev_ts) > ${Events.SessionGapSeconds}000000
+         |    THEN 1 ELSE 0 END AS is_new FROM o),
+         |s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+         |    AS session_no FROM f)
+         |SELECT user_id, session_no,
+         |  min(ts) AS session_start, max(ts) AS session_end,
+         |  count(*) AS n_events,
+         |  count(*) FILTER (event_type = 'purchase') AS n_purchases,
+         |  round(sum(value), 4) AS sum_value
+         |FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
+
+    "event_windows" ->
+      s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
+         |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "ann_topk" ->
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+         |  WHERE a.vec_id % 50 = 0),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
+         |SELECT probe_id, rank, neighbor_id, cosine FROM r
+         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "ann_topk_ivf" ->
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id != b.vec_id
+         |  WHERE a.vec_id % 50 = 0),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
+         |SELECT probe_id, rank, neighbor_id, cosine FROM r
+         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "embedding_near_dup" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cosSql AS cosine
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE cosine >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "multimodal_features" ->
+      s"""SELECT doc_id,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  64 + (ascii(substr(md5(text), 1, 1)) % 16) * 16 AS width,
+         |  64 + (ascii(substr(md5(text), 2, 1)) % 16) * 16 AS height,
+         |  1 + ascii(substr(md5(text), 3, 1)) % 8 AS n_frames,
+         |  CAST(octet_length(encode(text)) // (1 + ascii(substr(md5(text), 3, 1)) % 8) AS INTEGER)
+         |    AS frame_stride
+         |FROM documents ORDER BY doc_id""".stripMargin,
+  )
 }

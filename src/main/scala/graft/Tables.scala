@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated parquet testdata (TESTDATA.md).
   * One parquet file per table under `dir` (an sf directory).
@@ -20,7 +21,17 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "events")
+  /** `events.ts` is written as Parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects outright. Read it as raw nanos
+    * (`nanosAsLong`) and floor-convert to a microsecond timestamp —
+    * the same truncation DuckDB applies when it reads the nanos column
+    * as a microsecond TIMESTAMP, so oracle values agree exactly.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over the `events` table (SURVEY.md §2.11
+  * X5/X6): JSON property extraction, batch sessionization, tumbling
+  * time-window aggregation.
+  *
+  * Scale design: JSON extraction is a pure projection (no shuffle);
+  * sessionization shuffles once on user_id and stays partitioned by user
+  * through both window functions and the final aggregate (one Exchange
+  * total); the hourly rollup is a single hash aggregate. The same
+  * sessionization logic ports to Structured Streaming with
+  * `session_window(ts, gap)` — the batch form here is the
+  * backfill/reprocessing path.
+  */
+object Events {
+
+  /** X5 — extract the integer property `$.k` from the JSON `props` column
+    * and roll up by its value. Output: k, n_events, sum_value (4dp).
+    */
+  def jsonProps(events: DataFrame): DataFrame =
+    events
+      .select(
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("value"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+
+  /** Session gap: a new session starts after > 6h of user inactivity. */
+  val SessionGapSeconds = 21600L
+
+  /** X6 — batch sessionization: per-user event ordering, gap detection
+    * via lag, running-sum session numbering, per-session rollup.
+    * Output: user_id, session_no, session_start, session_end, n_events,
+    * n_purchases, sum_value (4dp).
+    */
+  def sessionize(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      // gap compare in integer microseconds: exact, no FP parity risk
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > SessionGapSeconds * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_no", sum("is_new").over(byUser))
+      .groupBy("user_id", "session_no")
+      .agg(
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+        round(sum("value"), 4).as("sum_value"))
+  }
+
+  /** X6 — tumbling 1-hour window aggregate by event type. Output:
+    * hour_start, event_type, n_events, sum_value (4dp).
+    */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+}

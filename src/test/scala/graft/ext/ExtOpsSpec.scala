@@ -1,0 +1,126 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.CosineSimilarity
+
+/** Extension-operator specs on tiny literal frames. */
+class ExtOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "lang")
+
+  test("exact dedup keeps the smallest doc_id per normalized content") {
+    val d = docs(
+      (1L, "Hello, World!", "en"),
+      (2L, "hello   world", "en"), // same after normalization
+      (3L, "different", "en"))
+    val out = Dedup.exact(d).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    assert(out.head.getLong(2) === 2L) // group_size
+  }
+
+  test("minhash near-dup finds a planted near-duplicate and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearDup = base.replace("today", "tomorrow")
+    val other = "completely unrelated words about spark catalyst tungsten codegen"
+    val out = Dedup.nearDupMinhash(docs((1L, base, "en"), (2L, nearDup, "en"), (3L, other, "en")))
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    assert(out.head.getDouble(2) > 0.5)
+  }
+
+  test("simhash near-dup flags identical shingle sets at hamming 0") {
+    val out = Dedup.nearDupSimhash(docs(
+      (1L, "Alpha beta, gamma delta echo foxtrot!", "en"),
+      (2L, "alpha beta gamma delta echo foxtrot", "en"), // same after normalization
+      (3L, "totally different words entirely here now", "en")))
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq === Seq((1L, 2L, 0)))
+  }
+
+  test("language-ID picks the profile with most stopword hits") {
+    val out = TextOps.langId(docs(
+      (1L, "the cat sat on the mat and it is happy", "en"),
+      (2L, "el perro y la casa de un amigo que es grande", "es")))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getString(2)).toSeq === Seq("en", "es"))
+    assert(out.forall(_.getBoolean(3)))
+  }
+
+  test("CosineSimilarity expression matches a hand-computed value and handles edge cases") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), Array(0.0f, 1.0f)),   // orthogonal → 0
+      (2L, Array(1.0f, 2.0f), Array(2.0f, 4.0f)),   // parallel → 1
+      (3L, Array(0.0f, 0.0f), Array(1.0f, 1.0f)))   // zero norm → null
+      .toDF("id", "a", "b")
+    val out = df.select(col("id"), CosineSimilarity(col("a"), col("b")).as("c"))
+      .orderBy("id").collect()
+    assert(math.abs(out(0).getDouble(1)) < 1e-12)
+    assert(math.abs(out(1).getDouble(1) - 1.0) < 1e-12)
+    assert(out(2).isNullAt(1))
+  }
+
+  test("CosineSimilarity agrees with the HOF formulation on real embeddings") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
+    val hof =
+      """aggregate(zip_with(a, b, (x, y) -> cast(x AS double) * cast(y AS double)),
+        |  cast(0 AS double), (acc, v) -> acc + v) /
+        |(sqrt(aggregate(a, cast(0 AS double), (acc, x) -> acc + cast(x AS double) * cast(x AS double))) *
+        | sqrt(aggregate(b, cast(0 AS double), (acc, x) -> acc + cast(x AS double) * cast(x AS double))))"""
+        .stripMargin
+    val pairs = e.select(col("vec_id").as("ia"), col("embedding").as("a"))
+      .crossJoin(e.select(col("vec_id").as("ib"), col("embedding").as("b")))
+      .where(col("ia") < col("ib"))
+    val diff = pairs
+      .select(abs(CosineSimilarity(col("a"), col("b")) - expr(hof)).as("d"))
+      .agg(max("d")).collect().head.getDouble(0)
+    assert(diff < 1e-12)
+  }
+
+  test("ANN top-k returns k ranked neighbors per probe, IVF restricted to the cell") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val bf = Similarity.topKBruteForce(e, probeEvery = 100, k = 3)
+    val perProbe = bf.groupBy("probe_id").count().collect()
+    assert(perProbe.nonEmpty && perProbe.forall(_.getLong(1) === 3L))
+    val ivf = Similarity.topKIvf(e, probeEvery = 100, k = 3)
+      .join(e.select(col("vec_id").as("probe_id"), col("label").as("pl")), "probe_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("label").as("nl")), "neighbor_id")
+    assert(ivf.where(col("pl") =!= col("nl")).count() === 0L)
+  }
+
+  test("multimodal: mapPartitions decode agrees exactly with the expression variant") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
+    val viaPartitions = Multimodal.featurizePartitions(Multimodal.withPayload(d))
+      .orderBy("doc_id").collect()
+    val viaExpr = Multimodal.featurizeExpr(d)
+      .select("doc_id", "n_bytes", "width", "height", "n_frames", "frame_stride")
+      .orderBy("doc_id").collect()
+    assert(viaPartitions.length === viaExpr.length)
+    viaPartitions.zip(viaExpr).foreach { case (p, x) =>
+      assert(p.getLong(0) === x.getLong(0))
+      assert(p.getInt(1) === x.getInt(1), "n_bytes")
+      assert(p.getInt(2) === x.getInt(2), "width")
+      assert(p.getInt(3) === x.getInt(3), "height")
+      assert(p.getInt(4) === x.getInt(4), "n_frames")
+      assert(p.getInt(5) === x.getInt(5), "frame_stride")
+    }
+  }
+
+  test("sessionize: one session per burst, purchases counted") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, "view", 1.0),
+      (2L, ts("2024-01-01 10:05:00"), 100L, "purchase", 9.0),
+      (3L, ts("2024-01-02 09:00:00"), 100L, "view", 2.0), // > 6h later → new session
+      (4L, ts("2024-01-01 10:00:00"), 200L, "view", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.sessionize(ev).orderBy("user_id", "session_no").collect()
+    assert(out.length === 3)
+    assert(out(0).getLong(4) === 2L) // user 100 session 1: 2 events
+    assert(out(0).getLong(5) === 1L) // 1 purchase
+    assert(out(1).getLong(4) === 1L)
+  }
+}
