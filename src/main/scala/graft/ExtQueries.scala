@@ -32,9 +32,9 @@ object ExtQueries {
     s"""list_distinct([array_to_string(t[i:i+1], ' ')
        |  for i in range(1, greatest(len(t), 1))])""".stripMargin
 
-  /** DuckDB mirror of the 16 md5 minhashes (lexicographic min of digests). */
+  /** DuckDB mirror of the 16 numeric minhashes (top 60 md5 bits). */
   private val minhashSqls: Seq[String] = (0 until Dedup.SigCount).map { i =>
-    s"list_min(list_transform(shingles, s -> md5('$i|' || s)))"
+    s"list_min(list_transform(shingles, s -> ('0x' || substr(md5('$i|' || s), 1, 15))::BIGINT))"
   }
 
   /** DuckDB mirror of the per-probe cosine (double accumulation, index
@@ -203,7 +203,7 @@ object ExtQueries {
       val sigList = minhashSqls.zipWithIndex
         .map { case (m, i) => s"$m AS sig$i" }.mkString(",\n  ")
       val bandList = (0 until Dedup.BandCount).map { j =>
-        val parts = (0 until rows).map(r => s"sig${j * rows + r}").mkString(" || ")
+        val parts = (0 until rows).map(r => s"sig${j * rows + r}::VARCHAR").mkString(" || ")
         s"md5($parts)"
       }.mkString("[", ", ", "]")
       s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
@@ -257,7 +257,7 @@ object ExtQueries {
     "ngram_jaccard" ->
       s"""WITH n AS (SELECT doc_id, lang, $normSql AS s FROM documents),
          |g AS (SELECT doc_id, lang,
-         |        list_distinct([substr(s, i, 3)
+         |        list_distinct([ascii(s[i]) * 65536 + ascii(s[i+1]) * 256 + ascii(s[i+2])
          |          for i in range(1, greatest(len(s) - 1, 1))]) AS grams
          |      FROM n),
          |gg AS (SELECT * FROM g WHERE len(grams) > 0)

@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
   * bit-identical in every engine, so signatures are portable and
   * oracle-checkable; the minhash is the lexicographic min of the hex
   * digests, which preserves the uniform-min property.
+  *
+  * Performance shape: shingles are built RELATIONALLY — posexplode the
+  * token array once, pair adjacent tokens with a window `lead`, distinct
+  * the (doc, shingle) rows — so every hot step is whole-stage-codegen'd
+  * column work. The tempting alternative, `transform(sequence(...), i ->
+  * f(arrayCol, i))`, is a trap twice over: higher-order functions are
+  * interpreted (CodegenFallback), and a lambda body that references the
+  * outer column re-evaluates that column's whole expression tree (the
+  * tokenizing regex!) per element once projection collapsing inlines it —
+  * measured as minutes instead of seconds on sf0.1.
   */
 object Dedup {
 
@@ -36,6 +46,25 @@ object Dedup {
       .select("doc_id", "content_key", "group_size")
   }
 
+  /** Distinct 2-word shingles as rows (doc_id, s) — the shared, fully
+    * codegen'd shingle pipeline for MinHash and SimHash.
+    */
+  private def shingleRows(docs: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    docs
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead("tok", 1).over(byDoc))
+      .where(col("nxt").isNotNull)
+      .select(col("doc_id"), concat(col("tok"), lit(" "), col("nxt")).as("s"))
+      .distinct()
+  }
+
+  /** Per-document distinct shingle SETS (doc_id, shingles) for the exact
+    * Jaccard verification step.
+    */
+  private def shingleSets(docs: DataFrame): DataFrame =
+    shingleRows(docs).groupBy("doc_id").agg(collect_list("s").as("shingles"))
+
   /** Number of minhash signatures and LSH bands (rows-per-band =
     * SigCount / BandCount). 16 sigs in 8 bands of 2 catches Jaccard ≥ 0.5
     * candidates with p ≈ 1-(1-s²)⁸ (s=0.7 → 0.996).
@@ -49,27 +78,21 @@ object Dedup {
     */
   def nearDupMinhash(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val rows = SigCount / BandCount
-    val parallelism =
-      docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    // Materialization barrier (see ngramJaccardBlocked): shingle arrays are
-    // computed once per document at this Exchange; all three consumers
-    // (signatures + both verification joins) reuse the exchange instead of
-    // re-deriving shingles — and never per candidate pair.
-    val sh = docs.select(
-      col("doc_id"),
-      col("text"),
-      TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), TextOps.shingles("toks", 2).as("shingles"))
-      .where(size(col("shingles")) > 0)
-      .repartition(parallelism)
-
-    val sigCols = (0 until SigCount).map { i =>
-      expr(s"array_min(transform(shingles, s -> md5(cast(concat('$i|', s) AS binary))))")
-        .as(s"sig$i")
+    // 16 codegen'd min-aggregates over the shingle rows, one shuffle row
+    // per document after the map-side partial aggregate. Each minhash is
+    // NUMERIC — the top 60 bits of the md5 as a BIGINT — because min over
+    // longs is a register compare, while min over hex strings pays
+    // UTF8String.compareTo (and its per-call getenv guard) 16× per
+    // shingle row. 60 bits preserve the uniform-min property; DuckDB
+    // parses the same value with ('0x' || substr(md5, 1, 15))::BIGINT.
+    val sr = shingleRows(docs)
+    val sigAggs = (0 until SigCount).map { i =>
+      min(conv(substring(md5(concat(lit(s"$i|"), col("s")).cast("binary")), 1, 15), 16, 10)
+        .cast("long")).as(s"sig$i")
     }
-    val sig = sh.select(col("doc_id") +: sigCols: _*)
+    val sig = sr.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     val bandCols = (0 until BandCount).map { j =>
-      val parts = (0 until rows).map(r => s"sig${j * rows + r}").mkString(", ")
+      val parts = (0 until rows).map(r => s"cast(sig${j * rows + r} AS string)").mkString(", ")
       expr(s"md5(cast(concat($parts) AS binary))")
     }
     val banded = sig
@@ -83,6 +106,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
+    val sh = shingleSets(docs)
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
@@ -94,7 +118,7 @@ object Dedup {
   }
 
   /** SimHash fingerprint width in bits (one per md5 hex digit, using the
-    * digit's high bit as the per-token ±1 vote).
+    * digit's high bit as the per-shingle ±1 vote).
     */
   val SimhashBits = 32
 
@@ -107,26 +131,18 @@ object Dedup {
     * Output: doc_a, doc_b, hamming.
     */
   def nearDupSimhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val high = "('8','9','a','b','c','d','e','f')"
-    val parallelism =
-      docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    // Materialization barrier (see ngramJaccardBlocked): the 32-bit
-    // fingerprint is computed once per document, not per candidate pair.
-    val fp = docs
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val highSet = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    // md5 once per shingle row, then 32 codegen'd sum-aggregates; the
+    // aggregate is also the materialization barrier — each document's
+    // fingerprint exists once before the banded self-join.
+    val hx = shingleRows(docs).select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
+    val bitSums = (1 to SimhashBits).map { b =>
+      sum(when(substring(col("h"), b, 1).isin(highSet: _*), 1).otherwise(-1)).as(s"b$b")
+    }
+    val fp = hx.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        expr(s"transform(${TextOps.shinglesSql("toks", 2)}, " +
-          "s -> md5(cast(s AS binary)))").as("hashes"))
-      .where(size(col("hashes")) > 0)
-      .select(
-        col("doc_id"),
-        expr(s"""
-          |concat_ws('', transform(sequence(1, $SimhashBits), b ->
-          |  CASE WHEN aggregate(hashes, 0, (acc, h) -> acc +
-          |      (CASE WHEN substring(h, b, 1) IN $high THEN 1 ELSE -1 END)) > 0
-          |  THEN '1' ELSE '0' END))
-          |""".stripMargin.trim).as("fp"))
-      .repartition(parallelism)
+        concat_ws("", (1 to SimhashBits).map(b =>
+          when(col(s"b$b") > 0, "1").otherwise("0")): _*).as("fp"))
 
     val bandW = SimhashBits / 4
     val banded = fp.select(
@@ -157,27 +173,47 @@ object Dedup {
   def ngramJaccardBlocked(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val parallelism =
       docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    // The round-robin repartition is load-bearing, not cosmetic: the
-    // Exchange materializes the gram arrays (once per document) so the
-    // self-join below compares precomputed arrays. Without the barrier,
-    // Catalyst collapses the projection into the join and rebuilds both
-    // documents' gram arrays for every candidate PAIR — O(pairs × doc
-    // length) — on however few partitions the scan produced.
-    val g = docs.select(
-      col("doc_id"), col("lang"),
-      array_distinct(expr(
-        "transform(sequence(1, greatest(length(trim(regexp_replace(lower(text), " +
-          "'[^a-z0-9]+', ' '))) - 2, 0)), " +
-          "i -> substring(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), i, 3))"))
-        .as("grams"))
-      .where(size(col("grams")) > 0)
+    // Normalize once, filter on the cheap scalar (length ≥ 3 ⟺ grams
+    // non-empty — a filter on size(grams) would be pushed below the
+    // exchange with the gram expression inlined, recreating the
+    // per-element-recompute trap), round-robin repartition so the gram
+    // arrays materialize once per document on all cores, THEN build grams
+    // from the shuffled attribute.
+    val base = docs
+      .select(col("doc_id"), col("lang"), TextOps.normalized(col("text")).as("s"))
+      .where(length(col("s")) >= 3)
       .repartition(parallelism)
+    // Sorted distinct grams, INT-encoded (the normalized alphabet is
+    // ASCII, so a 3-gram packs into ascii*65536 + ascii*256 + ascii):
+    // sorting and merging ints skips per-comparison string overhead
+    // entirely, and sorted distinct input lets the verification use the
+    // codegen'd linear-merge SortedIntersectSize instead of per-pair hash
+    // sets (|A ∪ B| = |A| + |B| − |A ∩ B| for sets).
+    val g = base.select(
+      col("doc_id"), col("lang"),
+      array_sort(array_distinct(expr(
+        "transform(sequence(1, length(s) - 2), i -> " +
+          "ascii(substring(s, i, 1)) * 65536 + " +
+          "ascii(substring(s, i + 1, 1)) * 256 + " +
+          "ascii(substring(s, i + 2, 1)))"))).as("grams"))
 
+    // The ENTIRE predicate lives in the join condition, cheapest first:
+    // id ordering and the lossless size-ratio prefilter (jaccard ≤
+    // min/max of the sizes, so jaccard ≥ t needs each side ≥ t × the
+    // other) short-circuit before the merge runs. A separate `.where`
+    // on the computed jaccard would be PUSHED into the join condition
+    // ahead of the cheap predicates — measured as the merge running on
+    // every lang-matched pair, ~100× the work.
+    val inter = graft.functions.SortedIntersectSize(col("a.grams"), col("b.grams"))
+    val jaccard = round(
+      inter / (size(col("a.grams")) + size(col("b.grams")) - inter).cast("double"), 6)
     g.as("a")
-      .join(g.as("b"), col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .join(g.as("b"),
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id") &&
+          size(col("a.grams")) >= lit(threshold) * size(col("b.grams")) &&
+          size(col("b.grams")) >= lit(threshold) * size(col("a.grams")) &&
+          jaccard >= threshold)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(size(array_intersect(col("a.grams"), col("b.grams"))) /
-          size(array_union(col("a.grams"), col("b.grams"))).cast("double"), 6).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+        jaccard.as("jaccard"))
   }
 }

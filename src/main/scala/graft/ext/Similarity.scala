@@ -73,7 +73,11 @@ object Similarity {
     */
   def nearDupCosine(embeddings: DataFrame, threshold: Double = 0.4): DataFrame =
     embeddings.as("a")
-      .join(embeddings.as("b"),
+      // broadcast: the cell-blocked self-join would otherwise sort-merge
+      // on ~10 distinct cell ids — parallelism collapses to the cell
+      // count and each SMJ group buffers the whole cell. Broadcasting one
+      // side keeps the stream side's full partitioning.
+      .join(broadcast(embeddings.as("b")),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), cos6.as("cosine"))
       .where(col("cosine") >= threshold)

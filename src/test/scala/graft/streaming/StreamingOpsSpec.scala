@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Top-level so Spark can derive an Encoder without an outer scope. */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Streaming operators driven end-to-end through MemoryStream →
+  * streaming query → memory sink.
+  */
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val batch = Seq(
+    Ev(1L, ts("2024-01-01 10:05:00"), 100L, "view", 1.0),
+    Ev(2L, ts("2024-01-01 10:45:00"), 100L, "purchase", 9.0),
+    Ev(3L, ts("2024-01-01 11:10:00"), 100L, "view", 2.0),
+    Ev(4L, ts("2024-01-01 10:20:00"), 200L, "view", 3.0))
+
+  test("hourly rollup over a stream matches the batch rollup on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.hourlyRollupStream(mem.toDF())
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(batch: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_out")
+        .orderBy("hour_start", "event_type").collect()
+      val batched = graft.ext.Events.hourlyRollup(batch.toDF())
+        .orderBy("hour_start", "event_type").collect()
+      assert(streamed.toSeq === batched.toSeq)
+      assert(streamed.length === 3) // (10h view+purchase), (11h view)
+    } finally q.stop()
+  }
+
+  test("session_window groups bursts and closes sessions after the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.sessionizeStream(mem.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(batch: _*)
+      q.processAllAvailable()
+      val out = spark.table("sessions_out").orderBy("user_id", "session_start").collect()
+      // user 100: events at 10:05, 10:45, 11:10 with 30m gap → one chain
+      // (10:05→10:45 is 40m > gap? yes → two sessions: [10:05], [10:45,11:10])
+      val u100 = out.filter(_.getLong(0) == 100L)
+      assert(u100.length === 2)
+      assert(u100(0).getLong(3) === 1L) // n_events first session
+      assert(u100(1).getLong(3) === 2L)
+      assert(u100(1).getLong(4) === 1L) // purchase in second session
+      assert(out.count(_.getLong(0) == 200L) === 1)
+    } finally q.stop()
+  }
+}
