@@ -11,18 +11,23 @@ object Probe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
-    val docs = Tables.documents(spark, dir)
 
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    def dump(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"==== PLAN $name ====")
+      df.explain("formatted")
     }
 
-    time("ngram full")(ext.Dedup.ngramJaccardBlocked(docs).count())
-    val mh = ext.Dedup.nearDupMinhash(docs)
-    mh.explain("formatted")
-    time("minhash full")(mh.count())
+    dump("pruned_scan")(SparkEntry.queries("pruned_scan")(spark, dir))
+    dump("reconciliation")(SparkEntry.queries("reconciliation")(spark, dir))
+    dump("ann_topk")(SparkEntry.queries("ann_topk")(spark, dir))
+    // the at-scale shape: shuffle joins (no auto-broadcast) → ReuseExchange
+    // (AQE materializes reuse at runtime, so execute then read the final plan)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val rec = SparkEntry.queries("reconciliation")(spark, dir)
+    rec.collect()
+    println("==== EXECUTED PLAN reconciliation_at_scale ====")
+    println(rec.queryExecution.executedPlan.toString.take(60000))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.stop()
   }
 }

@@ -98,8 +98,17 @@ object RetailMapping {
       .select(col("sku"), col("qty").as("opening_stock"))
     val closing = daily.where(col("d") === dCur)
       .select(col("sku"), col("qty").as("actual_closing_stock"))
-    val sales = daily.where(col("d") === dCur)
-      .select(col("sku"), col("qty").as("total_quantity_sold"))
+    // sales is a RENAME of the closing frame, not a third filter of
+    // `daily`: the day filters push below the aggregate to the scan, so
+    // an independently-derived sales branch would plan its own scan +
+    // aggregate of day d with no structural relationship to closing's.
+    // With identical subplans, whenever the planner keeps J2 as a
+    // shuffle join (any realistic scale — the per-sku aggregate exceeds
+    // autoBroadcastJoinThreshold), ReuseExchange serves J2 from J1's
+    // closing exchange: one scan+aggregate of day d instead of two. At
+    // toy scale the estimator broadcasts the sales side, which
+    // re-executes only the cheap pruned one-day scan.
+    val sales = closing.select(col("sku"), col("actual_closing_stock").as("total_quantity_sold"))
     Reconcile.reconcile(opening, closing, sales, dimProducts(spark, dir), day)
   }
 }
