@@ -148,6 +148,40 @@ object SparkEntry {
     // Multi-day set-oriented reconciliation (the 100 TB shape).
     "multi_day_reconciliation" -> ((s, dir) =>
       MultiDayReconcile.reconcileRange(s, dir, From, To).orderBy("date_key", "sku")),
+
+    // Rollup aggregate (sub-total + grand-total rows) over one month of
+    // daily sales — SURVEY.md §2.5 "grouping sets/rollup: built-in".
+    "sales_rollup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{sum => fsum}
+      Tables.lineitem(s, dir)
+        .where(RetailMapping.shipdateIn(From, To.plusDays(1)))
+        .select(col("l_shipdate").cast("date").as("d"), col("l_returnflag"),
+          col("l_quantity").cast("int").as("q"))
+        .rollup("d", "l_returnflag")
+        .agg(fsum("q").as("sum_qty"))
+        .orderBy(asc_nulls_first("d"), asc_nulls_first("l_returnflag"))
+    }),
+
+    // Semi/anti joins — SURVEY.md §2.4 "not present in reference";
+    // per-nation counts of customers with and without orders.
+    "cust_semi_anti" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).select(col("o_custkey"))
+      val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_with"))
+      val withoutO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_without"))
+      withO.join(withoutO, Seq("c_nationkey"), "full_outer")
+        .na.fill(0L, Seq("n_with", "n_without"))
+        .orderBy("c_nationkey")
+    }),
+
+    // unionByName multi-day read — SURVEY.md §2.8 (storage-level union
+    // in the reference; exposed as a relational op here).
+    "daily_union" -> ((s, dir) =>
+      RetailMapping.stagedSales(s, dir, D)
+        .unionByName(RetailMapping.stagedSales(s, dir, N))
+        .orderBy("date_key", "sku")),
   ) ++ ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -207,5 +241,34 @@ object SparkEntry {
          |FROM opening FULL JOIN closing USING (date_key, sku)
          |WHERE date_key BETWEEN DATE '$From' AND DATE '$To'
          |ORDER BY date_key, sku""".stripMargin,
+    "sales_rollup" ->
+      s"""SELECT CAST(l_shipdate AS DATE) AS d, l_returnflag,
+         |       CAST(sum(CAST(l_quantity AS INTEGER)) AS BIGINT) AS sum_qty
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '$From' AND l_shipdate < TIMESTAMP '${To.plusDays(1)}'
+         |GROUP BY ROLLUP(d, l_returnflag)
+         |ORDER BY d ASC NULLS FIRST, l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    "cust_semi_anti" ->
+      s"""WITH w AS (SELECT c_nationkey, count(*) AS n_with FROM customer c
+         |           WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         |           GROUP BY 1),
+         |wo AS (SELECT c_nationkey, count(*) AS n_without FROM customer c
+         |       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         |       GROUP BY 1)
+         |SELECT c_nationkey, COALESCE(n_with, 0) AS n_with,
+         |       COALESCE(n_without, 0) AS n_without
+         |FROM w FULL JOIN wo USING (c_nationkey) ORDER BY c_nationkey""".stripMargin,
+
+    "daily_union" -> {
+      def day(d: LocalDate): String =
+        s"""SELECT DATE '$d' AS date_key, ${skuOf("l_partkey")} AS sku,
+           |       CAST(sum(CAST(l_quantity AS INTEGER)) AS BIGINT) AS total_quantity_sold
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '$d' AND l_shipdate < TIMESTAMP '${d.plusDays(1)}'
+           |GROUP BY 2""".stripMargin
+      s"""SELECT * FROM ((${day(D)}) UNION ALL (${day(N)}))
+         |ORDER BY date_key, sku""".stripMargin
+    },
   ) ++ ExtQueries.oracleSql
 }
