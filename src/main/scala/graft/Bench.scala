@@ -11,11 +11,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val spark = Tables.sessionDefaults.foldLeft(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false"))((b, kv) => b.config(kv._1, kv._2))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def q(s: String): String =
@@ -28,7 +28,11 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      // Materialize through the noop sink, not count(): count() lets
+      // Catalyst collapse scan/projection queries to footer row counts
+      // and EliminateSorts drop each query's final ORDER BY, so those
+      // entries would measure almost nothing (ADVICE r2).
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }

@@ -32,22 +32,29 @@ object ExtQueries {
     s"""list_distinct([array_to_string(t[i:i+1], ' ')
        |  for i in range(1, greatest(len(t), 1))])""".stripMargin
 
-  /** DuckDB mirror of the 16 numeric minhashes (top 60 md5 bits). */
-  private val minhashSqls: Seq[String] = (0 until Dedup.SigCount).map { i =>
-    s"list_min(list_transform(shingles, s -> ('0x' || substr(md5('$i|' || s), 1, 15))::BIGINT))"
+  /** DuckDB mirror of Dedup.hash60: top 15 md5 hex digits as BIGINT. */
+  private def hash60Sql(e: String): String = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  /** DuckDB mirror of the 16 universal-hash minhash permutations over the
+    * per-doc 60-bit shingle-hash list column `hs` — the same (a, b, p)
+    * constants as Dedup.Perms, inlined as literals.
+    */
+  private val minhashSqls: Seq[String] = Dedup.Perms.map { case (a, b) =>
+    s"list_min(list_transform(hs, h -> ($a * (h % ${Dedup.Prime}) + $b) % ${Dedup.Prime}))"
   }
 
   /** DuckDB mirror of the per-probe cosine (double accumulation, index
-    * order, 6dp round) — matches graft.functions.CosineSimilarity.
+    * order, floor-truncated 6dp) — matches graft.functions
+    * .CosineSimilarity wrapped in TextOps.trunc6.
     */
   private val cosSql =
-    """round(
+    """floor((
       |  list_sum(list_transform(range(1, len(a.embedding) + 1),
       |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
       |  (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
       |    i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
       |   sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
-      |    i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6)""".stripMargin
+      |    i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))) * 1000000) / 1000000""".stripMargin
 
   // queries ----------------------------------------------------------------
 
@@ -202,15 +209,21 @@ object ExtQueries {
       val rows = Dedup.SigCount / Dedup.BandCount
       val sigList = minhashSqls.zipWithIndex
         .map { case (m, i) => s"$m AS sig$i" }.mkString(",\n  ")
+      // Band key: the band's `rows` sigs packed into one BIGINT
+      // (sig < p, so sig0·p + sig1 < 2⁶² — mirrors Dedup.nearDupMinhash).
       val bandList = (0 until Dedup.BandCount).map { j =>
-        val parts = (0 until rows).map(r => s"sig${j * rows + r}::VARCHAR").mkString(" || ")
-        s"md5($parts)"
+        (0 until rows).map(r => s"sig${j * rows + r}")
+          .reduce((acc, s) => s"($acc * ${Dedup.Prime} + $s)")
       }.mkString("[", ", ", "]")
       s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
          |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM tok WHERE len(t) > 0),
-         |sg AS (SELECT doc_id, shingles,
+         |hh AS (SELECT doc_id,
+         |         list_sort(list_distinct(list_transform(shingles,
+         |           s -> ${hash60Sql("s")}))) AS hs
+         |       FROM sh WHERE len(shingles) > 0),
+         |sg AS (SELECT doc_id, hs,
          |  $sigList
-         |FROM sh WHERE len(shingles) > 0),
+         |FROM hh),
          |bd AS (SELECT doc_id, unnest(range(0, ${Dedup.BandCount})) AS band_idx,
          |              unnest($bandList) AS band_val FROM sg),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -218,39 +231,53 @@ object ExtQueries {
          |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
          |          AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b,
-         |  round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-         |    / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
+         |  floor(len(list_intersect(sa.hs, sb.hs))::DOUBLE
+         |    / len(list_distinct(sa.hs || sb.hs)) * 1000000) / 1000000 AS jaccard
          |FROM cand
-         |JOIN sh sa ON sa.doc_id = doc_a
-         |JOIN sh sb ON sb.doc_id = doc_b
+         |JOIN hh sa ON sa.doc_id = doc_a
+         |JOIN hh sb ON sb.doc_id = doc_b
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 
     "near_dup_simhash" -> {
-      val high = "('8','9','a','b','c','d','e','f')"
+      val bands = Dedup.SimhashBands
+      val bits = Dedup.SimhashBits / bands
+      val chunkDefs = (0 until bands)
+        .map(j => s"('0x' || substr(m, ${j * 4 + 1}, 4))::INTEGER AS c$j").mkString(", ")
+      val sums = (for (j <- 0 until bands; k <- 0 until bits)
+        yield s"sum((c$j >> $k) & 1) AS s_${j}_$k").mkString(",\n  ")
+      val bandDefs = (0 until bands).map { j =>
+        (0 until bits)
+          .map(k => s"(CASE WHEN 2 * s_${j}_$k > n THEN ${1 << k} ELSE 0 END)")
+          .mkString(" + ") + s" AS band$j"
+      }.mkString(",\n  ")
+      val bandRefs = (0 until bands).map(j => s"band$j").mkString(", ")
+      val abRefs = (0 until bands)
+        .map(j => s"a.band$j AS a$j, b.band$j AS b$j").mkString(",\n                ")
+      val ham = (0 until bands).map(j => s"bit_count(xor(a$j, b$j))").mkString(" + ")
       s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
          |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM tok WHERE len(t) > 0),
-         |h AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hashes
-         |  FROM sh WHERE len(shingles) > 0),
-         |fp AS (SELECT doc_id, array_to_string(
-         |    [CASE WHEN list_sum(list_transform(hashes,
-         |       h -> CASE WHEN substr(h, b, 1) IN $high THEN 1 ELSE -1 END)) > 0
-         |     THEN '1' ELSE '0' END for b in range(1, ${Dedup.SimhashBits + 1})], '') AS fp
-         |  FROM h),
-         |bd AS (SELECT doc_id, fp, unnest(range(0, 4)) AS band_idx,
-         |       unnest([substr(fp, 1, 8), substr(fp, 9, 8), substr(fp, 17, 8), substr(fp, 25, 8)]) AS band_val
-         |  FROM fp),
+         |hx AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+         |ch AS (SELECT DISTINCT doc_id, $chunkDefs
+         |       FROM (SELECT doc_id, md5(s) AS m FROM hx)),
+         |v AS (SELECT doc_id, count(*) AS n,
+         |  $sums
+         |FROM ch GROUP BY doc_id),
+         |fp AS (SELECT doc_id,
+         |  $bandDefs
+         |FROM v),
+         |bd AS (SELECT doc_id, $bandRefs,
+         |       unnest(range(0, $bands)) AS band_idx,
+         |       unnest([$bandRefs]) AS band_val FROM fp),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |                a.fp AS fp_a, b.fp AS fp_b
+         |                $abRefs
          |         FROM bd a JOIN bd b
          |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
          |          AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b,
-         |  len(list_filter(range(1, ${Dedup.SimhashBits + 1}),
-         |    i -> substr(fp_a, i, 1) != substr(fp_b, i, 1))) AS hamming
+         |SELECT doc_a, doc_b, CAST($ham AS BIGINT) AS hamming
          |FROM cand
-         |WHERE hamming <= 3
+         |WHERE hamming <= 6
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 
@@ -262,8 +289,8 @@ object ExtQueries {
          |      FROM n),
          |gg AS (SELECT * FROM g WHERE len(grams) > 0)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  round(len(list_intersect(a.grams, b.grams))::DOUBLE
-         |    / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+         |  floor(len(list_intersect(a.grams, b.grams))::DOUBLE
+         |    / len(list_distinct(a.grams || b.grams)) * 1000000) / 1000000 AS jaccard
          |FROM gg a JOIN gg b ON a.lang = b.lang AND a.doc_id < b.doc_id
          |WHERE jaccard >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
@@ -298,7 +325,7 @@ object ExtQueries {
       s"""WITH pairs AS (
          |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
          |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
-         |  WHERE a.vec_id % 50 = 0),
+         |  WHERE a.vec_id % 50 = 0 AND a.vec_id < ${50L * Similarity.MaxProbes}),
          |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
          |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
          |SELECT probe_id, rank, neighbor_id, cosine FROM r
@@ -309,7 +336,7 @@ object ExtQueries {
          |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
          |  FROM embeddings a JOIN embeddings b
          |    ON a.label = b.label AND a.vec_id != b.vec_id
-         |  WHERE a.vec_id % 50 = 0),
+         |  WHERE a.vec_id % 50 = 0 AND a.vec_id < ${50L * Similarity.MaxProbes}),
          |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
          |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
          |SELECT probe_id, rank, neighbor_id, cosine FROM r

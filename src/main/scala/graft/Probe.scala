@@ -5,10 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** Ad-hoc plan/timing probe (not part of the driver contract). */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = Tables.sessionDefaults.foldLeft(SparkSession.builder()
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", 32)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false"))((b, kv) => b.config(kv._1, kv._2))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
 

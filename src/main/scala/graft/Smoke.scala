@@ -7,10 +7,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = Tables.sessionDefaults.foldLeft(SparkSession.builder()
+        .master("local[8]")
+        .config("spark.sql.shuffle.partitions", 8)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false"))((b, kv) => b.config(kv._1, kv._2))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.entry(spark)
     println("ENTRY ROWS=" + df.count())

@@ -4,6 +4,7 @@ import java.time.LocalDate
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, StructField}
 
 import graft.etl.{Alerts, MultiDayReconcile, RetailMapping, StageSales}
 import graft.schemas.Schemas
@@ -111,11 +112,38 @@ object SparkEntry {
     // Round-trips one day of raw sales through CSV to exercise the real
     // text parse path; result must equal stage_sales exactly.
     "csv_roundtrip" -> ((s, dir) => {
-      val tmp = "/root/repo/target/tmp/csv_roundtrip"
+      // Unique per-invocation dir: a fixed shared path would let
+      // concurrent Bench/Verify runs clobber each other mid-read.
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft-csv-${java.util.UUID.randomUUID}"
       RetailMapping.rawSales(s, dir, D)
         .write.mode("overwrite").option("header", "true").csv(tmp)
       val raw = s.read.schema(Schemas.posSalesRaw).option("header", "true").csv(tmp)
       StageSales.stage(raw, D).orderBy("sku")
+    }),
+
+    // S1 variant — Hive-layout date-partitioned CSV discovery: the
+    // reference's primary raw layout is raw/pos_sales/date=YYYY-MM-DD/
+    // (glue_job_1_stage_sales.py:26-27). The partition column `date`
+    // comes from the DIRECTORY NAMES (never stored in the files), typed
+    // DATE by the pinned schema, then staged per day. At scale this is
+    // what makes a one-day run a partition-pruned read of the raw zone.
+    "csv_partitioned" -> ((s, dir) => {
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft-csvpart-${java.util.UUID.randomUUID}"
+      Seq(D, N).foreach { d =>
+        RetailMapping.rawSales(s, dir, d)
+          .write.mode("overwrite").option("header", "true").csv(s"$tmp/date=$d")
+      }
+      s.read
+        .schema(Schemas.posSalesRaw.add(StructField("date", DateType, nullable = true)))
+        .option("header", "true")
+        .csv(tmp)
+        .select(
+          col("date").as("date_key"),
+          StageSales.normalizeSku(col("sku")).as("sku"),
+          expr("try_cast(quantity AS int)").as("quantity"))
+        .groupBy("date_key", "sku")
+        .agg(sum("quantity").as("total_quantity_sold"))
+        .orderBy("date_key", "sku")
     }),
 
     // A1/P3/P5/P6/P7 — stage & aggregate one day of sales.
@@ -260,15 +288,24 @@ object SparkEntry {
          |       COALESCE(n_without, 0) AS n_without
          |FROM w FULL JOIN wo USING (c_nationkey) ORDER BY c_nationkey""".stripMargin,
 
-    "daily_union" -> {
-      def day(d: LocalDate): String =
-        s"""SELECT DATE '$d' AS date_key, ${skuOf("l_partkey")} AS sku,
-           |       CAST(sum(CAST(l_quantity AS INTEGER)) AS BIGINT) AS total_quantity_sold
-           |FROM lineitem
-           |WHERE l_shipdate >= TIMESTAMP '$d' AND l_shipdate < TIMESTAMP '${d.plusDays(1)}'
-           |GROUP BY 2""".stripMargin
-      s"""SELECT * FROM ((${day(D)}) UNION ALL (${day(N)}))
-         |ORDER BY date_key, sku""".stripMargin
-    },
+    "daily_union" -> twoDayUnionSql,
+
+    // Same observable result as daily_union: the partition-discovery CSV
+    // round trip must reproduce the two staged days exactly.
+    "csv_partitioned" -> twoDayUnionSql,
   ) ++ ExtQueries.oracleSql
+
+  /** Two staged days (D, D+1) unioned — shared by daily_union and
+    * csv_partitioned.
+    */
+  private lazy val twoDayUnionSql: String = {
+    def day(d: LocalDate): String =
+      s"""SELECT DATE '$d' AS date_key, ${skuOf("l_partkey")} AS sku,
+         |       CAST(sum(CAST(l_quantity AS INTEGER)) AS BIGINT) AS total_quantity_sold
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '$d' AND l_shipdate < TIMESTAMP '${d.plusDays(1)}'
+         |GROUP BY 2""".stripMargin
+    s"""SELECT * FROM ((${day(D)}) UNION ALL (${day(N)}))
+       |ORDER BY date_key, sku""".stripMargin
+  }
 }

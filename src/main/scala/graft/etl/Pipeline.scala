@@ -2,7 +2,7 @@ package graft.etl
 
 import java.time.LocalDate
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** In-process orchestrator replacing the reference's Airflow DAG
@@ -24,7 +24,8 @@ object Pipeline {
       reconciliationPath: String,
       alert: Option[Alerts.AlertReport])
 
-  /** Runs stage-sales ∥ build-dims → reconcile → alert for one date.
+  /** Runs stage-sales ∥ build-dims → reconcile → alert for one date,
+    * loading through a [[ParquetWarehouseSink]] rooted at `outputRoot`.
     *
     * @param rawSales     raw POS sales rows (sku, quantity) for `date`
     * @param rawInventoryOpen  inventory snapshot rows at date-1
@@ -37,22 +38,29 @@ object Pipeline {
       rawInventoryOpen: DataFrame,
       rawInventoryClose: DataFrame,
       date: LocalDate,
-      outputRoot: String): Result = {
-    val salesPath = s"$outputRoot/fact_daily_sales"
-    val dimPath = s"$outputRoot/dim_products"
-    val reconPath = s"$outputRoot/fact_inventory_reconciliation"
+      outputRoot: String): Result =
+    run(spark, rawSales, rawInventoryOpen, rawInventoryClose, date,
+      new ParquetWarehouseSink(outputRoot))
 
-    // Job 1 — stage sales (K1: overwrite exactly this date's partition).
+  /** As above against any [[WarehouseSink]] binding — the K3/K4 seam. */
+  def run(
+      spark: SparkSession,
+      rawSales: DataFrame,
+      rawInventoryOpen: DataFrame,
+      rawInventoryClose: DataFrame,
+      date: LocalDate,
+      sink: WarehouseSink): Result = {
+    val salesTable = "fact_daily_sales"
+    val dimTable = "dim_products"
+    val reconTable = "fact_inventory_reconciliation"
+
+    // Job 1 — stage sales (K1/K3: overwrite exactly this date's rows).
     val staged = StageSales.stage(rawSales, date)
-    staged.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("date_key").parquet(salesPath)
+    sink.loadFact(staged, salesTable, date)
 
-    // Dim job — full refresh (K4). Small by construction; single file kept
-    // deliberately (reference's coalesce(1), glue_job_create_dims.py:56) —
-    // acceptable for dims only, never for facts (SURVEY.md §7.5).
+    // Dim job — full refresh (K4).
     val dim = DimProducts.build(rawInventoryClose)
-    dim.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dimPath)
+    sink.loadDim(dim, dimTable)
 
     // Job 2 — reconcile (reads back the staged outputs like the reference
     // reads its staging zone, glue_job_2_reconcile.py:50,74).
@@ -64,18 +72,16 @@ object Pipeline {
       .select(
         StageSales.normalizeSku(col("sku")).as("sku"),
         col("stock_on_hand").cast("long").as("actual_closing_stock"))
-    val sales = spark.read.parquet(salesPath)
+    val sales = sink.read(spark, salesTable)
       .where(col("date_key") === date.toString)
       .select("sku", "total_quantity_sold")
-    val dimRead = spark.read.parquet(dimPath)
+    val dimRead = sink.read(spark, dimTable)
 
     // Dim read-back is a bounded single file (coalesce(1) above) → safe to
     // hint broadcast, matching the reference's DISTSTYLE ALL intent.
     val recon = Reconcile.reconcile(
       openingStock, closingStock, sales, dimRead, date, broadcastDim = true)
-    recon.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("date_key").parquet(reconPath)
+    sink.loadFact(recon, reconTable, date)
 
     // Alert actions run on the written fact (read-back, not a 3rd recompute
     // of the join tree — fixes the reference's triple replay, SURVEY.md
@@ -83,7 +89,8 @@ object Pipeline {
     // on the current processing date (glue_job_2_reconcile.py:118-133), and
     // the date_key filter is a partition-pruned read, not a full-fact scan.
     val alert = Alerts.build(
-      spark.read.parquet(reconPath).where(col("date_key") === date.toString))
-    Result(salesPath, dimPath, reconPath, alert)
+      sink.read(spark, reconTable).where(col("date_key") === date.toString))
+    Result(sink.location(salesTable), sink.location(dimTable),
+      sink.location(reconTable), alert)
   }
 }

@@ -1,8 +1,10 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.SortedIntersectSize
 
 /** Deduplication operators over the `documents` table (SURVEY.md §2.11
   * X1/X4) — the dedup half of an LLM-training-data pipeline: exact
@@ -13,20 +15,32 @@ import org.apache.spark.sql.functions._
   * product. Candidate pairs come from equality joins on LSH band values /
   * SimHash bands / blocking keys — a shuffle whose size is bounded by
   * bucket occupancy — and only candidates pay the exact-similarity
-  * verification. Hashing is md5 (not `xxhash64`) deliberately: md5 is
-  * bit-identical in every engine, so signatures are portable and
-  * oracle-checkable; the minhash is the lexicographic min of the hex
-  * digests, which preserves the uniform-min property.
+  * verification. Every band/bucket key space GROWS with the corpus
+  * (64-bit minhash band values, 16-bit-per-band SimHash, lang ×
+  * length-bucket blocking), so bucket occupancy stays bounded instead of
+  * densifying into O(n²/constant) candidate sets.
+  *
+  * Everything hot runs in the NUMERIC domain: each shingle is md5-hashed
+  * ONCE to a 60-bit BIGINT (md5 because it is bit-identical in every
+  * engine, so signatures stay oracle-checkable), minhash permutations are
+  * cheap universal hashes `(a·h + b) mod p` of that one base hash, band
+  * keys are packed longs, and pair verification is the codegen'd
+  * [[SortedIntersectSize]] two-pointer merge over sorted long arrays —
+  * no interpreted `array_intersect`, no string comparisons (Spark 4.1's
+  * `UTF8String.compareTo` consults `System.getenv` per call; see
+  * PLANS.md trap #1).
   *
   * Performance shape: shingles are built RELATIONALLY — posexplode the
-  * token array once, pair adjacent tokens with a window `lead`, distinct
-  * the (doc, shingle) rows — so every hot step is whole-stage-codegen'd
-  * column work. The tempting alternative, `transform(sequence(...), i ->
-  * f(arrayCol, i))`, is a trap twice over: higher-order functions are
-  * interpreted (CodegenFallback), and a lambda body that references the
-  * outer column re-evaluates that column's whole expression tree (the
-  * tokenizing regex!) per element once projection collapsing inlines it —
-  * measured as minutes instead of seconds on sf0.1.
+  * token array once, pair adjacent tokens with a window `lead` — so every
+  * hot step is whole-stage-codegen'd column work. The tempting
+  * alternative, `transform(sequence(...), i -> f(arrayCol, i))`, is a
+  * trap twice over: higher-order functions are interpreted
+  * (CodegenFallback), and a lambda body that references the outer column
+  * re-evaluates that column's whole expression tree (the tokenizing
+  * regex!) per element once projection collapsing inlines it — measured
+  * as minutes instead of seconds on sf0.1. Shingle rows are NOT
+  * `distinct()`ed: `min` aggregates are duplicate-insensitive and
+  * `collect_set` dedups, so the extra shuffle would buy nothing.
   */
 object Dedup {
 
@@ -46,8 +60,18 @@ object Dedup {
       .select("doc_id", "content_key", "group_size")
   }
 
-  /** Distinct 2-word shingles as rows (doc_id, s) — the shared, fully
-    * codegen'd shingle pipeline for MinHash and SimHash.
+  /** Portable 60-bit base hash: the top 15 hex digits of md5 as a BIGINT.
+    * DuckDB parses the identical value with
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT`. Non-negative (< 2⁶⁰), so
+    * `% Prime` needs no sign handling on either engine.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** 2-word shingles as rows (doc_id, s) — the shared, fully codegen'd
+    * shingle pipeline for MinHash and SimHash. NOT distinct; downstream
+    * aggregates (min / collect_set / distinct-on-ints) dedup cheaper than
+    * an extra string shuffle would.
     */
   private def shingleRows(docs: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
@@ -56,14 +80,7 @@ object Dedup {
       .withColumn("nxt", lead("tok", 1).over(byDoc))
       .where(col("nxt").isNotNull)
       .select(col("doc_id"), concat(col("tok"), lit(" "), col("nxt")).as("s"))
-      .distinct()
   }
-
-  /** Per-document distinct shingle SETS (doc_id, shingles) for the exact
-    * Jaccard verification step.
-    */
-  private def shingleSets(docs: DataFrame): DataFrame =
-    shingleRows(docs).groupBy("doc_id").agg(collect_list("s").as("shingles"))
 
   /** Number of minhash signatures and LSH bands (rows-per-band =
     * SigCount / BandCount). 16 sigs in 8 bands of 2 catches Jaccard ≥ 0.5
@@ -72,32 +89,59 @@ object Dedup {
   val SigCount = 16
   val BandCount = 8
 
-  /** X4 — near-duplicate pairs via MinHash + LSH banding on distinct
-    * 2-word shingles, verified by exact Jaccard ≥ `threshold`.
-    * Output: doc_a, doc_b, jaccard (rounded to 6dp).
+  /** Mersenne prime 2³¹−1: the modulus of the universal-hash permutation
+    * family. Small enough that `a·(h mod p) + b < 2⁶²` never overflows a
+    * BIGINT in any engine (DuckDB errors on 64-bit overflow where the JVM
+    * wraps, so staying under 2⁶³ is a portability requirement, not just
+    * hygiene).
+    */
+  val Prime: Long = 2147483647L
+
+  /** Deterministic (a, b) pairs for the [[SigCount]] universal-hash
+    * permutations `h ↦ (a·(h mod p) + b) mod p` — splitmix64 constants
+    * scaled per index, reduced into [1, p−1] / [0, p−1]. One md5 per
+    * shingle feeds all 16 permutations; the previous form (16 independent
+    * md5s per shingle) paid 16× the dominant hashing cost for the same
+    * uniform-min property.
+    */
+  val Perms: Seq[(Long, Long)] = (1 to SigCount).map { i =>
+    val a = ((0x9E3779B97F4A7C15L * i) & Long.MaxValue) % (Prime - 1) + 1
+    val b = ((0xBF58476D1CE4E5B9L * i) & Long.MaxValue) % Prime
+    (a, b)
+  }
+
+  /** X4 — near-duplicate pairs via MinHash + LSH banding on 2-word
+    * shingles, verified by exact Jaccard ≥ `threshold` over the hashed
+    * shingle sets. Output: doc_a, doc_b, jaccard (truncated to 6dp).
+    *
+    * Plan shape: one shuffle to the per-doc aggregates (the window
+    * exchange on doc_id is reused by both the signature and the
+    * shingle-set branch), a banded self-join on packed-long band keys
+    * whose value space grows with the corpus (no bucket densification at
+    * 100×), and a verification join that BROADCASTS the candidate pairs —
+    * candidates are band-collisions, orders of magnitude smaller than the
+    * corpus, so the set side streams with full partitioning and never
+    * re-shuffles.
     */
   def nearDupMinhash(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val rows = SigCount / BandCount
-    // 16 codegen'd min-aggregates over the shingle rows, one shuffle row
-    // per document after the map-side partial aggregate. Each minhash is
-    // NUMERIC — the top 60 bits of the md5 as a BIGINT — because min over
-    // longs is a register compare, while min over hex strings pays
-    // UTF8String.compareTo (and its per-call getenv guard) 16× per
-    // shingle row. 60 bits preserve the uniform-min property; DuckDB
-    // parses the same value with ('0x' || substr(md5, 1, 15))::BIGINT.
-    val sr = shingleRows(docs)
-    val sigAggs = (0 until SigCount).map { i =>
-      min(conv(substring(md5(concat(lit(s"$i|"), col("s")).cast("binary")), 1, 15), 16, 10)
-        .cast("long")).as(s"sig$i")
+    require(rows == 2, s"band key packs exactly 2 sigs into a long, got $rows per band")
+    val hr = shingleRows(docs).select(col("doc_id"), hash60(col("s")).as("h"))
+    val sigAggs = Perms.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * (col("h") % Prime) + lit(b)) % Prime).as(s"sig$i")
     }
-    val sig = sr.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val sig = hr.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    // Sorted distinct hashed-shingle sets for exact verification: longs,
+    // so the merge in SortedIntersectSize is a register compare.
+    val sets = hr.groupBy("doc_id").agg(array_sort(collect_set(col("h"))).as("sh"))
+    // Band key = the band's two sigs packed into one long (sig < p, so
+    // sig₀·p + sig₁ < 2⁶² — collision-free, engine-portable, and a
+    // numeric join key instead of an md5 hex string).
     val bandCols = (0 until BandCount).map { j =>
-      val parts = (0 until rows).map(r => s"cast(sig${j * rows + r} AS string)").mkString(", ")
-      expr(s"md5(cast(concat($parts) AS binary))")
+      col(s"sig${j * rows}") * Prime + col(s"sig${j * rows + 1}")
     }
-    val banded = sig
-      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
-
+    val banded = sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -105,70 +149,96 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-
-    val sh = shingleSets(docs)
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))) /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
+    val withA = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .join(broadcast(cand), "doc_a")
+    val full = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      .join(broadcast(withA), "doc_b")
+    // |A ∪ B| = |A| + |B| − |A ∩ B| for distinct inputs: one codegen'd
+    // two-pointer merge yields exact Jaccard per candidate.
+    full
+      .withColumn("inter", SortedIntersectSize(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", TextOps.trunc6(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double")))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** SimHash fingerprint width in bits (one per md5 hex digit, using the
-    * digit's high bit as the per-shingle ±1 vote).
+  /** SimHash fingerprint width in bits: 4 bands × 16 bits. 16-bit bands
+    * give 65,536 buckets per band, so expected bucket occupancy stays
+    * ~n/65,536 per band — the previous 8-bit bands (256 buckets) made the
+    * banded self-join O(n²/256) at any real corpus size.
     */
-  val SimhashBits = 32
+  val SimhashBits = 64
+  val SimhashBands = 4
+  private val BandBits = SimhashBits / SimhashBands
 
-  /** X4 — near-duplicate pairs via 32-bit SimHash over distinct 2-word
-    * shingles: bit b is the sign of Σ over shingle md5s of (±1 by the
-    * high bit of hex digit b). Shingles, not unigrams: on a small shared
-    * vocabulary every document's token SET looks alike and unigram
-    * SimHash collapses; shingle sets discriminate. Candidates share one
-    * of four 8-bit bands; verified by Hamming ≤ `maxHamming`.
+  /** X4 — near-duplicate pairs via 64-bit SimHash over distinct 2-word
+    * shingles: bit k of band j is the majority vote of bit k across the
+    * per-shingle 16-bit hash chunks (hex digits 4j+1..4j+4 of one md5).
+    * Shingles, not unigrams: on a small shared vocabulary every
+    * document's token SET looks alike and unigram SimHash collapses;
+    * shingle sets discriminate. Candidates share one of the four 16-bit
+    * bands; verified by Hamming ≤ `maxHamming` computed as
+    * Σ bit_count(bandA xor bandB) — four codegen'd instructions replacing
+    * the previous 32 interpreted per-character substring compares.
+    * The fingerprint never needs 64-bit assembly (DuckDB BIGINT overflow
+    * errors on bit 63); the four 16-bit band ints ARE the fingerprint.
     * Output: doc_a, doc_b, hamming.
     */
-  def nearDupSimhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val highSet = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    // md5 once per shingle row, then 32 codegen'd sum-aggregates; the
-    // aggregate is also the materialization barrier — each document's
-    // fingerprint exists once before the banded self-join.
-    val hx = shingleRows(docs).select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
-    val bitSums = (1 to SimhashBits).map { b =>
-      sum(when(substring(col("h"), b, 1).isin(highSet: _*), 1).otherwise(-1)).as(s"b$b")
+  def nearDupSimhash(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val chunkCols = (0 until SimhashBands).map { j =>
+      conv(substring(md5(col("s").cast("binary")), j * 4 + 1, 4), 16, 10)
+        .cast("int").as(s"c$j")
     }
-    val fp = hx.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        concat_ws("", (1 to SimhashBits).map(b =>
-          when(col(s"b$b") > 0, "1").otherwise("0")): _*).as("fp"))
-
-    val bandW = SimhashBits / 4
-    val banded = fp.select(
-      col("doc_id"), col("fp"),
-      posexplode(array((0 until 4).map(j =>
-        substring(col("fp"), j * bandW + 1, bandW)): _*)).as(Seq("band_idx", "band_val")))
-
-    banded.as("a")
+    // Votes are per DISTINCT shingle: dedup on the int chunks (cheaper
+    // shuffle than distinct md5 strings, same sets modulo a 2⁻⁶⁴
+    // within-doc collision that the oracle mirrors exactly).
+    val chunks = shingleRows(docs)
+      .select(col("doc_id") +: chunkCols: _*)
+      .distinct()
+    val bitSums = for (j <- 0 until SimhashBands; k <- 0 until BandBits)
+      yield sum(shiftright(col(s"c$j"), k).bitwiseAND(lit(1))).as(s"s_${j}_$k")
+    val agg = chunks.groupBy("doc_id").agg(count(lit(1)).as("n"), bitSums: _*)
+    // Band j bit k set iff a strict majority of shingles set it
+    // (2·ones > n; ties → 0, matching the old sign(Σ±1) convention).
+    val bandCols = (0 until SimhashBands).map { j =>
+      (0 until BandBits).map { k =>
+        when(col(s"s_${j}_$k") * 2 > col("n"), lit(1 << k)).otherwise(lit(0))
+      }.reduce(_ + _).as(s"band$j")
+    }
+    val fp = agg.select(col("doc_id") +: bandCols: _*)
+    val bandRefs = (0 until SimhashBands).map(j => col(s"band$j"))
+    val banded = fp.select(col("doc_id") +: bandRefs :+
+      posexplode(array(bandRefs: _*)).as(Seq("band_idx", "band_val")): _*)
+    val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .select(Seq(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")) ++
+        (0 until SimhashBands).flatMap(j =>
+          Seq(col(s"a.band$j").as(s"a$j"), col(s"b.band$j").as(s"b$j"))): _*)
       .distinct()
-      .withColumn("hamming", expr(
-        s"size(filter(sequence(1, $SimhashBits), " +
-          "i -> substring(fp_a, i, 1) != substring(fp_b, i, 1)))"))
+    val hamming = (0 until SimhashBands)
+      .map(j => bit_count(col(s"a$j").bitwiseXOR(col(s"b$j"))))
+      .reduce(_ + _)
+    pairs
+      .withColumn("hamming", hamming)
       .where(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
 
-  /** X4 — blocked character-3-gram Jaccard: candidates are pairs within
-    * the same `lang` block (at scale: any cheap equality blocking key —
-    * language, length bucket, source shard), verified by exact char-3-gram
-    * Jaccard ≥ `threshold`. Output: doc_a, doc_b, jaccard (6dp).
+  /** X4 — blocked character-3-gram Jaccard: candidates are pairs sharing
+    * (lang, length-bucket), verified by exact char-3-gram Jaccard ≥
+    * `threshold`. Output: doc_a, doc_b, jaccard (truncated 6dp).
+    *
+    * The composite blocking key is LOSSLESS: Jaccard ≥ t bounds the gram
+    * counts by min/max ≥ t, so with buckets of geometric width 1/t
+    * (bucket = ⌊log_{1/t}|grams|⌋) a qualifying pair differs by at most
+    * one bucket. Side A claims {b−1, b, b+1} and joins side B at its own
+    * bucket — every qualifying pair matches exactly one claim, and the
+    * candidate space is O(n²/(|langs|·|buckets|)) instead of the
+    * fixed-cardinality O(n²/|langs|) of lang-only blocking.
     */
   def ngramJaccardBlocked(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val parallelism =
@@ -196,6 +266,12 @@ object Dedup {
           "ascii(substring(s, i, 1)) * 65536 + " +
           "ascii(substring(s, i + 1, 1)) * 256 + " +
           "ascii(substring(s, i + 2, 1)))"))).as("grams"))
+      .withColumn("nb",
+        floor(log(1.0 / threshold, size(col("grams")).cast("double"))).cast("int"))
+    val claims = g
+      .withColumn("blk", explode(array(col("nb") - 1, col("nb"), col("nb") + 1)))
+      .drop("nb")
+    val blocked = g.withColumnRenamed("nb", "blk")
 
     // The ENTIRE predicate lives in the join condition, cheapest first:
     // id ordering and the lossless size-ratio prefilter (jaccard ≤
@@ -203,13 +279,14 @@ object Dedup {
     // other) short-circuit before the merge runs. A separate `.where`
     // on the computed jaccard would be PUSHED into the join condition
     // ahead of the cheap predicates — measured as the merge running on
-    // every lang-matched pair, ~100× the work.
-    val inter = graft.functions.SortedIntersectSize(col("a.grams"), col("b.grams"))
-    val jaccard = round(
-      inter / (size(col("a.grams")) + size(col("b.grams")) - inter).cast("double"), 6)
-    g.as("a")
-      .join(g.as("b"),
-        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id") &&
+    // every block-matched pair, ~100× the work.
+    val inter = SortedIntersectSize(col("a.grams"), col("b.grams"))
+    val jaccard = TextOps.trunc6(
+      inter / (size(col("a.grams")) + size(col("b.grams")) - inter).cast("double"))
+    claims.as("a")
+      .join(blocked.as("b"),
+        col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
+          col("a.doc_id") < col("b.doc_id") &&
           size(col("a.grams")) >= lit(threshold) * size(col("b.grams")) &&
           size(col("b.grams")) >= lit(threshold) * size(col("a.grams")) &&
           jaccard >= threshold)

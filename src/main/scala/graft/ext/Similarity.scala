@@ -14,23 +14,29 @@ import graft.functions.CosineSimilarity
   * and both norms instead of three higher-order-function passes.
   *
   * Scale design (100 TB of vectors):
-  *  - `topKBruteForce` broadcasts the (small) probe set against the full
-  *    corpus — a map-side join, no shuffle of the corpus; per-probe top-k
-  *    via window rank. Correct baseline, O(|probes| × |corpus|).
+  *  - `topKBruteForce` broadcasts the probe set against the full corpus —
+  *    a map-side join, no shuffle of the corpus; per-probe top-k via
+  *    window rank. Correct baseline, O(|probes| × |corpus|), and the
+  *    probe set is CONTRACTUALLY bounded ([[MaxProbes]]): the broadcast
+  *    side cannot grow with the corpus, so the quadratic blow-up of an
+  *    unbounded probe set is excluded by construction, not by hope.
   *  - `topKIvf` is the scale path: vectors are pre-assigned to cells
   *    (here the `label` column stands in for a trained IVF/k-means cell
   *    id; at rest, cell = partition key). A probe searches only its own
   *    cell → partition-pruned scan, work divided by the cell count.
-  *  - `nearDupCosine` verifies candidate pairs; at this corpus size the
-  *    candidate set is the blocked self-join on cell id — the same
-  *    bounded-bucket shape as Dedup's LSH banding, never all-pairs.
+  *  - `nearDupCosine` is a triangle-partitioned blocked self-join: cells
+  *    are salted into sub-blocks and joined pairwise, so NO side is ever
+  *    broadcast whole (the previous full-corpus broadcast was an executor
+  *    OOM at any real scale) and no join group buffers more than
+  *    |cell|/N vectors.
   */
 object Similarity {
 
-  /** Rounded cosine similarity (6dp) — rounding makes ranking ties
-    * deterministic across engines so results are oracle-comparable.
+  /** Truncated cosine similarity (floor, 6dp) — truncation makes ranking
+    * ties deterministic across engines so results are oracle-comparable
+    * (floor, not round: see TextOps.trunc6).
     */
-  private def cos6 = round(CosineSimilarity(col("a.embedding"), col("b.embedding")), 6)
+  private def cos6 = TextOps.trunc6(CosineSimilarity(col("a.embedding"), col("b.embedding")))
 
   private def topK(joined: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("neighbor_id"))
@@ -40,9 +46,18 @@ object Similarity {
       .select("probe_id", "rank", "neighbor_id", "cosine")
   }
 
-  /** Every `probeEvery`-th vector is a probe (deterministic probe set). */
+  /** Hard cap on the brute-force probe set: the broadcast side is at most
+    * MaxProbes vectors regardless of corpus size, keeping the O(P×N)
+    * baseline linear in the corpus with a fixed constant.
+    */
+  val MaxProbes = 256
+
+  /** Every `probeEvery`-th vector is a probe (deterministic probe set),
+    * bounded to the first [[MaxProbes]] such vectors.
+    */
   def probes(embeddings: DataFrame, probeEvery: Int): DataFrame =
-    embeddings.where(col("vec_id") % probeEvery === 0)
+    embeddings.where(col("vec_id") % probeEvery === 0 &&
+      col("vec_id") < lit(probeEvery.toLong * MaxProbes))
 
   /** X3 — exact brute-force cosine top-k per probe (the baseline). */
   def topKBruteForce(embeddings: DataFrame, probeEvery: Int = 50, k: Int = 5): DataFrame =
@@ -70,15 +85,40 @@ object Similarity {
 
   /** Embedding-cosine near-dup pairs: all pairs with cosine ≥ threshold,
     * candidates blocked on the cell id. Output: vec_a, vec_b, cosine.
+    *
+    * Triangle-partitioned execution: each cell is salted into
+    * `subBlocks` sub-blocks by vec_id, and the self-join runs per
+    * UNORDERED sub-block pair (i ≤ j) — the classic triangle join. Each
+    * side replicates ~(N+1)/2×, but every join group holds only
+    * |cell|/N vectors (bounded memory; no broadcast of an unbounded
+    * side) and parallelism is |cells| · N(N+1)/2 groups instead of
+    * |cells|. A pair lands in exactly one group: (blk_a, blk_b) ordered,
+    * with the vec_id tiebreak inside the diagonal i = j groups.
     */
-  def nearDupCosine(embeddings: DataFrame, threshold: Double = 0.4): DataFrame =
-    embeddings.as("a")
-      // broadcast: the cell-blocked self-join would otherwise sort-merge
-      // on ~10 distinct cell ids — parallelism collapses to the cell
-      // count and each SMJ group buffers the whole cell. Broadcasting one
-      // side keeps the stream side's full partitioning.
-      .join(broadcast(embeddings.as("b")),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), cos6.as("cosine"))
+  def nearDupCosine(embeddings: DataFrame, threshold: Double = 0.4,
+      subBlocks: Int = 8): DataFrame = {
+    val ss = embeddings.sparkSession
+    import ss.implicits._
+    val blockPairs = broadcast(
+      (for { i <- 0 until subBlocks; j <- i until subBlocks } yield (i, j))
+        .toDF("bi", "bj"))
+    val e = embeddings.select(col("vec_id"), col("label"), col("embedding"),
+      pmod(col("vec_id"), lit(subBlocks)).cast("int").as("blk"))
+    // Left side owns block bi of each pair, right side block bj; the
+    // broadcast pair list replicates each vector into its (N−blk) left
+    // and (blk+1) right roles.
+    val left = e.join(blockPairs, col("blk") === col("bi")).drop("blk")
+    val right = e.join(blockPairs, col("blk") === col("bj")).drop("blk")
+    left.as("a")
+      .join(right.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.bi") === col("b.bi") && col("a.bj") === col("b.bj") &&
+          // off-diagonal groups pair distinct blocks (every cross pair
+          // once); diagonal groups order by vec_id to avoid self/dup.
+          (col("a.bi") < col("a.bj") || col("a.vec_id") < col("b.vec_id")))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"),
+        cos6.as("cosine"))
       .where(col("cosine") >= threshold)
+  }
 }

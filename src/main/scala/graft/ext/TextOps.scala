@@ -53,6 +53,13 @@ object TextOps {
     */
   private def trunc4(c: Column): Column = floor(c * 10000) / 10000
 
+  /** 6-decimal floor truncation for oracle-compared ratios (jaccard,
+    * cosine) — same reasoning as [[trunc4]]: `round` renders HALF_UP on
+    * Spark but rounds the raw double on DuckDB, so boundary values
+    * diverge; floor of the identical IEEE product is bit-stable.
+    */
+  def trunc6(c: Column): Column = floor(c * 1000000) / 1000000
+
   /** Per-document statistics + composite quality score.
     * Output: doc_id, n_tokens, n_distinct_tokens, n_chars, avg_token_len,
     * punct_ratio, stopword_ratio, quality_score.

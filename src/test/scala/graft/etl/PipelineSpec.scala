@@ -43,6 +43,18 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(res2.reconciliationPath).count() === 2)
   }
 
+  test("run accepts an explicit WarehouseSink binding (K3/K4 seam)") {
+    val root = Files.createTempDirectory("graft-pipe").toString
+    val sink: WarehouseSink = new ParquetWarehouseSink(root)
+    val res = Pipeline.run(spark, sales, invOpen, invClose, d1, sink)
+    assert(res.stagedSalesPath === sink.location("fact_daily_sales"))
+    assert(sink.read(spark, "dim_products").count() === 2)
+    // loadDim contract: a second load is a full refresh, not an append.
+    sink.loadDim(invOpen.limit(1).select("sku", "product_name", "category"),
+      "dim_products")
+    assert(sink.read(spark, "dim_products").count() === 1)
+  }
+
   test("a second date adds its partition without touching the first") {
     val root = Files.createTempDirectory("graft-pipe").toString
     Pipeline.run(spark, sales, invOpen, invClose, d1, root)
