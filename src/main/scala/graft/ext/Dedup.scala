@@ -249,8 +249,18 @@ object Dedup {
     // per-element-recompute trap), round-robin repartition so the gram
     // arrays materialize once per document on all cores, THEN build grams
     // from the shuffled attribute.
+    // `s` is wrapped in coalesce so the WHOLE gram chain below is
+    // non-nullable. This is load-bearing, not hygiene: the self-join's
+    // null-intolerant conditions make InferFiltersFromConstraints derive
+    // `isnotnull(grams)` for each side, and for a NULLABLE grams that
+    // filter is pushed below the repartition exchange with the transform
+    // inlined — and `s` inlined into the lambda as the full normalize
+    // regex, re-evaluated PER GRAM ELEMENT (O(len²) interpreted regex per
+    // doc per side; measured 240 s vs 3 s at sf0.1). A non-nullable
+    // expression generates no isnotnull constraint at all.
     val base = docs
-      .select(col("doc_id"), col("lang"), TextOps.normalized(col("text")).as("s"))
+      .select(col("doc_id"), col("lang"),
+        coalesce(TextOps.normalized(col("text")), lit("")).as("s"))
       .where(length(col("s")) >= 3)
       .repartition(parallelism)
     // Sorted distinct grams, INT-encoded (the normalized alphabet is
@@ -267,7 +277,11 @@ object Dedup {
           "ascii(substring(s, i + 1, 1)) * 256 + " +
           "ascii(substring(s, i + 2, 1)))"))).as("grams"))
       .withColumn("nb",
-        floor(log(1.0 / threshold, size(col("grams")).cast("double"))).cast("int"))
+        // coalesce: log is nullable (null for non-positive input, which
+        // the length-≥3 filter already excludes) — keep the bucket
+        // non-nullable so no isnotnull(nb) constraint can materialize.
+        coalesce(floor(log(1.0 / threshold, size(col("grams")).cast("double"))),
+          lit(0L)).cast("int"))
     val claims = g
       .withColumn("blk", explode(array(col("nb") - 1, col("nb"), col("nb") + 1)))
       .drop("nb")
