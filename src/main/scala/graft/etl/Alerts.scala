@@ -21,6 +21,32 @@ object Alerts {
 
   final case class AlertReport(count: Long, examples: Seq[String], message: String)
 
+  /** Notification channel — the seam for the reference's SNS publish
+    * (glue_job_2_reconcile.py:136-139: topic + subject + message). The
+    * effect stays OUTSIDE the query plan: `build` is pure, `notify` is
+    * the only place a side effect happens, so retries/re-runs of the
+    * plan can never double-publish.
+    */
+  trait AlertSink {
+    def publish(subject: String, report: AlertReport): Unit
+  }
+
+  /** Example binding: stderr (driver log), standing in for SNS. */
+  object LogAlertSink extends AlertSink {
+    override def publish(subject: String, report: AlertReport): Unit =
+      Console.err.println(s"[ALERT] $subject\n${report.message}")
+  }
+
+  /** K5's effect leg: publish iff a report exists (the reference's
+    * "only when discrepancies are found" conditional, mirrored here as
+    * Option.foreach). Returns whether a publish happened.
+    */
+  def notify(report: Option[AlertReport], sink: AlertSink,
+      subject: String = "Inventory discrepancies found"): Boolean = {
+    report.foreach(sink.publish(subject, _))
+    report.isDefined
+  }
+
   /** F1 — mismatch predicate. Null-safe only because fillna(0) already ran
     * inside Reconcile.reconcile (reference ordering preserved).
     */

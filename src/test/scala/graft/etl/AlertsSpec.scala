@@ -34,6 +34,20 @@ class AlertsSpec extends SparkSpec {
     assert(top === Seq("C", "A", "B"))
   }
 
+  test("notify publishes through the sink iff a report exists (K5 effect leg)") {
+    val seen = scala.collection.mutable.ListBuffer.empty[(String, Alerts.AlertReport)]
+    val sink = new Alerts.AlertSink {
+      override def publish(subject: String, report: Alerts.AlertReport): Unit =
+        seen += ((subject, report))
+    }
+    assert(!Alerts.notify(Alerts.build(recon(Seq("A" -> 0L))), sink))
+    assert(seen.isEmpty)
+    assert(Alerts.notify(Alerts.build(recon(Seq("A" -> 4L))), sink))
+    assert(seen.size === 1)
+    assert(seen.head._1 === "Inventory discrepancies found")
+    assert(seen.head._2.message.contains("1 discrepancies"))
+  }
+
   test("null product_name is coalesced to N/A in-plan") {
     val top = Alerts.topOffenders(
       Alerts.discrepancies(recon(Seq("Z" -> 1L))), 1).collect().head

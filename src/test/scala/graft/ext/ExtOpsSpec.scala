@@ -91,6 +91,24 @@ class ExtOpsSpec extends SparkSpec {
     assert(ivf.where(col("pl") =!= col("nl")).count() === 0L)
   }
 
+  test("triangle-partitioned near-dup equals the naive cell-blocked pair set") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // low threshold + few blocks: exercises diagonal AND off-diagonal
+    // block-pair groups with a non-trivial result set.
+    val tri = Similarity.nearDupCosine(e, threshold = 0.3, subBlocks = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val naive = e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        TextOps.trunc6(CosineSimilarity(col("a.embedding"), col("b.embedding")))
+          .as("cosine"))
+      .where(col("cosine") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(naive.nonEmpty)
+    assert(tri === naive) // no lost pairs at block boundaries, no duplicates
+  }
+
   test("multimodal: mapPartitions decode agrees exactly with the expression variant") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
     val viaPartitions = Multimodal.featurizePartitions(Multimodal.withPayload(d))
