@@ -1,10 +1,9 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, TopKByScore}
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2.11 X3):
   * approximate-nearest-neighbor top-k and embedding-cosine near-dup.
@@ -38,13 +37,19 @@ object Similarity {
     */
   private def cos6 = TextOps.trunc6(CosineSimilarity(col("a.embedding"), col("b.embedding")))
 
-  private def topK(joined: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("neighbor_id"))
+  /** Per-probe top-k via the bounded [[TopKByScore]] aggregate, not a
+    * window rank: the aggregate's map-side partial keeps ≤ k rows per
+    * (probe, partition) through the exchange, where the window form
+    * shuffles and sorts EVERY candidate row. Equivalent output
+    * (score desc, id-asc tie-break).
+    */
+  private def topK(joined: DataFrame, k: Int): DataFrame =
     joined
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("probe_id", "rank", "neighbor_id", "cosine")
-  }
+      .groupBy("probe_id")
+      .agg(TopKByScore(col("cosine"), col("neighbor_id"), k).as("tk"))
+      .select(col("probe_id"), posexplode(col("tk")).as(Seq("r", "nb")))
+      .select(col("probe_id"), (col("r") + 1).as("rank"),
+        col("nb.id").as("neighbor_id"), col("nb.score").as("cosine"))
 
   /** Hard cap on the brute-force probe set: the broadcast side is at most
     * MaxProbes vectors regardless of corpus size, keeping the O(P×N)

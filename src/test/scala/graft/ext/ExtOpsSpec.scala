@@ -91,6 +91,28 @@ class ExtOpsSpec extends SparkSpec {
     assert(ivf.where(col("pl") =!= col("nl")).count() === 0L)
   }
 
+  test("TopKByScore keeps k best with deterministic tie-break, matches window rank") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(
+      (1L, 0.9, 10L), (1L, 0.9, 3L), (1L, 0.8, 7L), (1L, 0.95, 4L), (1L, 0.1, 1L),
+      (2L, 0.5, 2L))
+      .toDF("probe_id", "cosine", "neighbor_id")
+      .repartition(4) // force partial/merge paths through serialization
+    val agg = df.groupBy("probe_id")
+      .agg(graft.functions.TopKByScore(col("cosine"), col("neighbor_id"), 3).as("tk"))
+      .select(col("probe_id"), posexplode(col("tk")).as(Seq("r", "nb")))
+      .select(col("probe_id"), (col("r") + 1).as("rank"),
+        col("nb.id").as("neighbor_id"), col("nb.score").as("cosine"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    val win = df.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+      .select("probe_id", "rank", "neighbor_id", "cosine")
+    val a = agg.orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    val b = win.orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    assert(a === b)
+    // group 1 top-3: 0.95/4, then the 0.9 tie broken by id (3 before 10)
+    assert(a.take(3).map(r => (r(2), r(3))) === Seq((4L, 0.95), (3L, 0.9), (10L, 0.9)))
+  }
+
   test("triangle-partitioned near-dup equals the naive cell-blocked pair set") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     // low threshold + few blocks: exercises diagonal AND off-diagonal
