@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // 30 declared queries in one JVM generate enough whole-stage-codegen
+  // classes to exhaust the default 240 MB code cache; when it fills the
+  // JIT shuts off and late-running interpreted-heavy queries degrade
+  // 10-100x, run-to-run by compilation order (measured: text_stats
+  // 0.5 s vs 130 s in otherwise identical Bench runs).
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -27,16 +27,31 @@ object Bench {
       } + "\""
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // Materialize through the noop sink, not count(): count() lets
       // Catalyst collapse scan/projection queries to footer row counts
       // and EliminateSorts drop each query's final ORDER BY, so those
       // entries would measure almost nothing (ADVICE r2).
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      //
+      // Each query runs TWICE and the minimum is recorded (BASELINE.md
+      // protocol): this host shows multi-second CPU-steal bursts that
+      // inflate even trivial scans 10-60×, and min-of-2 makes the
+      // recorded number the query's intrinsic cost rather than a
+      // coin-flip with the noisy-neighbor window. Both attempts fully
+      // materialize; a query that throws is recorded with its timing and
+      // an "errors" entry.
+      val times = (1 to 2).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          None
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      // Both attempts threw → 0.0 with the errors entry carrying the
+      // cause (a crashing query stays distinguishable from a fast one).
+      name -> times.minOption.getOrElse(0.0)
     }
     val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")

@@ -240,7 +240,18 @@ object Dedup {
     * candidate space is O(n²/(|langs|·|buckets|)) instead of the
     * fixed-cardinality O(n²/|langs|) of lang-only blocking.
     */
-  def ngramJaccardBlocked(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  /** @param broadcastBlocked the caller's assertion that the per-doc gram
+    *   table fits the broadcast budget (true for moderate corpora — the
+    *   table is one row per doc with int-array grams). Set false at
+    *   larger corpora to keep a shuffle join on (lang, blk); same output.
+    *   Opt-in like Reconcile.broadcastDim, never unconditional: at
+    *   web scale this operator's candidate set is inherently
+    *   O(Σ block²) and the MinHash LSH family is the scale path — this
+    *   blocked-verification form is for corpora where blocks stay
+    *   bounded.
+    */
+  def ngramJaccardBlocked(docs: DataFrame, threshold: Double = 0.8,
+      broadcastBlocked: Boolean = true): DataFrame = {
     val parallelism =
       docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // Normalize once, filter on the cheap scalar (length ≥ 3 ⟺ grams
@@ -269,23 +280,43 @@ object Dedup {
     // entirely, and sorted distinct input lets the verification use the
     // codegen'd linear-merge SortedIntersectSize instead of per-pair hash
     // sets (|A ∪ B| = |A| + |B| − |A ∩ B| for sets).
-    val g = base.select(
-      col("doc_id"), col("lang"),
-      array_sort(array_distinct(expr(
-        "transform(sequence(1, length(s) - 2), i -> " +
-          "ascii(substring(s, i, 1)) * 65536 + " +
-          "ascii(substring(s, i + 1, 1)) * 256 + " +
-          "ascii(substring(s, i + 2, 1)))"))).as("grams"))
+    //
+    // Built RELATIONALLY (posexplode positions → codegen'd substr/ascii →
+    // collect_set), NOT with `transform(sequence(...), ...)`: higher-order
+    // functions are CodegenFallback, and this one interpreted lambda was
+    // the last non-codegen step on the query's hot path — its JIT
+    // warm-up alone swung fresh-JVM runs 2.4 s ↔ 20 s at sf0.1. As a
+    // Generate + projection the per-char work lives in whole-stage
+    // codegen, and the aggregate output is non-nullable by construction
+    // (no isnotnull(grams) constraint — see trap note above).
+    val g = base
+      .select(col("doc_id"), col("lang"), col("s"),
+        posexplode(sequence(lit(1), length(col("s")) - 2)).as(Seq("ord", "i")))
+      .select(col("doc_id"), col("lang"),
+        (ascii(col("s").substr(col("i"), lit(1))) * 65536 +
+          ascii(col("s").substr(col("i") + 1, lit(1))) * 256 +
+          ascii(col("s").substr(col("i") + 2, lit(1)))).as("gram"))
+      .groupBy("doc_id", "lang")
+      .agg(array_sort(collect_set(col("gram"))).as("grams"))
       .withColumn("nb",
         // coalesce: log is nullable (null for non-positive input, which
         // the length-≥3 filter already excludes) — keep the bucket
         // non-nullable so no isnotnull(nb) constraint can materialize.
         coalesce(floor(log(1.0 / threshold, size(col("grams")).cast("double"))),
           lit(0L)).cast("int"))
+    // The probe side gets an EXPLICIT round-robin repartition AFTER the
+    // claims explode: the pair verification is quadratic in group size
+    // while AQE's partition coalescing reasons in BYTES — left to
+    // itself it folds the ~15 MB post-aggregate exchange into one
+    // partition and runs the 1.4 M-pair verification single-threaded
+    // (measured 17 s vs 2.4 s at sf0.1). A by-num repartition is never
+    // coalesced, so the probe stage stays `parallelism` wide.
     val claims = g
       .withColumn("blk", explode(array(col("nb") - 1, col("nb"), col("nb") + 1)))
       .drop("nb")
-    val blocked = g.withColumnRenamed("nb", "blk")
+      .repartition(parallelism)
+    val blocked0 = g.withColumnRenamed("nb", "blk")
+    val blocked = if (broadcastBlocked) broadcast(blocked0) else blocked0
 
     // The ENTIRE predicate lives in the join condition, cheapest first:
     // id ordering and the lossless size-ratio prefilter (jaccard ≤
