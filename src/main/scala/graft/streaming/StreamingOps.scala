@@ -30,6 +30,20 @@ object StreamingOps {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup — the X1 twin for unbounded sources: an
+    * at-least-once stream becomes effectively-once by key.
+    * `dropDuplicatesWithinWatermark` keeps per-key state only until the
+    * watermark passes the key's first-seen event time, so state is
+    * bounded by (arrival rate × lateness bound) instead of growing with
+    * the stream — the property that makes exact dedup viable on an
+    * unbounded 100 TB/day feed where batch X1 would need the full
+    * history.
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String] = Seq("event_id")): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Session aggregation via the native `session_window` (6h gap to
     * mirror `Events.SessionGapSeconds`): sessions close when no event
     * arrives within the gap; the watermark bounds session state.

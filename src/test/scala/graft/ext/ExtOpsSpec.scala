@@ -41,6 +41,36 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq === Seq((1L, 2L, 0)))
   }
 
+  test("ngram bucket blocking is lossless vs naive lang-only blocking") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    // threshold 0.5: size-ratio spans ~2 buckets, exercising the ±1
+    // claims across bucket boundaries with a non-trivial result set.
+    val blocked = Dedup.ngramJaccardBlocked(d, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val norm = coalesce(TextOps.normalized(col("text")), lit("")).as("s")
+    val g = d.select(col("doc_id"), col("lang"), norm)
+      .where(length(col("s")) >= 3)
+      .select(col("doc_id"), col("lang"), col("s"),
+        posexplode(sequence(lit(1), length(col("s")) - 2)).as(Seq("ord", "i")))
+      .select(col("doc_id"), col("lang"),
+        (ascii(col("s").substr(col("i"), lit(1))) * 65536 +
+          ascii(col("s").substr(col("i") + 1, lit(1))) * 256 +
+          ascii(col("s").substr(col("i") + 2, lit(1)))).as("gram"))
+      .groupBy("doc_id", "lang")
+      .agg(array_sort(collect_set(col("gram"))).as("grams"))
+    val inter = graft.functions.SortedIntersectSize(col("a.grams"), col("b.grams"))
+    val jac = floor(inter / (size(col("a.grams")) + size(col("b.grams")) - inter)
+      .cast("double") * 1000000) / 1000000
+    val naive = g.as("a")
+      .join(g.as("b"),
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id") &&
+          jac >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id"), jac)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(naive.nonEmpty)
+    assert(blocked === naive) // no qualifying pair lost at a bucket boundary
+  }
+
   test("language-ID picks the profile with most stopword hits") {
     val out = TextOps.langId(docs(
       (1L, "the cat sat on the mat and it is happy", "en"),

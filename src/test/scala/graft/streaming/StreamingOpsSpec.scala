@@ -42,6 +42,23 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup emits each event_id once despite duplicate delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch: _*)
+      q.processAllAvailable()
+      mem.addData(batch: _*) // at-least-once redelivery of the same batch
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").collect()
+      assert(out.length === batch.length)
+      assert(out.map(_.getLong(0)).sorted.toSeq === batch.map(_.event_id).sorted)
+    } finally q.stop()
+  }
+
   test("session_window groups bursts and closes sessions after the gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
