@@ -22,6 +22,14 @@ object Probe {
     dump("pruned_scan")(SparkEntry.queries("pruned_scan")(spark, dir))
     dump("reconciliation")(SparkEntry.queries("reconciliation")(spark, dir))
     dump("ann_topk")(SparkEntry.queries("ann_topk")(spark, dir))
+    // The r3-rewritten pair-verification family — audit points: numeric
+    // band keys, no isnotnull(<expensive expr>) pushed into scans
+    // (PLANS.md trap 5), repartition guard before the verification join
+    // (trap 6), no BroadcastExchange of a corpus-sized side.
+    dump("near_dup_minhash")(SparkEntry.queries("near_dup_minhash")(spark, dir))
+    dump("near_dup_simhash")(SparkEntry.queries("near_dup_simhash")(spark, dir))
+    dump("ngram_jaccard")(SparkEntry.queries("ngram_jaccard")(spark, dir))
+    dump("embedding_near_dup")(SparkEntry.queries("embedding_near_dup")(spark, dir))
     // the at-scale shape: shuffle joins (no auto-broadcast) → ReuseExchange
     // (AQE materializes reuse at runtime, so execute then read the final plan)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
