@@ -6,11 +6,29 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line. A query that throws is recorded with its timing
   * AND an "errors" entry (a crashing query must be distinguishable from a
   * fast one — VERDICT r1 "What's wrong" #5).
+  *
+  * Noise protocol (BASELINE.md): this host exhibits multi-minute
+  * noisy-neighbor FREEZES in which the whole JVM gets ~no CPU (verified
+  * externally: during one 104 s stall of a query whose 34 preceding reps
+  * took 3 s, `jcmd` could not even complete its attach handshake — the
+  * process was frozen at the OS level, not stuck in a plan). The r3
+  * protocol ran each query twice BACK-TO-BACK and kept the min, which a
+  * multi-minute freeze swallows whole — the driver's r3 run recorded
+  * 65–78 s for three sub-second queries that way. This version instead
+  * runs PASSES over the full query set and keeps each query's minimum
+  * ACROSS passes: consecutive samples of one query are now separated by
+  * a full pass (~30 s+), so a freeze window inflates one pass's sample
+  * and the cross-pass min stays a clean measurement. Every execution
+  * fully materializes through the noop sink (count() lets Catalyst
+  * collapse scans and drop final sorts — ADVICE r2); pass 1 additionally
+  * absorbs JIT/codegen warm-up, which is why min-across-passes reflects
+  * steady-state cost.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "4").toInt
     val spark = Tables.sessionDefaults.foldLeft(SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
@@ -25,34 +43,27 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
+    val names = SparkEntry.queries.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Materialize through the noop sink, not count(): count() lets
-      // Catalyst collapse scan/projection queries to footer row counts
-      // and EliminateSorts drop each query's final ORDER BY, so those
-      // entries would measure almost nothing (ADVICE r2).
-      //
-      // Each query runs TWICE and the minimum is recorded (BASELINE.md
-      // protocol): this host shows multi-second CPU-steal bursts that
-      // inflate even trivial scans 10-60×, and min-of-2 makes the
-      // recorded number the query's intrinsic cost rather than a
-      // coin-flip with the noisy-neighbor window. Both attempts fully
-      // materialize; a query that throws is recorded with its timing and
-      // an "errors" entry.
-      val times = (1 to 2).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          None
-        }
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (pass <- 1 to passes; name <- names) {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        samples(name) = t :: samples(name)
+        // Per-sample diagnostics go to stderr so stdout carries exactly
+        // one [info] line — the JSON the driver parses.
+        System.err.println(f"bench pass $pass $name $t%.2f")
+      } catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
-      // Both attempts threw → 0.0 with the errors entry carrying the
-      // cause (a crashing query stays distinguishable from a fast one).
-      name -> times.minOption.getOrElse(0.0)
     }
+    // Every pass threw → 0.0 with the errors entry carrying the cause
+    // (a crashing query stays distinguishable from a fast one).
+    val results = names.map(n => n -> samples(n).minOption.getOrElse(0.0))
     val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
