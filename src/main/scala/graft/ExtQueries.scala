@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Events, Multimodal, Similarity, TextOps}
+import graft.ext.{AsOfJoin, Dedup, Events, Multimodal, SaltedJoin, Similarity, TextOps}
 
 /** Extension-surface queries (SURVEY.md §2.11 X1–X6 + the LLM-data-
   * pipeline north star): dedup, text analysis, similarity search, JSON /
@@ -109,6 +109,41 @@ object ExtQueries {
     // X6 — tumbling 1-hour rollup by event type.
     "event_windows" -> ((s, dir) =>
       Events.hourlyRollup(Tables.events(s, dir)).orderBy("hour_start", "event_type")),
+
+    // X7 — distributed as-of join: attribute each purchase to the user's
+    // most recent view at or before it (union + one window pass — never
+    // the range cross-product; see AsOfJoin scaladoc).
+    "event_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").as("purchase_value"))
+      // Right side unique per (user_id, ts) by contract: deterministic
+      // max-event_id survivor, view time duplicated into the payload so
+      // the output carries WHICH view matched.
+      val views = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("vts"))
+        .agg(max(col("event_id")).as("view_id"))
+        .withColumn("view_ts", col("vts"))
+      AsOfJoin.asOf(purchases, views, "user_id", "ts", "vts",
+          Seq("view_id", "view_ts"))
+        .orderBy("event_id")
+    }),
+
+    // X7 — skew-safe salted equi-join (lineitem ⋈ orders), rolled up per
+    // priority. Output is identical to the plain join; the salting is
+    // physical-plan insurance for hot keys (see SaltedJoin scaladoc).
+    "salted_rollup" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("okey"), col("l_quantity"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      SaltedJoin.equiJoin(li, ord, "okey", saltFactor = 4, heavyThreshold = 5)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
 
     // X3 — brute-force cosine top-k (custom codegen'd expression).
     "ann_topk" -> ((s, dir) =>
@@ -320,6 +355,23 @@ object ExtQueries {
       s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
          |  count(*) AS n_events, round(sum(value), 4) AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "event_attribution" ->
+      s"""WITH v AS (SELECT user_id, ts AS vts, max(event_id) AS view_id
+         |    FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         |p AS (SELECT event_id, user_id, ts, value AS purchase_value
+         |    FROM events WHERE event_type = 'purchase')
+         |SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
+         |  v.view_id, v.vts AS view_ts
+         |FROM p ASOF LEFT JOIN v
+         |  ON p.user_id = v.user_id AND p.ts >= v.vts
+         |ORDER BY p.event_id""".stripMargin,
+
+    "salted_rollup" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ann_topk" ->
       s"""WITH pairs AS (

@@ -1,0 +1,67 @@
+package graft.ext
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def left: DataFrame = Seq(
+    (1L, 10L, ts("2024-01-01 10:00:00")), // before any right row
+    (2L, 10L, ts("2024-01-01 12:00:00")), // after r1
+    (3L, 10L, ts("2024-01-01 13:00:00")), // exactly at r2 → matches r2
+    (4L, 10L, ts("2024-01-01 23:00:00")), // after r2
+    (5L, 20L, ts("2024-01-01 12:00:00")), // key with no right rows
+    (6L, 30L, ts("2024-01-01 12:00:00")), // key only in right, before it
+  ).toDF("id", "k", "t")
+
+  private def right: DataFrame = Seq(
+    (10L, ts("2024-01-01 11:00:00"), 100L),
+    (10L, ts("2024-01-01 13:00:00"), 200L),
+    (30L, ts("2024-01-01 18:00:00"), 300L),
+  ).toDF("k", "rt", "payload")
+
+  test("asOf attaches the last right row at or before each left time") {
+    val out = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("payload"))
+      .orderBy("id")
+      .select("id", "payload").as[(Long, Option[Long])].collect()
+    assert(out === Seq(
+      1L -> None, 2L -> Some(100L), 3L -> Some(200L), 4L -> Some(200L),
+      5L -> None, 6L -> None))
+  }
+
+  test("asOf equals the naive range-join-and-argmax formulation") {
+    // The O(|L|·|R|/keys) reference semantics, computed the slow way.
+    val naive = left.as("l")
+      .join(right.as("r"), col("l.k") === col("r.k") && col("r.rt") <= col("l.t"), "left")
+      .groupBy(col("l.id").as("id"))
+      .agg(max_by(col("r.payload"), col("r.rt")).as("payload"))
+      .orderBy("id")
+      .as[(Long, Option[Long])].collect()
+    val fast = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("payload"))
+      .orderBy("id").select("id", "payload")
+      .as[(Long, Option[Long])].collect()
+    assert(fast === naive)
+  }
+
+  test("asOf carries multiple payload columns from the same matched row") {
+    val r2 = right.withColumn("payload2", col("payload") * 10)
+    val out = AsOfJoin.asOf(left, r2, "k", "t", "rt", Seq("payload", "payload2"))
+      .where(col("payload").isNotNull)
+      .select("payload", "payload2")
+      .as[(Long, Long)].collect()
+    assert(out.forall { case (p, p2) => p2 === p * 10 })
+  }
+
+  test("asOf rejects overlapping non-key column names") {
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right.withColumnRenamed("payload", "t"), "k", "t", "rt", Seq("t"))
+    }
+  }
+}
