@@ -1,7 +1,29 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Input row of [[StreamingOps.attributionStream]] (top-level so Spark
+  * derives the Encoder without an outer scope).
+  */
+case class AsOfEvent(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Buffered view candidate / not-yet-final purchase, and the per-user
+  * state both live in.
+  */
+case class AsOfView(view_id: Long, view_ts: Timestamp)
+case class AsOfPending(event_id: Long, ts: Timestamp, purchase_value: Double)
+case class AsOfBuf(views: Seq[AsOfView], pending: Seq[AsOfPending])
+
+/** Output row — the streaming twin of the batch `event_attribution`
+  * columns.
+  */
+case class Attribution(event_id: Long, user_id: Long, ts: Timestamp,
+    purchase_value: Double, view_id: Option[Long], view_ts: Option[Timestamp])
 
 /** Structured Streaming forms of the event operators (SURVEY.md §2.11
   * X6 + the north-star streaming surface). The reference is batch-only —
@@ -60,4 +82,72 @@ object StreamingOps {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("n_purchases"),
         col("sum_value"))
+
+  /** Streaming twin of the batch as-of join (`ext.AsOfJoin` /
+    * `event_attribution`): attribute each purchase to the same user's
+    * most recent view at or before it, over an unbounded out-of-order
+    * stream. This is a temporal join, which Structured Streaming has no
+    * native operator for — so it is custom keyed state
+    * (`flatMapGroupsWithState`, event-time timeout):
+    *
+    *  - a purchase is FINAL only once the watermark passes its event
+    *    time (no earlier view can still arrive), at which point it is
+    *    emitted exactly once with its match — append-mode, arrival-order
+    *    independent;
+    *  - per-user state is BOUNDED: views the watermark has passed are
+    *    evicted except the single newest one (any still-pending purchase
+    *    has ts ≥ watermark ≥ every old view, so the newest old view
+    *    dominates the evicted ones for every future decision), plus
+    *    whatever sits inside the lateness window — state is O(lateness ×
+    *    rate), never O(history);
+    *  - the event-time timeout re-arms while purchases are pending, so
+    *    finalization happens when the WATERMARK advances, with or
+    *    without new data for that user.
+    */
+  def attributionStream(events: DataFrame, lateness: String = "30 minutes"): Dataset[Attribution] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .where(col("event_type").isin("view", "purchase"))
+      .withWatermark("ts", lateness)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[AsOfEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(attributeUser)
+  }
+
+  /** Per-user state transition; also invoked on event-time timeout with
+    * an empty iterator.
+    */
+  private def attributeUser(userId: Long, rows: Iterator[AsOfEvent],
+      state: GroupState[AsOfBuf]): Iterator[Attribution] = {
+    val prev = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+    val in = rows.toVector
+    val views = prev.views ++
+      in.filter(_.event_type == "view").map(e => AsOfView(e.event_id, e.ts))
+    val pending = prev.pending ++
+      in.filter(_.event_type == "purchase").map(e => AsOfPending(e.event_id, e.ts, e.value))
+    val wm = state.getCurrentWatermarkMs()
+    // Strictly-before-watermark purchases are final: a view with
+    // view_ts ≤ p.ts < wm would be dropped as late if it arrived now.
+    val (ready, stillPending) = pending.partition(_.ts.getTime < wm)
+    val out = ready.sortBy(p => (p.ts.getTime, p.event_id)).map { p =>
+      // Batch tie rules exactly: view_ts ≤ purchase ts qualifies; among
+      // ties the max (view_ts, view_id) wins (the batch side pre-dedups
+      // per (user, ts) to max event_id).
+      val m = views.filter(!_.view_ts.after(p.ts))
+        .maxByOption(v => (v.view_ts.getTime, v.view_id))
+      Attribution(p.event_id, userId, p.ts, p.purchase_value,
+        m.map(_.view_id), m.map(_.view_ts))
+    }
+    val (oldViews, liveViews) = views.partition(_.view_ts.getTime < wm)
+    val keep = oldViews.sortBy(v => (v.view_ts.getTime, v.view_id)).takeRight(1) ++ liveViews
+    if (keep.isEmpty && stillPending.isEmpty) state.remove()
+    else {
+      state.update(AsOfBuf(keep, stillPending))
+      if (stillPending.nonEmpty)
+        state.setTimeoutTimestamp(math.max(wm + 1, stillPending.map(_.ts.getTime).min + 1))
+    }
+    out.iterator
+  }
 }

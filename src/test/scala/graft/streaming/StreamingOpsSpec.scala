@@ -79,4 +79,49 @@ class StreamingOpsSpec extends SparkSpec {
       assert(out.count(_.getLong(0) == 200L) === 1)
     } finally q.stop()
   }
+
+  test("streaming attribution matches the batch as-of join once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.attributionStream(mem.toDF())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      val evs = Seq(
+        Ev(1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+        Ev(2L, ts("2024-01-01 10:30:00"), 1L, "purchase", 5.0),
+        Ev(3L, ts("2024-01-01 10:20:00"), 1L, "view", 0.0),
+        Ev(4L, ts("2024-01-01 09:00:00"), 2L, "purchase", 7.0), // no view
+        Ev(5L, ts("2024-01-01 10:30:00"), 1L, "view", 0.0),    // tie with purchase 2
+        Ev(6L, ts("2024-01-01 11:00:00"), 1L, "purchase", 9.0))
+      // Batch 1 keeps the watermark low so batch 2's rows are not late;
+      // batch 2 arrives OUT OF EVENT-TIME ORDER; the sentinel pushes the
+      // watermark past every real event so all purchases finalize.
+      mem.addData(evs(3), evs(0)); q.processAllAvailable()
+      mem.addData(evs(5), evs(2), evs(1), evs(4)); q.processAllAvailable()
+      mem.addData(Ev(99L, ts("2024-01-02 12:00:00"), 999L, "view", 0.0))
+      q.processAllAvailable()
+      // One more batch so the timeout fires after the watermark update.
+      mem.addData(Ev(100L, ts("2024-01-02 13:00:00"), 999L, "view", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out").orderBy("event_id").collect()
+
+      val df = evs.toDF()
+      val purchases = df.where($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value".as("purchase_value"))
+      val views = df.where($"event_type" === "view")
+        .groupBy($"user_id", $"ts".as("vts")).agg(max($"event_id").as("view_id"))
+        .withColumn("view_ts", $"vts")
+      val batched = graft.ext.AsOfJoin
+        .asOf(purchases, views, "user_id", "ts", "vts", Seq("view_id", "view_ts"))
+        .orderBy("event_id").collect()
+
+      assert(streamed.toSeq === batched.toSeq)
+      assert(streamed.length === 3)
+      // tie view (id 5, ts 10:30) wins for purchase 2; carried for purchase 6
+      assert(streamed(0).getLong(4) === 5L)
+      assert(streamed(2).getLong(4) === 5L)
+      assert(streamed(1).isNullAt(4)) // user 2 purchase has no view
+    } finally q.stop()
+  }
 }
