@@ -56,6 +56,16 @@ object ExtQueries {
       |   sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
       |    i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))) * 1000000) / 1000000""".stripMargin
 
+  /** DuckDB mirror of Similarity's random-hyperplane LSH bucket: the same
+    * integer-derived ±1 signs, the same per-plane sequential double sum.
+    */
+  private def rpBucketSql(c: String): String =
+    (0 until Similarity.LshBits).map { i =>
+      s"""CASE WHEN list_sum(list_transform(range(1, 65),
+         |  j -> $c[j]::DOUBLE * (CASE WHEN ((($i * 2654435761) + (j * 40503)) & 16) <> 0
+         |    THEN 1.0 ELSE -1.0 END))) > 0 THEN ${1 << i} ELSE 0 END""".stripMargin
+    }.mkString("(", " + ", ")")
+
   // queries ----------------------------------------------------------------
 
   def queries: Map[String, Q] = Map[String, Q](
@@ -153,6 +163,12 @@ object ExtQueries {
     // X3 — IVF-style cell-restricted top-k (the scale path).
     "ann_topk_ivf" -> ((s, dir) =>
       castLongs(Similarity.topKIvf(Tables.embeddings(s, dir)), "rank")
+        .orderBy("probe_id", "rank")),
+
+    // X3 — random-hyperplane LSH-bucketed top-k (the trained-index-free
+    // scale path).
+    "ann_topk_lsh" -> ((s, dir) =>
+      castLongs(Similarity.topKLsh(Tables.embeddings(s, dir)), "rank")
         .orderBy("probe_id", "rank")),
 
     // X3 — embedding-cosine near-dup pairs, cell-blocked candidates.
@@ -377,6 +393,18 @@ object ExtQueries {
       s"""WITH pairs AS (
          |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
          |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+         |  WHERE a.vec_id % 50 = 0 AND a.vec_id < ${50L * Similarity.MaxProbes}),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
+         |SELECT probe_id, rank, neighbor_id, cosine FROM r
+         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "ann_topk_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${rpBucketSql("embedding")} AS bkt
+         |    FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
+         |  FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id != b.vec_id
          |  WHERE a.vec_id % 50 = 0 AND a.vec_id < ${50L * Similarity.MaxProbes}),
          |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
          |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)

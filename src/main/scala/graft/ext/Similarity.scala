@@ -73,6 +73,51 @@ object Similarity {
           cos6.as("cosine")),
       k)
 
+  /** Random-hyperplane LSH signature width (buckets = 2^LshBits). For a
+    * hyperplane family we use DETERMINISTIC ±1 signs derived from integer
+    * arithmetic — `sign(i, j) = +1 iff bit 4 of (i·2654435761 + j·40503)`
+    * — instead of sampled Gaussians: sign vectors are a valid SimHash
+    * family for angular distance, and integer-derived signs make the
+    * bucketing bit-identical in any engine (the DuckDB oracle rebuilds
+    * the same planes from the same formula; no RNG state to mirror).
+    */
+  val LshBits = 6
+  private val EmbDim = 64
+
+  private def lshSign(i: Int, j: Int): Double =
+    if (((i * 2654435761L + j * 40503L) & 16L) != 0L) 1.0 else -1.0
+
+  /** Bucket id: bit i set iff the vector's dot product with hyperplane i
+    * is strictly positive. Two HOF passes per plane (interpreted — fine
+    * for signature computation at ingest; at real scale this is computed
+    * once per vector at write time and stored, exactly like the IVF cell
+    * id, never recomputed per query).
+    */
+  private def rpBucket(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until LshBits).map { i =>
+      val signs = array((1 to EmbDim).map(j => lit(lshSign(i, j))): _*)
+      when(aggregate(zip_with(vec, signs, (x, s) => x * s),
+        lit(0.0d), (acc, x) => acc + x) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** X3 — LSH-bucketed top-k (the second scale path, complementing IVF):
+    * candidates are vectors in the probe's random-hyperplane bucket, so a
+    * probe touches ~|corpus| / 2^[[LshBits]] vectors. Unlike IVF this
+    * needs no trained centroids — the bucketing is data-independent — at
+    * the cost of recall near bucket boundaries (the classic trade; both
+    * paths share the same verification kernel and top-k aggregate).
+    */
+  def topKLsh(embeddings: DataFrame, probeEvery: Int = 50, k: Int = 5): DataFrame = {
+    val e = embeddings.withColumn("bkt", rpBucket(col("embedding")))
+    topK(
+      broadcast(probes(e, probeEvery).as("a"))
+        .join(e.as("b"),
+          col("a.bkt") === col("b.bkt") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("probe_id"), col("b.vec_id").as("neighbor_id"),
+          cos6.as("cosine")),
+      k)
+  }
+
   /** X3 — IVF-style cell-restricted top-k: each probe searches only the
     * vectors sharing its cell id (`label`). The trained
     * assign-to-nearest-centroid step happens upstream (stubbed by the
