@@ -179,6 +179,12 @@ object ExtQueries {
     "multimodal_features" -> ((s, dir) =>
       castLongs(Multimodal.featurizeExpr(Tables.documents(s, dir)), "n_bytes")
         .orderBy("doc_id")),
+
+    // Multimodal — frame sampling + fit-box resize planning.
+    "frame_sample" -> ((s, dir) =>
+      castLongs(Multimodal.frameSample(Tables.documents(s, dir)),
+        "frame_no", "frame_offset", "out_w", "out_h")
+        .orderBy("doc_id", "frame_no")),
   )
 
   /** Cast int-typed count/rank columns to long so Spark schemas match
@@ -438,5 +444,20 @@ object ExtQueries {
          |  CAST(octet_length(encode(text)) // (1 + ascii(substr(md5(text), 3, 1)) % 8) AS INTEGER)
          |    AS frame_stride
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "frame_sample" ->
+      s"""WITH f AS (SELECT doc_id,
+         |    64 + (ascii(substr(md5(text), 1, 1)) % 16) * 16 AS width,
+         |    64 + (ascii(substr(md5(text), 2, 1)) % 16) * 16 AS height,
+         |    1 + ascii(substr(md5(text), 3, 1)) % 8 AS n_frames,
+         |    octet_length(encode(text)) // (1 + ascii(substr(md5(text), 3, 1)) % 8)
+         |      AS frame_stride
+         |  FROM documents)
+         |SELECT doc_id, CAST(t.frame_no AS BIGINT) AS frame_no,
+         |  CAST(t.frame_no * frame_stride AS BIGINT) AS frame_offset,
+         |  CAST((width * 224) // greatest(width, height) AS BIGINT) AS out_w,
+         |  CAST((height * 224) // greatest(width, height) AS BIGINT) AS out_h
+         |FROM f, unnest(range(0, n_frames, 2)) AS t(frame_no)
+         |ORDER BY doc_id, frame_no""".stripMargin,
   )
 }

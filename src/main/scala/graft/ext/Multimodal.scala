@@ -86,4 +86,21 @@ object Multimodal {
         (lit(64) + (ascii(substring(col("h"), 2, 1)) % 16) * 16).as("height"),
         (lit(1) + ascii(substring(col("h"), 3, 1)) % 8).as("n_frames"))
       .withColumn("frame_stride", (col("n_bytes") / col("n_frames")).cast("int"))
+
+  /** Frame sampling + resize planning over the decoded metadata: every
+    * `every`-th frame becomes a row carrying its byte offset into the
+    * payload, plus the fit-to-`fit`-box output dimensions (longest side
+    * scaled to `fit`, integer floor division — the deterministic resize
+    * arithmetic; the pixel work itself is the stubbed codec step).
+    * One narrow Generate per doc — no shuffle; output rows ≈
+    * Σ n_frames/every, never payload-sized.
+    */
+  def frameSample(docs: DataFrame, every: Int = 2, fit: Int = 224): DataFrame =
+    featurizeExpr(docs)
+      .select(col("doc_id"), col("width"), col("height"), col("frame_stride"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(every))).as("frame_no"))
+      .select(col("doc_id"), col("frame_no"),
+        (col("frame_no") * col("frame_stride")).as("frame_offset"),
+        expr(s"(width * $fit) div greatest(width, height)").as("out_w"),
+        expr(s"(height * $fit) div greatest(width, height)").as("out_h"))
 }
