@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsOfJoin, Dedup, Events, Multimodal, SaltedJoin, Similarity, TextOps}
+import graft.ext.{AsOfJoin, Corpus, Dedup, Events, Multimodal, SaltedJoin, Similarity, TextOps}
 
 /** Extension-surface queries (SURVEY.md §2.11 X1–X6 + the LLM-data-
   * pipeline north star): dedup, text analysis, similarity search, JSON /
@@ -66,6 +66,45 @@ object ExtQueries {
          |    THEN 1.0 ELSE -1.0 END))) > 0 THEN ${1 << i} ELSE 0 END""".stripMargin
     }.mkString("(", " + ", ")")
 
+  /** Shared CTE chain mining verified MinHash near-dup pairs — everything
+    * through `vp(doc_a, doc_b, jaccard)`. `near_dup_minhash` selects from
+    * it directly; `dup_groups` appends the recursive connected-components
+    * CTEs on top.
+    */
+  private lazy val minhashCtes: String = {
+    val rows = Dedup.SigCount / Dedup.BandCount
+    val sigList = minhashSqls.zipWithIndex
+      .map { case (m, i) => s"$m AS sig$i" }.mkString(",\n  ")
+    // Band key: the band's `rows` sigs packed into one BIGINT
+    // (sig < p, so sig0·p + sig1 < 2⁶² — mirrors Dedup.nearDupMinhash).
+    val bandList = (0 until Dedup.BandCount).map { j =>
+      (0 until rows).map(r => s"sig${j * rows + r}")
+        .reduce((acc, s) => s"($acc * ${Dedup.Prime} + $s)")
+    }.mkString("[", ", ", "]")
+    s"""tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM tok WHERE len(t) > 0),
+       |hh AS (SELECT doc_id,
+       |         list_sort(list_distinct(list_transform(shingles,
+       |           s -> ${hash60Sql("s")}))) AS hs
+       |       FROM sh WHERE len(shingles) > 0),
+       |sg AS (SELECT doc_id, hs,
+       |  $sigList
+       |FROM hh),
+       |bd AS (SELECT doc_id, unnest(range(0, ${Dedup.BandCount})) AS band_idx,
+       |              unnest($bandList) AS band_val FROM sg),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bd a JOIN bd b
+       |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |          AND a.doc_id < b.doc_id),
+       |vp AS (SELECT doc_a, doc_b,
+       |  floor(len(list_intersect(sa.hs, sb.hs))::DOUBLE
+       |    / len(list_distinct(sa.hs || sb.hs)) * 1000000) / 1000000 AS jaccard
+       |FROM cand
+       |JOIN hh sa ON sa.doc_id = doc_a
+       |JOIN hh sb ON sb.doc_id = doc_b
+       |WHERE jaccard >= 0.5)""".stripMargin
+  }
+
   // queries ----------------------------------------------------------------
 
   def queries: Map[String, Q] = Map[String, Q](
@@ -107,6 +146,27 @@ object ExtQueries {
     // X4 — blocked char-3-gram Jaccard ≥ 0.8 within lang blocks.
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardBlocked(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+
+    // X1/X4 — duplicate groups: connected components over the verified
+    // MinHash pair graph (iterative min-label propagation).
+    "dup_groups" -> ((s, dir) =>
+      Dedup.dupGroups(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Corpus — deterministic hash-based train/val/test assignment.
+    "dataset_split" -> ((s, dir) =>
+      Corpus.datasetSplit(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Corpus — overlapping 64/48 token-window chunking.
+    "doc_chunks" -> ((s, dir) =>
+      Corpus.docChunks(Tables.documents(s, dir)).orderBy("doc_id", "chunk_no")),
+
+    // Corpus — per-doc top-5 salient terms (linear-IDF TF·IDF).
+    "tf_idf" -> ((s, dir) =>
+      Corpus.tfIdf(Tables.documents(s, dir)).orderBy("doc_id", "rank")),
+
+    // Corpus — per-language profile with discrete percentiles.
+    "corpus_profile" -> ((s, dir) =>
+      Corpus.corpusProfile(Tables.documents(s, dir)).orderBy("lang")),
 
     // X5 — JSON property extraction + rollup.
     "json_props" -> ((s, dir) =>
@@ -262,40 +322,80 @@ object ExtQueries {
          |      FROM k)
          |SELECT doc_id, content_key, group_size FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
-    "near_dup_minhash" -> {
-      val rows = Dedup.SigCount / Dedup.BandCount
-      val sigList = minhashSqls.zipWithIndex
-        .map { case (m, i) => s"$m AS sig$i" }.mkString(",\n  ")
-      // Band key: the band's `rows` sigs packed into one BIGINT
-      // (sig < p, so sig0·p + sig1 < 2⁶² — mirrors Dedup.nearDupMinhash).
-      val bandList = (0 until Dedup.BandCount).map { j =>
-        (0 until rows).map(r => s"sig${j * rows + r}")
-          .reduce((acc, s) => s"($acc * ${Dedup.Prime} + $s)")
-      }.mkString("[", ", ", "]")
-      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM tok WHERE len(t) > 0),
-         |hh AS (SELECT doc_id,
-         |         list_sort(list_distinct(list_transform(shingles,
-         |           s -> ${hash60Sql("s")}))) AS hs
-         |       FROM sh WHERE len(shingles) > 0),
-         |sg AS (SELECT doc_id, hs,
-         |  $sigList
-         |FROM hh),
-         |bd AS (SELECT doc_id, unnest(range(0, ${Dedup.BandCount})) AS band_idx,
-         |              unnest($bandList) AS band_val FROM sg),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM bd a JOIN bd b
-         |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-         |          AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b,
-         |  floor(len(list_intersect(sa.hs, sb.hs))::DOUBLE
-         |    / len(list_distinct(sa.hs || sb.hs)) * 1000000) / 1000000 AS jaccard
-         |FROM cand
-         |JOIN hh sa ON sa.doc_id = doc_a
-         |JOIN hh sb ON sb.doc_id = doc_b
-         |WHERE jaccard >= 0.5
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "near_dup_minhash" ->
+      s"""WITH $minhashCtes
+         |SELECT doc_a, doc_b, jaccard FROM vp
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Connected components over the vp pair graph: the recursive CTE
+    // closes reachability (UNION dedups, so it terminates), then each
+    // node's component label is the minimum reachable id.
+    "dup_groups" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+         |      UNION ALL SELECT doc_b, doc_a FROM vp),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+         |),
+         |lbl AS (SELECT src AS doc_id, least(src, min(dst)) AS group_id
+         |        FROM reach GROUP BY src)
+         |SELECT doc_id, group_id,
+         |  count(*) OVER (PARTITION BY group_id) AS group_size
+         |FROM lbl ORDER BY doc_id""".stripMargin,
+
+    "dataset_split" ->
+      s"""SELECT doc_id, lang,
+         |  ${hash60Sql("doc_id::VARCHAR")} % 100 AS bucket,
+         |  CASE WHEN ${hash60Sql("doc_id::VARCHAR")} % 100 < 80 THEN 'train'
+         |       WHEN ${hash60Sql("doc_id::VARCHAR")} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |        CASE WHEN len(toks) <= ${Corpus.ChunkSize} THEN 1
+         |             ELSE (len(toks) - ${Corpus.ChunkSize} + ${Corpus.ChunkStride} - 1)
+         |                    // ${Corpus.ChunkStride} + 1 END AS n_chunks
+         |      FROM t)
+         |SELECT doc_id, u.chunk_no,
+         |  len(list_slice(toks, u.chunk_no * ${Corpus.ChunkStride} + 1,
+         |    u.chunk_no * ${Corpus.ChunkStride} + ${Corpus.ChunkSize})) AS n_chunk_tokens,
+         |  md5(array_to_string(list_slice(toks, u.chunk_no * ${Corpus.ChunkStride} + 1,
+         |    u.chunk_no * ${Corpus.ChunkStride} + ${Corpus.ChunkSize}), ' ')) AS chunk_md5
+         |FROM c, unnest(range(0, n_chunks)) AS u(chunk_no)
+         |ORDER BY doc_id, chunk_no""".stripMargin,
+
+    "tf_idf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |s AS (SELECT doc_id, term, tf, df,
+         |        floor((tf * n_docs)::DOUBLE / df * 1000000) / 1000000 AS score
+         |      FROM tf JOIN df USING (term), n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score DESC, term) AS rank FROM s)
+         |SELECT doc_id, term, tf, df, score, rank FROM r
+         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "corpus_profile" ->
+      s"""WITH b AS (SELECT doc_id, lang,
+         |    len(regexp_extract_all(text, '\\S+')) AS ws_tokens,
+         |    length(text) AS n_chars
+         |  FROM documents),
+         |r AS (SELECT *,
+         |    row_number() OVER (PARTITION BY lang ORDER BY ws_tokens, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM b)
+         |SELECT lang, max(n) AS n_docs,
+         |  max(CASE WHEN rk = ceil(n * 0.5) THEN ws_tokens END) AS med_tokens,
+         |  max(CASE WHEN rk = ceil(n * 0.9) THEN ws_tokens END) AS p90_tokens,
+         |  floor(sum(n_chars)::DOUBLE / count(*) * 10000) / 10000 AS avg_chars,
+         |  max(n_chars) AS max_chars
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
     "near_dup_simhash" -> {
       val bands = Dedup.SimhashBands

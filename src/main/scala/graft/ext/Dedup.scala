@@ -163,6 +163,79 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** X1/X4 composition — duplicate GROUPS: connected components of the
+    * MinHash near-dup pair graph, the clustering step that turns pairwise
+    * near-dup hits into "keep one doc per group" decisions in a training-
+    * data pipeline. Output: doc_id, group_id (smallest doc_id in the
+    * component — deterministic canonical representative), group_size.
+    * Only documents that appear in at least one verified pair are listed
+    * (singletons are trivially their own group and would dominate the
+    * output without informing dedup).
+    *
+    * Algorithm: iterative min-label propagation. labels start as
+    * min(self, neighbors); each round every node takes the min of its
+    * label and its neighbors' labels; fixpoint = every node holds its
+    * component's minimum id. Rounds = graph diameter; near-dup components
+    * are short chains of mutually-similar docs (diameter rarely > 3), so
+    * 3–4 rounds of 2 shuffles each is the practical cost. Each round
+    * `localCheckpoint`s the label frame: labels are node-sized (tiny
+    * relative to the corpus), and truncating lineage keeps round N's plan
+    * from re-running rounds 1..N−1 — without it the plan doubles per
+    * round. At adversarial diameters (long chains) the O(log n)-round
+    * alternating large-star/small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce") drops in behind the same
+    * signature; the driver-side loop stays — iteration count is the
+    * convergence test, data never leaves the cluster.
+    */
+  def dupGroups(docs: DataFrame, threshold: Double = 0.5,
+      maxIters: Int = 25): DataFrame =
+    connectedComponents(
+      nearDupMinhash(docs, threshold).select("doc_a", "doc_b"),
+      "doc_a", "doc_b", maxIters)
+      .select(col("node").as("doc_id"), col("label").as("group_id"))
+      .withColumn("group_size", count(lit(1)).over(Window.partitionBy("group_id")))
+
+  /** Connected components of an undirected pair graph by iterative
+    * min-label propagation (see [[dupGroups]] for the scale notes).
+    * `pairs` holds one row per undirected edge; returns (node, label)
+    * with label = the component's minimum node id. Nodes with no edges
+    * don't appear (a pair list carries no singletons).
+    */
+  def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 25): DataFrame = {
+    // Undirected edge list, materialized once — every propagation round
+    // re-reads it, and its upstream plan (for dupGroups, the whole LSH
+    // pipeline) must not re-run per round.
+    val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .localCheckpoint()
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("node"), least(col("node"), col("nmin")).as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      // Neighbor minimum per node, then pointwise min with the current
+      // label; `chg` rides along so convergence costs no extra pass.
+      val prop = edges.join(labels, col("src") === col("node"))
+        .groupBy(col("dst").as("dnode")).agg(min(col("label")).as("nmin"))
+      val next = labels.join(prop, col("node") === col("dnode"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          coalesce(col("nmin") < col("label"), lit(false)).as("chg"))
+        .localCheckpoint()
+      changed = next.where(col("chg")).count()
+      labels = next.select("node", "label")
+      iters += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIters rounds — component " +
+        "diameter exceeds the bound; raise maxIters or switch to " +
+        "large-star/small-star")
+    labels
+  }
+
   /** SimHash fingerprint width in bits: 4 bands × 16 bits. 16-bit bands
     * give 65,536 buckets per band, so expected bucket occupancy stays
     * ~n/65,536 per band — the previous 8-bit bands (256 buckets) made the

@@ -51,7 +51,7 @@ object TextOps {
     * so boundary values (x.yyyy5) disagree; floor of the identical IEEE
     * product is bit-stable across engines.
     */
-  private def trunc4(c: Column): Column = floor(c * 10000) / 10000
+  def trunc4(c: Column): Column = floor(c * 10000) / 10000
 
   /** 6-decimal floor truncation for oracle-compared ratios (jaccard,
     * cosine) — same reasoning as [[trunc4]]: `round` renders HALF_UP on
