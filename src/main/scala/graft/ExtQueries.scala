@@ -66,17 +66,18 @@ object ExtQueries {
          |    THEN 1.0 ELSE -1.0 END))) > 0 THEN ${1 << i} ELSE 0 END""".stripMargin
     }.mkString("(", " + ", ")")
 
-  /** Shared CTE chain mining verified MinHash near-dup pairs — everything
-    * through `vp(doc_a, doc_b, jaccard)`. `near_dup_minhash` selects from
-    * it directly; `dup_groups` appends the recursive connected-components
-    * CTEs on top.
+  /** Shared CTE base for MinHash oracles — tokenize → shingle → 60-bit
+    * hash sets (`hh`) → 16 signatures (`sg`) → exploded band table (`bd`).
+    * Signatures are per-document functions, so one `bd` over the whole
+    * corpus serves both the full-corpus pairing and the incremental
+    * (existing/incoming split) pairing.
     */
-  private lazy val minhashCtes: String = {
+  private lazy val minhashBaseCtes: String = {
     val rows = Dedup.SigCount / Dedup.BandCount
     val sigList = minhashSqls.zipWithIndex
       .map { case (m, i) => s"$m AS sig$i" }.mkString(",\n  ")
     // Band key: the band's `rows` sigs packed into one BIGINT
-    // (sig < p, so sig0·p + sig1 < 2⁶² — mirrors Dedup.nearDupMinhash).
+    // (sig < p, so sig0·p + sig1 < 2⁶² — mirrors Dedup.minhashBands).
     val bandList = (0 until Dedup.BandCount).map { j =>
       (0 until rows).map(r => s"sig${j * rows + r}")
         .reduce((acc, s) => s"($acc * ${Dedup.Prime} + $s)")
@@ -91,19 +92,34 @@ object ExtQueries {
        |  $sigList
        |FROM hh),
        |bd AS (SELECT doc_id, unnest(range(0, ${Dedup.BandCount})) AS band_idx,
-       |              unnest($bandList) AS band_val FROM sg),
+       |              unnest($bandList) AS band_val FROM sg)""".stripMargin
+  }
+
+  /** Exact-Jaccard verification of a candidate-pair CTE `cand(a_id, b_id)`
+    * against the `hh` shingle-hash sets, emitting `$out(a_id, b_id,
+    * jaccard ≥ 0.5)`.
+    */
+  private def verifiedPairsCte(out: String, aId: String, bId: String): String =
+    s"""$out AS (SELECT $aId, $bId,
+       |  floor(len(list_intersect(sa.hs, sb.hs))::DOUBLE
+       |    / len(list_distinct(sa.hs || sb.hs)) * 1000000) / 1000000 AS jaccard
+       |FROM cand
+       |JOIN hh sa ON sa.doc_id = $aId
+       |JOIN hh sb ON sb.doc_id = $bId
+       |WHERE jaccard >= 0.5)""".stripMargin
+
+  /** Full-corpus verified MinHash pair chain ending in
+    * `vp(doc_a, doc_b, jaccard)` — `near_dup_minhash` selects from it
+    * directly; `dup_groups` appends the recursive connected-components
+    * CTEs on top.
+    */
+  private lazy val minhashCtes: String =
+    s"""$minhashBaseCtes,
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bd a JOIN bd b
        |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        |          AND a.doc_id < b.doc_id),
-       |vp AS (SELECT doc_a, doc_b,
-       |  floor(len(list_intersect(sa.hs, sb.hs))::DOUBLE
-       |    / len(list_distinct(sa.hs || sb.hs)) * 1000000) / 1000000 AS jaccard
-       |FROM cand
-       |JOIN hh sa ON sa.doc_id = doc_a
-       |JOIN hh sb ON sb.doc_id = doc_b
-       |WHERE jaccard >= 0.5)""".stripMargin
-  }
+       |${verifiedPairsCte("vp", "doc_a", "doc_b")}""".stripMargin
 
   // queries ----------------------------------------------------------------
 
@@ -151,6 +167,37 @@ object ExtQueries {
     // MinHash pair graph (iterative min-label propagation).
     "dup_groups" -> ((s, dir) =>
       Dedup.dupGroups(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // X4 — incremental dedup: the 20% "incoming batch" (doc_id % 10 ≥ 8)
+    // deduped against the 80% "existing corpus" signature store and
+    // within itself — never existing × existing.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.nearDupIncremental(
+        docs.where(pmod(col("doc_id"), lit(10)) < 8),
+        docs.where(pmod(col("doc_id"), lit(10)) >= 8))
+        .orderBy("doc_new", "doc_match")
+    }),
+
+    // Corpus — benchmark decontamination: docs sharing any 8-token
+    // shingle with the doc_id % 20 = 0 "benchmark" subset.
+    "decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Corpus.decontaminate(
+        docs.where(pmod(col("doc_id"), lit(20)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(20)) === 0))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus — Gopher-style repetition quality signals.
+    "repetition_score" -> ((s, dir) =>
+      Corpus.repetitionScore(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Corpus — deterministic per-source stratified sampling
+    // (src0 up-weighted to 50%, src1 dropped, 20% elsewhere).
+    "stratified_sample" -> ((s, dir) =>
+      Corpus.stratifiedSample(Tables.documents(s, dir), 20,
+        Map("src0" -> 50, "src1" -> 0)).orderBy("doc_id")),
 
     // Corpus — deterministic hash-based train/val/test assignment.
     "dataset_split" -> ((s, dir) =>
@@ -344,6 +391,54 @@ object ExtQueries {
          |SELECT doc_id, group_id,
          |  count(*) OVER (PARTITION BY group_id) AS group_size
          |FROM lbl ORDER BY doc_id""".stripMargin,
+
+    // Incoming batch (a-side) restricted to doc_id % 10 ≥ 8; matches are
+    // existing docs (any id order) or earlier incoming docs — existing ×
+    // existing pairs never form, mirroring Dedup.nearDupIncremental.
+    "dedup_incremental" ->
+      s"""WITH $minhashBaseCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_match
+         |         FROM bd a JOIN bd b
+         |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |          AND a.doc_id % 10 >= 8 AND a.doc_id != b.doc_id
+         |          AND (b.doc_id % 10 < 8 OR b.doc_id < a.doc_id)),
+         |${verifiedPairsCte("vi", "doc_new", "doc_match")}
+         |SELECT doc_new, doc_match, jaccard FROM vi
+         |ORDER BY doc_new, doc_match""".stripMargin,
+
+    "decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, toks FROM t WHERE len(toks) >= ${Corpus.DecontamShingle}),
+         |shg AS (SELECT doc_id,
+         |          ${hash60Sql(s"array_to_string(toks[i:i+${Corpus.DecontamShingle - 1}], ' ')")} AS h
+         |        FROM p, unnest(range(1, len(toks) - ${Corpus.DecontamShingle - 2})) AS u(i)),
+         |bench AS (SELECT DISTINCT h FROM shg WHERE doc_id % 20 = 0),
+         |corp AS (SELECT DISTINCT doc_id, h FROM shg WHERE doc_id % 20 != 0)
+         |SELECT doc_id, count(*) AS n_shared_shingles
+         |FROM corp JOIN bench USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "repetition_score" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bi AS (SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ')
+         |         for i in range(1, greatest(len(toks), 1))]) AS s
+         |       FROM t WHERE len(toks) > 1),
+         |c AS (SELECT doc_id, s, count(*) AS c FROM bi GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |  count(*) AS n_distinct_bigrams,
+         |  floor((sum(c) - count(*))::DOUBLE / sum(c) * 10000) / 10000 AS dup_bigram_frac,
+         |  floor(max(c)::DOUBLE / sum(c) * 10000) / 10000 AS top_bigram_frac
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "stratified_sample" -> {
+      val bucket = s"${hash60Sql("source || ':' || doc_id::VARCHAR")} % 100"
+      s"""SELECT doc_id, source, lang, $bucket AS bucket
+         |FROM documents
+         |WHERE $bucket < CASE WHEN source = 'src0' THEN 50
+         |                     WHEN source = 'src1' THEN 0
+         |                     ELSE 20 END
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "dataset_split" ->
       s"""SELECT doc_id, lang,

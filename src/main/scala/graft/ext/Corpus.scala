@@ -132,6 +132,95 @@ object Corpus {
     * if a profile key were high-skew the [[SaltedJoin]]-style two-level
     * aggregate is the drop-in.
     */
+  /** Shingle width for [[decontaminate]]: 8 consecutive tokens, the
+    * benchmark-decontamination convention — long enough that a match is
+    * evidence of copied text, not shared vocabulary.
+    */
+  val DecontamShingle = 8
+
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * [[DecontamShingle]]-token shingle with a benchmark/eval set — the
+    * filter every training pipeline runs so held-out benchmarks don't
+    * leak into training data. Output: doc_id, n_shared_shingles (distinct
+    * shared shingles), for contaminated documents only.
+    *
+    * Scale design: the benchmark side is small by nature (eval sets are
+    * MB-scale against a 100 TB corpus), so its distinct shingle-hash set
+    * is BROADCAST — the corpus side is a pure map (tokenize → slice →
+    * hash) into a broadcast-hash semi-join, zero corpus shuffle until the
+    * per-doc count aggregate over only the matching rows. Shingles are
+    * compared as [[Dedup.hash60]] longs, never strings.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      k: Int = DecontamShingle): DataFrame = {
+    // k-token shingle hashes as rows (doc_id, h) — the docChunks Generate
+    // pattern: posexplode the start positions, slice from the carried
+    // token array (copied per emitted row by Generate, not re-evaluated).
+    def shingleHashes(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= k)
+        .select(col("doc_id"), col("toks"),
+          posexplode(sequence(lit(1), size(col("toks")) - (k - 1))).as(Seq("ord", "i")))
+        .select(col("doc_id"),
+          Dedup.hash60(concat_ws(" ", slice(col("toks"), col("i"), lit(k)))).as("h"))
+    val bench = broadcast(shingleHashes(benchmark).select("h").distinct())
+    shingleHashes(corpus)
+      .distinct() // (doc_id, h): count each shared shingle once per doc
+      .join(bench, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
+
+  /** Gopher-style repetition signals: per-document duplicate-bigram
+    * fraction (1 − distinct/total) and most-frequent-bigram fraction —
+    * the "is this document mostly the same phrase repeated" quality
+    * signals. Documents with fewer than two tokens have no bigrams and
+    * are omitted. Output: doc_id, n_bigrams, n_distinct_bigrams,
+    * dup_bigram_frac, top_bigram_frac (floor-truncated 4dp).
+    *
+    * Plan shape: the shared shingle pipeline (one doc_id window shuffle)
+    * → (doc, bigram) count → per-doc aggregate. Both aggregates hash on
+    * keys that grow with the corpus; nothing is quadratic and nothing
+    * leaves codegen.
+    */
+  def repetitionScore(docs: DataFrame): DataFrame =
+    Dedup.shingleRows(docs)
+      .groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max("c").as("max_c"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+        TextOps.trunc4((col("n_bigrams") - col("n_distinct_bigrams")) /
+          col("n_bigrams").cast("double")).as("dup_bigram_frac"),
+        TextOps.trunc4(col("max_c") / col("n_bigrams").cast("double"))
+          .as("top_bigram_frac"))
+
+  /** Deterministic stratified sampling by `source`: per-document hash
+    * bucket (salted with the stratum so buckets are independent across
+    * strata), kept when bucket < the stratum's percentage — `overrides`
+    * per source, `defaultPct` elsewhere. The hash-based form has the same
+    * properties as [[datasetSplit]]: reproducible, stable under corpus
+    * growth, joinable back to any per-doc table, no seed coordination —
+    * and it is a pure map (zero shuffle), so re-weighting a 100 TB corpus
+    * by source is one scan. Output: doc_id, source, lang, bucket.
+    */
+  def stratifiedSample(docs: DataFrame, defaultPct: Int = 20,
+      overrides: Map[String, Int] = Map.empty): DataFrame = {
+    require(defaultPct >= 0 && defaultPct <= 100 &&
+      overrides.values.forall(p => p >= 0 && p <= 100), "percentages must be 0..100")
+    // Build the per-row rate via chained when(): overrides are a handful
+    // of literals, so this stays one codegen'd case expression.
+    val rate = overrides.foldLeft(lit(defaultPct): org.apache.spark.sql.Column) {
+      case (acc, (src, pct)) => when(col("source") === src, lit(pct)).otherwise(acc)
+    }
+    docs
+      .select(col("doc_id"), col("source"), col("lang"),
+        (Dedup.hash60(concat(col("source"), lit(":"), col("doc_id").cast("string")))
+          % 100).as("bucket"))
+      .where(col("bucket") < rate)
+  }
+
   def corpusProfile(docs: DataFrame): DataFrame = {
     val base = docs.select(
       col("doc_id"), col("lang"),

@@ -73,7 +73,7 @@ object Dedup {
     * aggregates (min / collect_set / distinct-on-ints) dedup cheaper than
     * an extra string shuffle would.
     */
-  private def shingleRows(docs: DataFrame): DataFrame = {
+  private[ext] def shingleRows(docs: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     docs
       .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
@@ -123,25 +123,50 @@ object Dedup {
     * corpus, so the set side streams with full partitioning and never
     * re-shuffles.
     */
-  def nearDupMinhash(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  /** Hashed shingle rows (doc_id, h): each 2-word shingle md5'd once to
+    * its 60-bit base hash — the shared input of [[minhashBands]] and
+    * [[shingleSets]].
+    */
+  private[ext] def hashedShingleRows(docs: DataFrame): DataFrame =
+    shingleRows(docs).select(col("doc_id"), hash60(col("s")).as("h"))
+
+  /** LSH band table (doc_id, band_idx, band_val) from hashed shingle rows:
+    * 16 universal-hash minhash signatures, packed two-per-band into
+    * collision-free long band keys. This is the SIGNATURE-STORE schema —
+    * at scale it is computed once per document at ingest and persisted
+    * partitioned by band_val (see [[nearDupIncremental]]); band values are
+    * a pure per-document function, so bands computed batch-by-batch equal
+    * bands computed over the union.
+    */
+  def minhashBands(hr: DataFrame): DataFrame = {
     val rows = SigCount / BandCount
     require(rows == 2, s"band key packs exactly 2 sigs into a long, got $rows per band")
-    val hr = shingleRows(docs).select(col("doc_id"), hash60(col("s")).as("h"))
     val sigAggs = Perms.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * (col("h") % Prime) + lit(b)) % Prime).as(s"sig$i")
     }
     val sig = hr.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-    // Sorted distinct hashed-shingle sets for exact verification: longs,
-    // so the merge in SortedIntersectSize is a register compare.
-    val sets = hr.groupBy("doc_id").agg(array_sort(collect_set(col("h"))).as("sh"))
     // Band key = the band's two sigs packed into one long (sig < p, so
     // sig₀·p + sig₁ < 2⁶² — collision-free, engine-portable, and a
     // numeric join key instead of an md5 hex string).
     val bandCols = (0 until BandCount).map { j =>
       col(s"sig${j * rows}") * Prime + col(s"sig${j * rows + 1}")
     }
-    val banded = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+  }
+
+  /** Sorted distinct hashed-shingle sets (doc_id, sh) for exact Jaccard
+    * verification: longs, so the merge in [[SortedIntersectSize]] is a
+    * register compare. Like [[minhashBands]], a pure per-document function
+    * — the other half of the signature store.
+    */
+  def shingleSets(hr: DataFrame): DataFrame =
+    hr.groupBy("doc_id").agg(array_sort(collect_set(col("h"))).as("sh"))
+
+  def nearDupMinhash(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val hr = hashedShingleRows(docs)
+    val sets = shingleSets(hr)
+    val banded = minhashBands(hr)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -161,6 +186,57 @@ object Dedup {
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double")))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** X4 — INCREMENTAL near-dup: dedupe a newly-arrived batch against an
+    * existing corpus (and within itself) without ever re-pairing the
+    * existing corpus with itself. Output: doc_new (∈ incoming), doc_match
+    * (∈ existing, or an earlier incoming doc), jaccard ≥ `threshold`.
+    * Requires disjoint doc_id spaces between the two frames.
+    *
+    * This is the 100 TB shape of deduplication: a full-corpus
+    * [[nearDupMinhash]] re-run per arriving batch is O(corpus) forever,
+    * while here the existing side contributes only its SIGNATURE STORE —
+    * [[minhashBands]] + [[shingleSets]], pure per-document functions
+    * computed once at ingest and persisted (bands partitioned by
+    * band_val, sets by doc_id). Per batch the work is O(|batch| shingles)
+    * + the band-collision joins: the batch's band table probes the stored
+    * band table (broadcast of the BATCH side — bounded by contract, never
+    * the corpus), and only collision pairs pay verification. Batch-internal
+    * dups are caught in the same pass by unioning the batch's own bands
+    * with an id-order tie-break, so results are independent of how a
+    * stream of documents is cut into batches.
+    */
+  def nearDupIncremental(existing: DataFrame, incoming: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val hrE = hashedShingleRows(existing)
+    val hrI = hashedShingleRows(incoming)
+    // At rest these two are ONE stored table written at ingest; the union
+    // here recomputes the existing side only because this library is
+    // storage-agnostic — swap in a parquet/bucketed read of the store and
+    // nothing downstream changes.
+    val bands = minhashBands(hrE).withColumn("is_new", lit(false))
+      .unionByName(minhashBands(hrI).withColumn("is_new", lit(true)))
+    val probe = bands.where(col("is_new"))
+    val cand = probe.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          (!col("b.is_new") || col("b.doc_id") < col("a.doc_id")))
+      .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_match"))
+      .distinct()
+    val sets = shingleSets(hrE).unionByName(shingleSets(hrI))
+    val withA = shingleSets(hrI).select(col("doc_id").as("doc_new"), col("sh").as("sh_a"))
+      .join(broadcast(cand), "doc_new")
+    val full = sets.select(col("doc_id").as("doc_match"), col("sh").as("sh_b"))
+      .join(broadcast(withA), "doc_match")
+    full
+      .withColumn("inter", SortedIntersectSize(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", TextOps.trunc6(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double")))
+      .where(col("jaccard") >= threshold)
+      .select("doc_new", "doc_match", "jaccard")
   }
 
   /** X1/X4 composition — duplicate GROUPS: connected components of the
