@@ -164,9 +164,13 @@ object Corpus {
         .select(col("doc_id"),
           Dedup.hash60(concat_ws(" ", slice(col("toks"), col("i"), lit(k)))).as("h"))
     val bench = broadcast(shingleHashes(benchmark).select("h").distinct())
+    // Join BEFORE the distinct: the broadcast-hash join filters the
+    // corpus's shingle stream map-side, so the only rows that ever
+    // shuffle are the (rare) matches — a distinct over all corpus
+    // shingles first would shuffle the whole corpus's shingle set.
     shingleHashes(corpus)
-      .distinct() // (doc_id, h): count each shared shingle once per doc
       .join(bench, "h")
+      .distinct() // (doc_id, h): count each shared shingle once per doc
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared_shingles"))
   }
