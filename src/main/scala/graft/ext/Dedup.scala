@@ -165,8 +165,11 @@ object Dedup {
 
   def nearDupMinhash(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val hr = hashedShingleRows(docs)
-    val sets = shingleSets(hr)
     val banded = minhashBands(hr)
+    // localCheckpoint: cand is band-collision pairs — tiny — and it is
+    // consumed three times below (id filter twice, pair join once);
+    // materializing it keeps the banded self-join subtree from
+    // re-executing per consumer.
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -174,6 +177,17 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      .localCheckpoint()
+    // Shingle sets ONLY for docs that appear in some candidate pair: the
+    // broadcast id filter drops non-candidates map-side BEFORE the
+    // collect_set, so the heavy aggregate shuffles candidate shingles
+    // instead of the whole corpus's (at 100 TB the full-corpus set
+    // aggregate IS the job; candidates are band collisions, orders of
+    // magnitude fewer). One filtered pass, materialized because both
+    // verification joins consume it.
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sets = shingleSets(hr.join(broadcast(candIds), "doc_id")).localCheckpoint()
     val withA = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       .join(broadcast(cand), "doc_a")
     val full = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
@@ -226,8 +240,15 @@ object Dedup {
           (!col("b.is_new") || col("b.doc_id") < col("a.doc_id")))
       .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_match"))
       .distinct()
-    val sets = shingleSets(hrE).unionByName(shingleSets(hrI))
-    val withA = shingleSets(hrI).select(col("doc_id").as("doc_new"), col("sh").as("sh_a"))
+      .localCheckpoint() // tiny (band collisions), consumed three times
+    // As in nearDupMinhash: shingle sets only for candidate docs — at
+    // scale this is the store lookup "fetch sets by candidate id", never
+    // a full-store aggregate.
+    val candIds = cand.select(col("doc_new").as("doc_id"))
+      .union(cand.select(col("doc_match").as("doc_id"))).distinct()
+    val sets = shingleSets(
+      hrE.unionByName(hrI).join(broadcast(candIds), "doc_id")).localCheckpoint()
+    val withA = sets.select(col("doc_id").as("doc_new"), col("sh").as("sh_a"))
       .join(broadcast(cand), "doc_new")
     val full = sets.select(col("doc_id").as("doc_match"), col("sh").as("sh_b"))
       .join(broadcast(withA), "doc_match")
