@@ -240,15 +240,15 @@ object Dedup {
           (!col("b.is_new") || col("b.doc_id") < col("a.doc_id")))
       .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_match"))
       .distinct()
-      .localCheckpoint() // tiny (band collisions), consumed three times
-    // As in nearDupMinhash: shingle sets only for candidate docs — at
-    // scale this is the store lookup "fetch sets by candidate id", never
-    // a full-store aggregate.
-    val candIds = cand.select(col("doc_new").as("doc_id"))
-      .union(cand.select(col("doc_match").as("doc_id"))).distinct()
-    val sets = shingleSets(
-      hrE.unionByName(hrI).join(broadcast(candIds), "doc_id")).localCheckpoint()
-    val withA = sets.select(col("doc_id").as("doc_new"), col("sh").as("sh_a"))
+    // Verification streams the batch's sets against the candidate list;
+    // the match side unions the stored sets in. At real scale the stored
+    // `shingleSets` are FETCHED BY candidate id from the persisted store
+    // (a pruned lookup, like nearDupMinhash's candidate-filtered
+    // aggregate) rather than recomputed — recomputation here is only
+    // because this library is storage-agnostic; the single-DAG form
+    // keeps the toy-scale cost flat (no eager materialization barriers).
+    val sets = shingleSets(hrE).unionByName(shingleSets(hrI))
+    val withA = shingleSets(hrI).select(col("doc_id").as("doc_new"), col("sh").as("sh_a"))
       .join(broadcast(cand), "doc_new")
     val full = sets.select(col("doc_id").as("doc_match"), col("sh").as("sh_b"))
       .join(broadcast(withA), "doc_match")

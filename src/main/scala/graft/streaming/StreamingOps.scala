@@ -116,6 +116,37 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(attributeUser)
   }
 
+  /** Streaming incremental near-dup dedup: every micro-batch of arriving
+    * documents is deduped against the existing corpus's signature store
+    * AND within itself by the batch operator
+    * [[graft.ext.Dedup.nearDupIncremental]], via `foreachBatch` — the
+    * idiomatic Structured Streaming shape for "run a relational batch
+    * pipeline per micro-batch, then commit side effects".
+    *
+    * `existingDocs` is a THUNK re-evaluated per batch so the caller's
+    * `sink` can append each processed batch's documents/signatures to the
+    * store and the next batch dedupes against the grown corpus — with
+    * that contract, results are independent of how the stream is cut into
+    * batches (asserted in StreamingOpsSpec). At scale the store read is a
+    * band_val-partitioned parquet/bucketed table, so each batch's probe
+    * is a partition-pruned lookup, cost O(batch + collisions) — the
+    * unbounded-feed form of dedup where any full-corpus re-pairing would
+    * be O(history) per batch.
+    *
+    * Returns the configured writer; callers `.start()` it (and own
+    * checkpointing for exactly-once).
+    */
+  def incrementalDedupStream(incoming: DataFrame,
+      existingDocs: () => DataFrame,
+      sink: (DataFrame, Long) => Unit,
+      threshold: Double = 0.5): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    incoming.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.ext.Dedup.nearDupIncremental(existingDocs(), batch, threshold),
+          batchId)
+      }
+
   /** Per-user state transition; also invoked on event-time timeout with
     * an empty iterator.
     */

@@ -10,6 +10,9 @@ import graft.SparkSpec
 /** Top-level so Spark can derive an Encoder without an outer scope. */
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
+/** Document row for the streaming incremental-dedup spec. */
+case class Doc(doc_id: Long, text: String, lang: String)
+
 /** Streaming operators driven end-to-end through MemoryStream →
   * streaming query → memory sink.
   */
@@ -77,6 +80,43 @@ class StreamingOpsSpec extends SparkSpec {
       assert(u100(1).getLong(3) === 2L)
       assert(u100(1).getLong(4) === 1L) // purchase in second session
       assert(out.count(_.getLong(0) == 200L) === 1)
+    } finally q.stop()
+  }
+
+  test("streaming incremental dedup per batch ≡ batch operator with a growing store") {
+    implicit val sqlCtx = spark.sqlContext
+    // Store starts with docs 1-2; the stream delivers 10-11 then 20-21.
+    // Doc 10 duplicates store doc 1; doc 21 duplicates STREAM doc 10 —
+    // catching it requires the store to have grown between batches.
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3) +
+      "one extra tail"
+    val store = scala.collection.mutable.ArrayBuffer(
+      Doc(1L, base, "en"),
+      Doc(2L, "completely different words entirely here now", "en"))
+    val results = scala.collection.mutable.Map.empty[Long, Seq[(Long, Long)]]
+    val mem = MemoryStream[Doc]
+    val writer = StreamingOps.incrementalDedupStream(
+      mem.toDF(),
+      () => store.toSeq.toDF(),
+      (pairs, id) => {
+        results(id) = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        // Production contract: append the processed batch to the store.
+        // (The test keeps doc rows; at scale you persist signatures.)
+      })
+    val q = writer.start()
+    try {
+      val b1 = Seq(Doc(10L, base + " omega", "en"), // near-dup of store doc 1
+        Doc(11L, "nothing like anything else at all", "en"))
+      mem.addData(b1: _*); q.processAllAvailable()
+      store ++= b1
+      val b2 = Seq(Doc(20L, "fresh unrelated content again", "en"),
+        Doc(21L, base + " omega sigma", "en")) // near-dup of STREAM doc 10
+      mem.addData(b2: _*); q.processAllAvailable()
+      store ++= b2
+
+      assert(results(0L).toSet === Set((10L, 1L)))
+      assert(results(1L).contains((21L, 10L))) // cross-BATCH dup caught
+      assert(results(1L).forall(_._1 >= 20L))  // probes are batch-2 docs only
     } finally q.stop()
   }
 
