@@ -224,12 +224,27 @@ object Dedup {
   def nearDupIncremental(existing: DataFrame, incoming: DataFrame,
       threshold: Double = 0.5): DataFrame = {
     val hrE = hashedShingleRows(existing)
+    // Recompute the existing side's signature tables in-query; the store
+    // form ([[nearDupAgainstStore]]) takes them pre-persisted instead and
+    // nothing downstream changes (CorpusPrepSpec asserts the parquet
+    // round trip is exact).
+    nearDupAgainstStore(minhashBands(hrE), shingleSets(hrE), incoming, threshold)
+  }
+
+  /** [[nearDupIncremental]] against a PERSISTED signature store: the
+    * existing corpus contributes only its band table (schema
+    * `(doc_id, band_idx, band_val)`, partitioned by band_idx/bucketed by
+    * band_val at rest) and its shingle-set table (`(doc_id, sh)`), both
+    * written once per batch at ingest by [[minhashBands]]/[[shingleSets]].
+    * This is the form a 100 TB pipeline actually runs: per batch it reads
+    * the store, never re-tokenizes the corpus.
+    */
+  def nearDupAgainstStore(existingBands: DataFrame, existingSets: DataFrame,
+      incoming: DataFrame, threshold: Double = 0.5): DataFrame = {
     val hrI = hashedShingleRows(incoming)
-    // At rest these two are ONE stored table written at ingest; the union
-    // here recomputes the existing side only because this library is
-    // storage-agnostic — swap in a parquet/bucketed read of the store and
-    // nothing downstream changes.
-    val bands = minhashBands(hrE).withColumn("is_new", lit(false))
+    val bands = existingBands
+      .select(col("doc_id"), col("band_idx"), col("band_val")) // store col order free
+      .withColumn("is_new", lit(false))
       .unionByName(minhashBands(hrI).withColumn("is_new", lit(true)))
     val probe = bands.where(col("is_new"))
     val cand = probe.as("a")
@@ -241,14 +256,11 @@ object Dedup {
       .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_match"))
       .distinct()
     // Verification streams the batch's sets against the candidate list;
-    // the match side unions the stored sets in. At real scale the stored
-    // `shingleSets` are FETCHED BY candidate id from the persisted store
-    // (a pruned lookup, like nearDupMinhash's candidate-filtered
-    // aggregate) rather than recomputed — recomputation here is only
-    // because this library is storage-agnostic; the single-DAG form
-    // keeps the toy-scale cost flat (no eager materialization barriers).
-    val sets = shingleSets(hrE).unionByName(shingleSets(hrI))
-    val withA = shingleSets(hrI).select(col("doc_id").as("doc_new"), col("sh").as("sh_a"))
+    // the match side unions the stored sets in (at rest that read is a
+    // pruned lookup by candidate doc_id, not a scan).
+    val batchSets = shingleSets(hrI)
+    val sets = existingSets.select(col("doc_id"), col("sh")).unionByName(batchSets)
+    val withA = batchSets.select(col("doc_id").as("doc_new"), col("sh").as("sh_a"))
       .join(broadcast(cand), "doc_new")
     val full = sets.select(col("doc_id").as("doc_match"), col("sh").as("sh_b"))
       .join(broadcast(withA), "doc_match")

@@ -20,6 +20,16 @@ object Events {
 
   /** X5 — extract the integer property `$.k` from the JSON `props` column
     * and roll up by its value. Output: k, n_events, sum_value (4dp).
+    *
+    * `round` (not the floor-truncation used for ratios — TextOps.trunc4)
+    * is deliberate for SUMS: the ideal value of a sum of fixed-decimal
+    * inputs lies ON the 4dp grid, so the FP error lands strictly inside
+    * a grid cell and both engines round to the same grid point — while
+    * floor would sit exactly on the knife edge (1.23 computed as
+    * 1.229999…9 floors to 1.2299). Ratios are the opposite case:
+    * generically irrational, never on the grid, so floor is safe and
+    * round's half-grid boundary is the risk. Grid-valued → round;
+    * generic real → floor.
     */
   def jsonProps(events: DataFrame): DataFrame =
     events

@@ -75,6 +75,22 @@ class CorpusPrepSpec extends SparkSpec {
 
   // ---------------------------------------------------- nearDupIncremental
 
+  test("nearDupAgainstStore: signature tables round-trip through partitioned parquet") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val existing = d.where($"doc_id" % 10 < 8)
+    val incoming = d.where($"doc_id" % 10 >= 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigstore").toString
+    val hrE = Dedup.hashedShingleRows(existing)
+    Dedup.minhashBands(hrE).write.partitionBy("band_idx").parquet(s"$dir/bands")
+    Dedup.shingleSets(hrE).write.parquet(s"$dir/sets")
+    val viaStore = Dedup.nearDupAgainstStore(
+        spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/sets"), incoming)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val live = Dedup.nearDupIncremental(existing, incoming)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaStore === live)
+  }
+
   test("nearDupIncremental ≡ full-corpus pairs touching the incoming batch") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     def isNew(id: Long) = id % 10 >= 8
