@@ -215,6 +215,24 @@ object ExtQueries {
     "corpus_profile" -> ((s, dir) =>
       Corpus.corpusProfile(Tables.documents(s, dir)).orderBy("lang")),
 
+    // Corpus — composite Gopher-style quality-filter verdict with
+    // per-rule reasons.
+    "quality_filter" -> ((s, dir) =>
+      castLongs(Corpus.qualityFilter(Tables.documents(s, dir)), "n_tokens")
+        .orderBy("doc_id")),
+
+    // Corpus — deterministic shard-local training-sequence packing.
+    "pack_sequences" -> ((s, dir) =>
+      Corpus.packSequences(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Corpus — per-doc OOV rate vs the corpus top-32 vocabulary.
+    "vocab_coverage" -> ((s, dir) =>
+      Corpus.vocabCoverage(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Corpus — cross-document shingle novelty (first-seen fraction).
+    "shingle_novelty" -> ((s, dir) =>
+      Corpus.shingleNovelty(Tables.documents(s, dir)).orderBy("doc_id")),
+
     // X5 — JSON property extraction + rollup.
     "json_props" -> ((s, dir) =>
       Events.jsonProps(Tables.events(s, dir)).orderBy("k")),
@@ -491,6 +509,80 @@ object ExtQueries {
          |  floor(sum(n_chars)::DOUBLE / count(*) * 10000) / 10000 AS avg_chars,
          |  max(n_chars) AS max_chars
          |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  len(toks) AS n_tokens,
+         |  floor(list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) * 10000) / 10000
+         |    AS avg_token_len,
+         |  floor((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+         |    / length(text) * 10000) / 10000 AS punct_ratio,
+         |  floor(len(list_filter(toks, t -> t IN $stopEn))::DOUBLE / len(toks) * 10000) / 10000
+         |    AS stopword_ratio
+         |FROM t),
+         |bi AS (SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ')
+         |         for i in range(1, greatest(len(toks), 1))]) AS s
+         |       FROM t WHERE len(toks) > 1),
+         |c AS (SELECT doc_id, s, count(*) AS c FROM bi GROUP BY 1, 2),
+         |rep AS (SELECT doc_id,
+         |  floor((sum(c) - count(*))::DOUBLE / sum(c) * 10000) / 10000 AS dup_bigram_frac,
+         |  floor(max(c)::DOUBLE / sum(c) * 10000) / 10000 AS top_bigram_frac
+         |FROM c GROUP BY doc_id),
+         |j AS (SELECT s.doc_id, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+         |  coalesce(dup_bigram_frac, 0) AS dup_bigram_frac,
+         |  coalesce(top_bigram_frac, 0) AS top_bigram_frac
+         |FROM s LEFT JOIN rep USING (doc_id)),
+         |r AS (SELECT *, concat_ws(',',
+         |  CASE WHEN n_tokens < 20 THEN 'too_short' END,
+         |  CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+         |  CASE WHEN avg_token_len < 2.0 OR avg_token_len > 10.0 THEN 'token_len' END,
+         |  CASE WHEN punct_ratio > 0.3 THEN 'punct' END,
+         |  CASE WHEN stopword_ratio = 0 THEN 'no_stopword' END,
+         |  CASE WHEN dup_bigram_frac > 0.2 THEN 'dup_bigram' END,
+         |  CASE WHEN top_bigram_frac > 0.2 THEN 'top_bigram' END) AS reasons FROM j)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, avg_token_len,
+         |  punct_ratio, dup_bigram_frac, top_bigram_frac, reasons,
+         |  reasons = '' AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      s"""WITH b AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    ${hash60Sql("doc_id::VARCHAR")} % ${Corpus.PackShards} AS shard
+         |  FROM documents),
+         |w AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+         |    AS BIGINT) AS cum FROM b)
+         |SELECT shard, doc_id, n_tokens, cum - n_tokens AS start_offset,
+         |  (cum - n_tokens) // ${Corpus.SeqLen} AS seq_first,
+         |  (cum - 1) // ${Corpus.SeqLen} AS seq_last
+         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "vocab_coverage" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |v AS (SELECT token FROM tok GROUP BY token
+         |      ORDER BY count(*) DESC, token LIMIT ${Corpus.VocabSize})
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(count(v.token) AS BIGINT) AS n_in_vocab,
+         |  floor((count(*) - count(v.token))::DOUBLE / count(*) * 10000) / 10000
+         |    AS oov_frac
+         |FROM tok LEFT JOIN v ON tok.token = v.token
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "shingle_novelty" -> {
+      val k = Corpus.DecontamShingle
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, toks FROM t WHERE len(toks) >= $k),
+         |shg AS (SELECT DISTINCT doc_id,
+         |          ${hash60Sql(s"array_to_string(toks[i:i+${k - 1}], ' ')")} AS h
+         |        FROM p, unnest(range(1, len(toks) - ${k - 2})) AS u(i)),
+         |f AS (SELECT h, min(doc_id) AS first_doc FROM shg GROUP BY h)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  CAST(count(*) FILTER (first_doc = doc_id) AS BIGINT) AS n_novel,
+         |  floor((count(*) FILTER (first_doc = doc_id))::DOUBLE / count(*) * 10000) / 10000
+         |    AS novelty_frac
+         |FROM shg JOIN f USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "near_dup_simhash" -> {
       val bands = Dedup.SimhashBands

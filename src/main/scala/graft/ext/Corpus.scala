@@ -151,24 +151,28 @@ object Corpus {
     * per-doc count aggregate over only the matching rows. Shingles are
     * compared as [[Dedup.hash60]] longs, never strings.
     */
+  /** k-token shingle hashes as rows (doc_id, h) — the docChunks Generate
+    * pattern: posexplode the start positions, slice from the carried
+    * token array (copied per emitted row by Generate, not re-evaluated).
+    * Documents with fewer than k tokens contribute no rows. Shared by
+    * [[decontaminate]] and [[shingleNovelty]].
+    */
+  private[ext] def shingleHashes(df: DataFrame, k: Int): DataFrame =
+    df.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(1), size(col("toks")) - (k - 1))).as(Seq("ord", "i")))
+      .select(col("doc_id"),
+        Dedup.hash60(concat_ws(" ", slice(col("toks"), col("i"), lit(k)))).as("h"))
+
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
       k: Int = DecontamShingle): DataFrame = {
-    // k-token shingle hashes as rows (doc_id, h) — the docChunks Generate
-    // pattern: posexplode the start positions, slice from the carried
-    // token array (copied per emitted row by Generate, not re-evaluated).
-    def shingleHashes(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        .where(size(col("toks")) >= k)
-        .select(col("doc_id"), col("toks"),
-          posexplode(sequence(lit(1), size(col("toks")) - (k - 1))).as(Seq("ord", "i")))
-        .select(col("doc_id"),
-          Dedup.hash60(concat_ws(" ", slice(col("toks"), col("i"), lit(k)))).as("h"))
-    val bench = broadcast(shingleHashes(benchmark).select("h").distinct())
+    val bench = broadcast(shingleHashes(benchmark, k).select("h").distinct())
     // Join BEFORE the distinct: the broadcast-hash join filters the
     // corpus's shingle stream map-side, so the only rows that ever
     // shuffle are the (rare) matches — a distinct over all corpus
     // shingles first would shuffle the whole corpus's shingle set.
-    shingleHashes(corpus)
+    shingleHashes(corpus, k)
       .join(bench, "h")
       .distinct() // (doc_id, h): count each shared shingle once per doc
       .groupBy("doc_id")
@@ -224,6 +228,165 @@ object Corpus {
           % 100).as("bucket"))
       .where(col("bucket") < rate)
   }
+
+  /** Composite Gopher-style quality FILTER: the keep/drop verdict a
+    * training pipeline applies after computing the raw signals
+    * ([[TextOps.textStats]] + [[repetitionScore]]). A document is kept
+    * iff it fails no rule; failed rule names are reported (stable order,
+    * comma-joined) so downstream can audit per-rule kill rates. Rules
+    * (thresholds are the standard heuristic shapes, parameterized):
+    * too_short / too_long (token count), token_len (mean token length
+    * outside [minAvgLen, maxAvgLen]), punct (punctuation ratio),
+    * no_stopword (zero English stopword hits — the Gopher "must contain
+    * stop words" rule), dup_bigram / top_bigram (repetition fractions).
+    * Output: doc_id, n_tokens, avg_token_len, punct_ratio,
+    * dup_bigram_frac, top_bigram_frac, reasons, keep.
+    *
+    * Plan shape: two per-doc branches — textStats (pure map) and
+    * repetitionScore (two hash aggregates) — joined on doc_id; documents
+    * without bigrams left-join to zero fractions. Verdict logic is one
+    * codegen'd case chain; nothing here adds a shuffle beyond the
+    * repetition aggregates themselves. At 100 TB the filter composes
+    * with [[stratifiedSample]]/[[datasetSplit]] as pure per-doc maps
+    * over checkpointed signal tables.
+    */
+  def qualityFilter(docs: DataFrame,
+      minTokens: Int = 20, maxTokens: Int = 100000,
+      minAvgLen: Double = 2.0, maxAvgLen: Double = 10.0,
+      maxPunct: Double = 0.3,
+      maxDupBigram: Double = 0.2, maxTopBigram: Double = 0.2): DataFrame = {
+    val stats = TextOps.textStats(docs)
+      .select("doc_id", "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio")
+    val rep = repetitionScore(docs)
+      .select(col("doc_id"), col("dup_bigram_frac"), col("top_bigram_frac"))
+    // concat_ws skips NULLs (in both engines), so each rule contributes
+    // its name only when it fires and `reasons` is '' for clean docs.
+    val reasons = concat_ws(",",
+      when(col("n_tokens") < minTokens, "too_short"),
+      when(col("n_tokens") > maxTokens, "too_long"),
+      when(col("avg_token_len") < minAvgLen || col("avg_token_len") > maxAvgLen,
+        "token_len"),
+      when(col("punct_ratio") > maxPunct, "punct"),
+      when(col("stopword_ratio") === 0.0, "no_stopword"),
+      when(col("dup_bigram_frac") > maxDupBigram, "dup_bigram"),
+      when(col("top_bigram_frac") > maxTopBigram, "top_bigram"))
+    stats.join(rep, Seq("doc_id"), "left")
+      .na.fill(0.0, Seq("dup_bigram_frac", "top_bigram_frac"))
+      .withColumn("reasons", reasons)
+      .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
+        col("punct_ratio"), col("dup_bigram_frac"), col("top_bigram_frac"),
+        col("reasons"), (col("reasons") === "").as("keep"))
+  }
+
+  /** Training-sequence length and shard count for [[packSequences]]. */
+  val SeqLen = 1024
+  val PackShards = 8
+
+  /** Deterministic sequence packing: concatenate documents in doc_id
+    * order within each hash shard and cut the stream into fixed
+    * [[SeqLen]]-token training sequences — the "pack documents into
+    * context windows" step that turns a filtered corpus into model
+    * input. Each document's placement is summarized by its token offset
+    * within the shard stream and the first/last sequence it lands in
+    * (a document spanning a boundary contributes to both sequences —
+    * standard causal-LM packing with cross-doc attention masking left
+    * to the trainer). Output: shard, doc_id, n_tokens, start_offset,
+    * seq_first, seq_last.
+    *
+    * Scale design: packing is inherently sequential, so it is made
+    * PARALLEL BY SHARDING — the deterministic hash shard bounds each
+    * running-sum window to 1/[[PackShards]] of the corpus, and shards
+    * scale with the cluster (at 100 TB, thousands of shards = thousands
+    * of independent window partitions; the shard is also the natural
+    * output-file key). Within a shard the only cost is one window
+    * cumsum over integers — exact, reproducible, engine-portable.
+    */
+  def packSequences(docs: DataFrame, seqLen: Int = SeqLen,
+      shards: Int = PackShards): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    docs
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        (Dedup.hash60(col("doc_id").cast("string")) % shards).as("shard"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("shard"), col("doc_id"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_offset"),
+        expr(s"(cum - n_tokens) div $seqLen").as("seq_first"),
+        expr(s"(cum - 1) div $seqLen").as("seq_last"))
+  }
+
+  /** Vocabulary size for [[vocabCoverage]]: top-N corpus tokens. */
+  val VocabSize = 32
+
+  /** Per-document vocabulary coverage / OOV rate against the corpus
+    * top-[[VocabSize]] token vocabulary (count desc, token asc — the
+    * deterministic [[TextOps.wordFreq]] ranking). The tokenizer-fit
+    * signal of a training pipeline: documents with high OOV fractions
+    * against the working vocabulary are flagged for review or re-
+    * tokenization. Output: doc_id, n_tokens, n_in_vocab, oov_frac.
+    *
+    * Plan shape: the vocabulary is a bounded top-k (TakeOrderedAndProject
+    * → k rows) BROADCAST to a map-side hash join against the exploded
+    * token stream, then one per-doc aggregate — the corpus never
+    * shuffles for the lookup, exactly the decontaminate shape with the
+    * vocabulary standing in for the benchmark side.
+    */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = VocabSize): DataFrame = {
+    val vocab = broadcast(
+      TextOps.wordFreq(docs, vocabSize).select(col("token"), lit(1).as("in_v")))
+    docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .join(vocab, Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_v"), lit(0))).as("n_in_vocab"))
+      .select(col("doc_id"), col("n_tokens"), col("n_in_vocab"),
+        TextOps.trunc4((col("n_tokens") - col("n_in_vocab")) /
+          col("n_tokens").cast("double")).as("oov_frac"))
+  }
+
+  /** Per-document shingle NOVELTY: the fraction of a document's distinct
+    * [[DecontamShingle]]-token shingles whose FIRST occurrence (minimum
+    * doc_id) is this document — the cross-document repetition signal
+    * that catches boilerplate and template text which per-document
+    * repetition ([[repetitionScore]]) cannot see. Documents with fewer
+    * than k tokens have no shingles and are omitted. Output: doc_id,
+    * n_shingles, n_novel, novelty_frac.
+    *
+    * Plan shape: distinct (doc, shingle-hash) rows → one hash aggregate
+    * on h for the first-seen owner → join back on h → per-doc aggregate.
+    * All keys are 60-bit longs and every aggregate key space grows with
+    * the corpus; the join is hash-partitioned on h on both sides (same
+    * exchange), never broadcast — at 100 TB this is two shuffles of the
+    * shingle stream, the canonical "global n-gram table" shape.
+    */
+  def shingleNovelty(docs: DataFrame, k: Int = DecontamShingle): DataFrame = {
+    val sh = shingleHashes(docs, k).distinct()
+    val first = sh.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        TextOps.trunc4(col("n_novel") / col("n_shingles").cast("double"))
+          .as("novelty_frac"))
+  }
+
+  /** Sharded JSONL export — the standard interchange format of LLM
+    * training corpora (one JSON object per line, gzip, one directory per
+    * deterministic hash shard). The shard column is the same stable
+    * [[Dedup.hash60]] bucketing as [[packSequences]], so export shards
+    * align with packing shards; `repartition(shard)` makes each shard
+    * exactly one task's output (at 100 TB: raise `shards`, not file
+    * counts per shard — the layout stays one-level). Side-effecting
+    * sink, spec-verified by round-trip ([NQ] per SURVEY §2 conventions).
+    */
+  def exportJsonl(docs: DataFrame, path: String, shards: Int = PackShards): Unit =
+    docs
+      .withColumn("shard", Dedup.hash60(col("doc_id").cast("string")) % shards)
+      .repartition(col("shard"))
+      .write.partitionBy("shard").mode("overwrite")
+      .option("compression", "gzip")
+      .json(path)
 
   def corpusProfile(docs: DataFrame): DataFrame = {
     val base = docs.select(

@@ -1,0 +1,106 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Specs for the corpus filtering/packing additions: quality filter,
+  * sequence packing, vocabulary coverage, shingle novelty, JSONL export.
+  */
+class CorpusFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, "en") }.toDF("doc_id", "text", "lang")
+
+  // ---------------------------------------------------------- qualityFilter
+
+  test("qualityFilter keeps a clean doc, names the failed rules otherwise") {
+    val clean = "the alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango " +
+      "uniform victor whiskey" // 24 tokens, has a stopword, all bigrams distinct
+    val repeated = Seq.fill(30)("the").mkString(" ") // all bigrams identical
+    val out = Corpus.qualityFilter(docs(
+        (1L, clean), (2L, repeated), (3L, "zulu yankee xray")))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("reasons"), r.getAs[Boolean]("keep")))
+    assert(out(0) === ((1L, "", true)))
+    assert(out(1) === ((2L, "dup_bigram,top_bigram", false)))
+    val (id3, reasons3, keep3) = out(2)
+    assert(id3 === 3L && !keep3)
+    assert(reasons3.split(",").contains("too_short"))
+    assert(reasons3.split(",").contains("no_stopword"))
+  }
+
+  // ---------------------------------------------------------- packSequences
+
+  test("packSequences: offsets and sequence spans are exact running sums") {
+    val out = Corpus.packSequences(docs(
+        (1L, (1 to 4).map(i => s"t$i").mkString(" ")),   // 4 tokens
+        (2L, (1 to 8).map(i => s"u$i").mkString(" ")),   // 8 tokens
+        (3L, (1 to 7).map(i => s"v$i").mkString(" "))),  // 7 tokens
+        seqLen = 10, shards = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      (1L, 4L, 0L, 0L, 0L),    // tokens [0, 4)   → seq 0 only
+      (2L, 8L, 4L, 0L, 1L),    // tokens [4, 12)  → spans the seq 0/1 cut
+      (3L, 7L, 12L, 1L, 1L)))  // tokens [12, 19) → seq 1 only
+  }
+
+  test("packSequences shards partition the corpus and offsets are per-shard") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val packed = Corpus.packSequences(d)
+    assert(packed.count() === d.count())
+    // Within each shard, every document's start_offset equals the sum of
+    // the earlier (by doc_id) documents' token counts.
+    val rows = packed.orderBy("shard", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).values.foreach { shardRows =>
+      var cum = 0L
+      shardRows.foreach { case (_, n, start) =>
+        assert(start === cum); cum += n
+      }
+    }
+  }
+
+  // ---------------------------------------------------------- vocabCoverage
+
+  test("vocabCoverage counts in-vocabulary tokens against the top-k list") {
+    val out = Corpus.vocabCoverage(
+        docs((1L, "a a b"), (2L, "c d")), vocabSize = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // Vocabulary = {a (count 2), b (count 1, ties broken token-asc)}.
+    assert(out.toSeq === Seq((1L, 3L, 3L, 0.0), (2L, 2L, 0L, 1.0)))
+  }
+
+  // --------------------------------------------------------- shingleNovelty
+
+  test("shingleNovelty attributes first occurrence to the smallest doc_id") {
+    val out = Corpus.shingleNovelty(
+        docs((1L, "a b c"), (2L, "a b d")), k = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // doc 1 owns {a b, b c}; doc 2 shares "a b", owns "b d".
+    assert(out.toSeq === Seq((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5)))
+  }
+
+  // ----------------------------------------------------------- exportJsonl
+
+  test("exportJsonl round-trips through sharded gzip JSON lines") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "lang", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    Corpus.exportJsonl(d, dir, shards = 4)
+    val back = spark.read.json(dir)
+    assert(back.count() === d.count())
+    // Hive-style shard directories exist and carry gzip part files.
+    val shardDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(shardDirs.nonEmpty && shardDirs.forall(_.matches("shard=\\d")))
+    // Content round-trips (doc_id → text).
+    val orig = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = back.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(got === orig)
+  }
+}
