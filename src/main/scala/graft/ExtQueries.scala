@@ -300,6 +300,14 @@ object ExtQueries {
     "embedding_near_dup" -> ((s, dir) =>
       Similarity.nearDupCosine(Tables.embeddings(s, dir)).orderBy("vec_a", "vec_b")),
 
+    // X3 — per-(label, dim) centroid components (exact-decimal mean).
+    "label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(Tables.embeddings(s, dir)).orderBy("label", "dim")),
+
+    // X3 — per-label cohesion: mean/min cosine to the label centroid.
+    "label_cohesion" -> ((s, dir) =>
+      Similarity.labelCohesion(Tables.embeddings(s, dir)).orderBy("label")),
+
     // Multimodal — binary payload + stubbed decode, expression variant.
     "multimodal_features" -> ((s, dir) =>
       castLongs(Multimodal.featurizeExpr(Tables.documents(s, dir)), "n_bytes")
@@ -721,6 +729,40 @@ object ExtQueries {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE cosine >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "label_centroids" ->
+      s"""WITH cx AS (SELECT label, i - 1 AS dim, embedding[i]::DOUBLE AS x
+         |       FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+         |cs AS (SELECT label, dim, sum(x::DECIMAL(30,10)) AS sx, count(*) AS n_vecs
+         |       FROM cx GROUP BY 1, 2)
+         |SELECT label, dim, n_vecs,
+         |  floor(sx::DOUBLE / n_vecs * 1000000) / 1000000 AS centroid_val
+         |FROM cs ORDER BY label, dim""".stripMargin,
+
+    "label_cohesion" ->
+      s"""WITH cx AS (SELECT label, i - 1 AS dim, embedding[i]::DOUBLE AS x
+         |       FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+         |cs AS (SELECT label, dim, sum(x::DECIMAL(30,10)) AS sx, count(*) AS n_vecs
+         |       FROM cx GROUP BY 1, 2),
+         |cent AS (SELECT label,
+         |    list((floor(sx::DOUBLE / n_vecs * 1000000) / 1000000)::FLOAT ORDER BY dim)
+         |      AS cen
+         |  FROM cs GROUP BY label),
+         |j AS (SELECT e.label,
+         |  floor(
+         |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |      i -> e.embedding[i]::DOUBLE * cen[i]::DOUBLE)) /
+         |    (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+         |     sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |      i -> cen[i]::DOUBLE * cen[i]::DOUBLE))))
+         |    * 1000000) / 1000000 AS cos_c
+         |  FROM embeddings e JOIN cent USING (label))
+         |SELECT label, count(*) AS n_vecs,
+         |  floor(sum(cos_c::DECIMAL(20,10))::DOUBLE / count(*) * 1000000) / 1000000
+         |    AS avg_cos,
+         |  min(cos_c) AS min_cos
+         |FROM j GROUP BY label ORDER BY label""".stripMargin,
 
     "multimodal_features" ->
       s"""SELECT doc_id,

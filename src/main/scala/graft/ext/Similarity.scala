@@ -133,6 +133,63 @@ object Similarity {
           cos6.as("cosine")),
       k)
 
+  /** Per-(label, dimension) centroid components — mean pooling over each
+    * cell's vectors, the Lloyd's-iteration / cluster-profile primitive of
+    * an embedding pipeline. Output: label, dim, n_vecs, centroid_val
+    * (truncated 6dp).
+    *
+    * Determinism at scale: a double sum's value depends on accumulation
+    * order, and Spark's partial-aggregate order is nondeterministic — so
+    * components are summed as DECIMAL(30,10) (each float rounded once to
+    * 10dp, then summed EXACTLY). Decimal addition is associative, so the
+    * mean is bit-identical regardless of partitioning, run-to-run and
+    * engine-to-engine. Plan shape: posexplode → one hash aggregate on
+    * (label, dim) — key space = |labels|·dims, the map side combines, and
+    * no row ever carries more than one component. At 100 TB this is the
+    * canonical distributed mean: one shuffle of |labels|·dims·partitions
+    * partial rows.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(sum(col("x").cast("double").cast("decimal(30,10)")).as("sx"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("dim").cast("long").as("dim"), col("n_vecs"),
+        TextOps.trunc6(col("sx").cast("double") / col("n_vecs")).as("centroid_val"))
+
+  /** Per-label cluster cohesion: each vector's cosine to its label
+    * centroid (assembled from [[labelCentroids]], cast to float so the
+    * codegen'd [[CosineSimilarity]] kernel applies), aggregated to the
+    * label's member count, mean and minimum cosine — the cluster-quality
+    * gate run after any reclustering, and the assign-score of one k-means
+    * step. Output: label, n_vecs, avg_cos, min_cos.
+    *
+    * The centroid table is |labels|·dims rows — broadcast by
+    * construction, never corpus-sized. The mean cosine uses the same
+    * exact-decimal trick as [[labelCentroids]] (cosines are 6dp-truncated
+    * first, so the 10dp decimal cast is exact on both engines); min needs
+    * no such care. One aggregate on label after a map-side broadcast
+    * join: the corpus contributes a single scan.
+    */
+  def labelCohesion(embeddings: DataFrame): DataFrame = {
+    val cent = labelCentroids(embeddings)
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("centroid_val")))),
+        s => s.getField("centroid_val").cast("float")).as("centroid"))
+    embeddings.join(broadcast(cent), "label")
+      .select(col("label"),
+        TextOps.trunc6(CosineSimilarity(col("embedding"), col("centroid"))).as("cos_c"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("cos_c").cast("decimal(20,10)")).as("sc"),
+        min(col("cos_c")).as("min_cos"))
+      .select(col("label"), col("n_vecs"),
+        TextOps.trunc6(col("sc").cast("double") / col("n_vecs")).as("avg_cos"),
+        col("min_cos"))
+  }
+
   /** Embedding-cosine near-dup pairs: all pairs with cosine ≥ threshold,
     * candidates blocked on the cell id. Output: vec_a, vec_b, cosine.
     *
