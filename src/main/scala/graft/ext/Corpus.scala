@@ -352,17 +352,19 @@ object Corpus {
     * than k tokens have no shingles and are omitted. Output: doc_id,
     * n_shingles, n_novel, novelty_frac.
     *
-    * Plan shape: distinct (doc, shingle-hash) rows → one hash aggregate
-    * on h for the first-seen owner → join back on h → per-doc aggregate.
-    * All keys are 60-bit longs and every aggregate key space grows with
-    * the corpus; the join is hash-partitioned on h on both sides (same
-    * exchange), never broadcast — at 100 TB this is two shuffles of the
-    * shingle stream, the canonical "global n-gram table" shape.
+    * Plan shape: distinct (doc, shingle-hash) rows → a window `min` over
+    * h for the first-seen owner → per-doc aggregate. The window form
+    * computes the shingle stream ONCE (a self-join formulation scans and
+    * re-shingles the corpus twice, and at toy scale the planner even
+    * broadcasts the corpus-sized first-seen table); all keys are 60-bit
+    * longs, every exchange key space grows with the corpus, nothing is
+    * broadcast — at 100 TB this is three shuffles of the shingle stream
+    * (dedup, h-window, doc rollup), the canonical "global n-gram table"
+    * shape.
     */
   def shingleNovelty(docs: DataFrame, k: Int = DecontamShingle): DataFrame = {
     val sh = shingleHashes(docs, k).distinct()
-    val first = sh.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
-    sh.join(first, "h")
+    sh.withColumn("first_doc", min(col("doc_id")).over(Window.partitionBy("h")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
