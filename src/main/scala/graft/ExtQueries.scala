@@ -72,7 +72,7 @@ object ExtQueries {
     * corpus serves both the full-corpus pairing and the incremental
     * (existing/incoming split) pairing.
     */
-  private lazy val minhashBaseCtes: String = {
+  private def minhashBaseCtes(src: String = "documents"): String = {
     val rows = Dedup.SigCount / Dedup.BandCount
     val sigList = minhashSqls.zipWithIndex
       .map { case (m, i) => s"$m AS sig$i" }.mkString(",\n  ")
@@ -82,7 +82,7 @@ object ExtQueries {
       (0 until rows).map(r => s"sig${j * rows + r}")
         .reduce((acc, s) => s"($acc * ${Dedup.Prime} + $s)")
     }.mkString("[", ", ", "]")
-    s"""tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+    s"""tok AS (SELECT doc_id, $toksSql AS t FROM $src),
        |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM tok WHERE len(t) > 0),
        |hh AS (SELECT doc_id,
        |         list_sort(list_distinct(list_transform(shingles,
@@ -113,13 +113,66 @@ object ExtQueries {
     * directly; `dup_groups` appends the recursive connected-components
     * CTEs on top.
     */
-  private lazy val minhashCtes: String =
-    s"""$minhashBaseCtes,
+  private def minhashCtes(src: String = "documents"): String =
+    s"""${minhashBaseCtes(src)},
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bd a JOIN bd b
        |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        |          AND a.doc_id < b.doc_id),
        |${verifiedPairsCte("vp", "doc_a", "doc_b")}""".stripMargin
+
+  /** Connected-components CTEs over the `vp` verified-pair graph ending
+    * in `lbl(doc_id, group_id)` — the recursive reachability closure
+    * (UNION dedups, so it terminates) with min reachable id as label.
+    * Shared by `dup_groups` and `corpus_manifest`.
+    */
+  private val dupGroupCtes: String =
+    """e AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+      |      UNION ALL SELECT doc_b, doc_a FROM vp),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+      |),
+      |lbl AS (SELECT src AS doc_id, least(src, min(dst)) AS group_id
+      |        FROM reach GROUP BY src)""".stripMargin
+
+  /** Quality-filter CTE chain over `src` ending in `qf(doc_id, n_tokens,
+    * avg_token_len, punct_ratio, stopword_ratio, dup_bigram_frac,
+    * top_bigram_frac, reasons)` — shared by `quality_filter` and
+    * `corpus_manifest`. Thresholds mirror Corpus.qualityFilter defaults.
+    */
+  private def qualityCtes(src: String): String =
+    s"""qt AS (SELECT doc_id, text, $toksSql AS toks FROM $src),
+       |qs AS (SELECT doc_id,
+       |  len(toks) AS n_tokens,
+       |  floor(list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) * 10000) / 10000
+       |    AS avg_token_len,
+       |  floor((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+       |    / length(text) * 10000) / 10000 AS punct_ratio,
+       |  floor(len(list_filter(toks, t -> t IN $stopEn))::DOUBLE / len(toks) * 10000) / 10000
+       |    AS stopword_ratio
+       |FROM qt),
+       |qbi AS (SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ')
+       |         for i in range(1, greatest(len(toks), 1))]) AS s
+       |       FROM qt WHERE len(toks) > 1),
+       |qc AS (SELECT doc_id, s, count(*) AS c FROM qbi GROUP BY 1, 2),
+       |qrep AS (SELECT doc_id,
+       |  floor((sum(c) - count(*))::DOUBLE / sum(c) * 10000) / 10000 AS dup_bigram_frac,
+       |  floor(max(c)::DOUBLE / sum(c) * 10000) / 10000 AS top_bigram_frac
+       |FROM qc GROUP BY doc_id),
+       |qj AS (SELECT qs.doc_id, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+       |  coalesce(dup_bigram_frac, 0) AS dup_bigram_frac,
+       |  coalesce(top_bigram_frac, 0) AS top_bigram_frac
+       |FROM qs LEFT JOIN qrep USING (doc_id)),
+       |qf AS (SELECT *, concat_ws(',',
+       |  CASE WHEN n_tokens < 20 THEN 'too_short' END,
+       |  CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+       |  CASE WHEN avg_token_len < 2.0 OR avg_token_len > 10.0 THEN 'token_len' END,
+       |  CASE WHEN punct_ratio > 0.3 THEN 'punct' END,
+       |  CASE WHEN stopword_ratio = 0 THEN 'no_stopword' END,
+       |  CASE WHEN dup_bigram_frac > 0.2 THEN 'dup_bigram' END,
+       |  CASE WHEN top_bigram_frac > 0.2 THEN 'top_bigram' END) AS reasons FROM qj)""".stripMargin
 
   // queries ----------------------------------------------------------------
 
@@ -232,6 +285,16 @@ object ExtQueries {
     // Corpus — cross-document shingle novelty (first-seen fraction).
     "shingle_novelty" -> ((s, dir) =>
       Corpus.shingleNovelty(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Corpus — end-to-end keep/drop manifest (quality ∧ exact-dup ∧
+    // near-dup-group ∧ decontamination), corpus = doc_id % 20 != 0.
+    "corpus_manifest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Corpus.corpusManifest(
+        docs.where(pmod(col("doc_id"), lit(20)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(20)) === 0))
+        .orderBy("doc_id")
+    }),
 
     // X5 — JSON property extraction + rollup.
     "json_props" -> ((s, dir) =>
@@ -396,24 +459,14 @@ object ExtQueries {
          |SELECT doc_id, content_key, group_size FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "near_dup_minhash" ->
-      s"""WITH $minhashCtes
+      s"""WITH ${minhashCtes()}
          |SELECT doc_a, doc_b, jaccard FROM vp
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    // Connected components over the vp pair graph: the recursive CTE
-    // closes reachability (UNION dedups, so it terminates), then each
-    // node's component label is the minimum reachable id.
+    // Connected components over the vp pair graph ([[dupGroupCtes]]).
     "dup_groups" ->
-      s"""WITH RECURSIVE $minhashCtes,
-         |e AS (SELECT doc_a AS src, doc_b AS dst FROM vp
-         |      UNION ALL SELECT doc_b, doc_a FROM vp),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM e
-         |  UNION
-         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
-         |),
-         |lbl AS (SELECT src AS doc_id, least(src, min(dst)) AS group_id
-         |        FROM reach GROUP BY src)
+      s"""WITH RECURSIVE ${minhashCtes()},
+         |$dupGroupCtes
          |SELECT doc_id, group_id,
          |  count(*) OVER (PARTITION BY group_id) AS group_size
          |FROM lbl ORDER BY doc_id""".stripMargin,
@@ -422,7 +475,7 @@ object ExtQueries {
     // existing docs (any id order) or earlier incoming docs — existing ×
     // existing pairs never form, mirroring Dedup.nearDupIncremental.
     "dedup_incremental" ->
-      s"""WITH $minhashBaseCtes,
+      s"""WITH ${minhashBaseCtes()},
          |cand AS (SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_match
          |         FROM bd a JOIN bd b
          |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
@@ -519,40 +572,47 @@ object ExtQueries {
          |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
     "quality_filter" ->
-      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
-         |s AS (SELECT doc_id,
-         |  len(toks) AS n_tokens,
-         |  floor(list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) * 10000) / 10000
-         |    AS avg_token_len,
-         |  floor((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
-         |    / length(text) * 10000) / 10000 AS punct_ratio,
-         |  floor(len(list_filter(toks, t -> t IN $stopEn))::DOUBLE / len(toks) * 10000) / 10000
-         |    AS stopword_ratio
-         |FROM t),
-         |bi AS (SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ')
-         |         for i in range(1, greatest(len(toks), 1))]) AS s
-         |       FROM t WHERE len(toks) > 1),
-         |c AS (SELECT doc_id, s, count(*) AS c FROM bi GROUP BY 1, 2),
-         |rep AS (SELECT doc_id,
-         |  floor((sum(c) - count(*))::DOUBLE / sum(c) * 10000) / 10000 AS dup_bigram_frac,
-         |  floor(max(c)::DOUBLE / sum(c) * 10000) / 10000 AS top_bigram_frac
-         |FROM c GROUP BY doc_id),
-         |j AS (SELECT s.doc_id, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
-         |  coalesce(dup_bigram_frac, 0) AS dup_bigram_frac,
-         |  coalesce(top_bigram_frac, 0) AS top_bigram_frac
-         |FROM s LEFT JOIN rep USING (doc_id)),
-         |r AS (SELECT *, concat_ws(',',
-         |  CASE WHEN n_tokens < 20 THEN 'too_short' END,
-         |  CASE WHEN n_tokens > 100000 THEN 'too_long' END,
-         |  CASE WHEN avg_token_len < 2.0 OR avg_token_len > 10.0 THEN 'token_len' END,
-         |  CASE WHEN punct_ratio > 0.3 THEN 'punct' END,
-         |  CASE WHEN stopword_ratio = 0 THEN 'no_stopword' END,
-         |  CASE WHEN dup_bigram_frac > 0.2 THEN 'dup_bigram' END,
-         |  CASE WHEN top_bigram_frac > 0.2 THEN 'top_bigram' END) AS reasons FROM j)
+      s"""WITH ${qualityCtes("documents")}
          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, avg_token_len,
          |  punct_ratio, dup_bigram_frac, top_bigram_frac, reasons,
          |  reasons = '' AS keep
-         |FROM r ORDER BY doc_id""".stripMargin,
+         |FROM qf ORDER BY doc_id""".stripMargin,
+
+    // End-to-end manifest: quality rules + exact-dup survivorship +
+    // near-dup group representative + benchmark contamination, over the
+    // doc_id % 20 != 0 training corpus (the % 20 = 0 subset is the
+    // benchmark side, matching the decontaminate convention).
+    "corpus_manifest" -> {
+      val k = Corpus.DecontamShingle
+      s"""WITH RECURSIVE corpus AS (SELECT * FROM documents WHERE doc_id % 20 != 0),
+         |${qualityCtes("corpus")},
+         |${minhashCtes("corpus")},
+         |$dupGroupCtes,
+         |ex AS (SELECT doc_id, row_number() OVER (
+         |         PARTITION BY md5($normSql) ORDER BY doc_id) AS rn FROM corpus),
+         |dt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |dp AS (SELECT doc_id, toks FROM dt WHERE len(toks) >= $k),
+         |dshg AS (SELECT doc_id,
+         |          ${hash60Sql(s"array_to_string(toks[i:i+${k - 1}], ' ')")} AS h
+         |        FROM dp, unnest(range(1, len(toks) - ${k - 2})) AS u(i)),
+         |dbench AS (SELECT DISTINCT h FROM dshg WHERE doc_id % 20 = 0),
+         |dct AS (SELECT DISTINCT s.doc_id FROM dshg s JOIN dbench USING (h)
+         |        WHERE s.doc_id % 20 != 0),
+         |m AS (SELECT c.doc_id,
+         |  concat_ws(',',
+         |    CASE WHEN qf.reasons != '' THEN qf.reasons END,
+         |    CASE WHEN ex.rn != 1 THEN 'exact_dup' END,
+         |    CASE WHEN lbl.group_id IS NOT NULL AND lbl.group_id != c.doc_id
+         |         THEN 'near_dup' END,
+         |    CASE WHEN dct.doc_id IS NOT NULL THEN 'contaminated' END) AS reasons
+         |FROM corpus c
+         |JOIN qf ON qf.doc_id = c.doc_id
+         |JOIN ex ON ex.doc_id = c.doc_id
+         |LEFT JOIN lbl ON lbl.doc_id = c.doc_id
+         |LEFT JOIN dct ON dct.doc_id = c.doc_id)
+         |SELECT doc_id, reasons, reasons = '' AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
 
     "pack_sequences" ->
       s"""WITH b AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,

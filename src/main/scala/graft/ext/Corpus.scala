@@ -373,6 +373,41 @@ object Corpus {
           .as("novelty_frac"))
   }
 
+  /** End-to-end corpus MANIFEST: the per-document keep/drop decision
+    * table a training pipeline materializes before export — the
+    * composition of the whole prep family. A document is dropped for any
+    * of: failing a [[qualityFilter]] rule (the rule names carry over),
+    * being a non-survivor exact duplicate (`exact_dup` — [[Dedup.exact]]
+    * keeps the smallest doc_id per content key), belonging to a MinHash
+    * near-dup group without being its representative (`near_dup` — the
+    * [[Dedup.dupGroups]] min-id convention, so exactly one doc per group
+    * survives), or sharing an 8-token shingle with the benchmark set
+    * (`contaminated` — [[decontaminate]]). Output: doc_id, reasons, keep.
+    *
+    * Plan shape: four per-doc verdict tables left-joined on doc_id — each
+    * component keeps its own documented scale shape; the joins are
+    * doc_id-partitioned merges of corpus-sized but narrow (id + flag)
+    * frames. At 100 TB each component would be checkpointed and the
+    * manifest is one multi-way join on the stored tables.
+    */
+  def corpusManifest(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val q = qualityFilter(corpus).select(col("doc_id"), col("reasons").as("q_reasons"))
+    val survivors = Dedup.exact(corpus).select(col("doc_id"), lit(true).as("is_survivor"))
+    val groups = Dedup.dupGroups(corpus, threshold).select(col("doc_id"), col("group_id"))
+    val contam = decontaminate(corpus, benchmark)
+      .select(col("doc_id"), lit(true).as("contaminated"))
+    q.join(survivors, Seq("doc_id"), "left")
+      .join(groups, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("reasons", concat_ws(",",
+        when(col("q_reasons") =!= "", col("q_reasons")),
+        when(col("is_survivor").isNull, "exact_dup"),
+        when(col("group_id").isNotNull && col("group_id") =!= col("doc_id"), "near_dup"),
+        when(col("contaminated").isNotNull, "contaminated")))
+      .select(col("doc_id"), col("reasons"), (col("reasons") === "").as("keep"))
+  }
+
   /** Sharded JSONL export — the standard interchange format of LLM
     * training corpora (one JSON object per line, gzip, one directory per
     * deterministic hash shard). The shard column is the same stable

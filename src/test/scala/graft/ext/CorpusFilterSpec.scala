@@ -84,6 +84,26 @@ class CorpusFilterSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5)))
   }
 
+  // -------------------------------------------------------- corpusManifest
+
+  test("corpusManifest agrees with its component operators") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = d.where($"doc_id" % 20 =!= 0)
+    val bench = d.where($"doc_id" % 20 === 0)
+    val m = Corpus.corpusManifest(corpus, bench).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(m.length === corpus.count())
+    m.foreach { case (_, reasons, keep) => assert(keep === reasons.isEmpty) }
+    val flagged = m.map { case (id, r, _) => id -> r.split(",").toSet }.toMap
+    // near_dup ⟺ non-representative member of a dupGroups component.
+    val nonRep = Dedup.dupGroups(corpus).collect()
+      .filter(r => r.getLong(1) != r.getLong(0)).map(_.getLong(0)).toSet
+    assert(flagged.filter(_._2.contains("near_dup")).keySet === nonRep)
+    // contaminated ⟺ decontaminate hit.
+    val contam = Corpus.decontaminate(corpus, bench).collect().map(_.getLong(0)).toSet
+    assert(flagged.filter(_._2.contains("contaminated")).keySet === contam)
+  }
+
   // ----------------------------------------------------------- exportJsonl
 
   test("exportJsonl round-trips through sharded gzip JSON lines") {
