@@ -147,6 +147,45 @@ object StreamingOps {
           batchId)
       }
 
+  /** Streaming corpus INGEST — the end-to-end prep gate run per arriving
+    * micro-batch of documents, composing the batch operators the way a
+    * production feed would: quality-filter the batch
+    * ([[graft.ext.Corpus.qualityFilter]]), dedupe only the quality
+    * keepers against the existing corpus and within the batch
+    * ([[graft.ext.Dedup.nearDupIncremental]] — drop-then-dedup, so
+    * rejected docs never pay signature cost), and hand the sink one
+    * MANIFEST row per document (doc_id, reasons, keep) — the streaming
+    * twin of the batch `corpus_manifest`.
+    *
+    * The caller's `sink` owns committing accepted documents (and their
+    * signatures) to the store; `existingDocs` is the per-batch re-read of
+    * that store, exactly the [[incrementalDedupStream]] contract — so
+    * verdicts are independent of how the stream is cut into batches, and
+    * per-batch cost is O(batch + collisions), never O(corpus).
+    */
+  def corpusIngestStream(incoming: DataFrame,
+      existingDocs: () => DataFrame,
+      sink: (DataFrame, Long) => Unit,
+      threshold: Double = 0.5): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    incoming.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val q = graft.ext.Corpus.qualityFilter(batch)
+          .select(col("doc_id"), col("reasons"), col("keep"))
+        val kept = batch.join(q.where(col("keep")).select("doc_id"), "doc_id")
+        val dupIds = graft.ext.Dedup
+          .nearDupIncremental(existingDocs(), kept, threshold)
+          .select(col("doc_new").as("doc_id")).distinct()
+          .withColumn("is_dup", lit(true))
+        val manifest = q.join(dupIds, Seq("doc_id"), "left")
+          .withColumn("reasons", concat_ws(",",
+            when(col("reasons") =!= "", col("reasons")),
+            when(col("is_dup").isNotNull, "near_dup")))
+          .select(col("doc_id"), col("reasons"),
+            (col("reasons") === "").as("keep"))
+        sink(manifest, batchId)
+      }
+
   /** Per-user state transition; also invoked on event-time timeout with
     * an empty iterator.
     */

@@ -120,6 +120,39 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus ingest: quality gate + cross-batch dedup manifest") {
+    implicit val sqlCtx = spark.sqlContext
+    // Quality-passing texts: ≥20 tokens, a stopword, no repetition.
+    val wordsA = "the " + (1 to 24).map(i => s"w$i").mkString(" ")
+    val cleanB = "a " + (1 to 24).map(i => s"q$i").mkString(" ")
+    val store = scala.collection.mutable.ArrayBuffer(Doc(1L, wordsA, "en"))
+    val results = scala.collection.mutable.Map.empty[Long, Map[Long, (String, Boolean)]]
+    val mem = MemoryStream[Doc]
+    val writer = StreamingOps.corpusIngestStream(
+      mem.toDF(),
+      () => store.toSeq.toDF(),
+      (manifest, id) => results(id) = manifest.collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap)
+    val q = writer.start()
+    try {
+      val b1 = Seq(
+        Doc(10L, wordsA + " extra", "en"), // near-dup of STORE doc 1
+        Doc(11L, cleanB, "en"),            // clean keeper
+        Doc(12L, "x y z", "en"))           // fails quality, never deduped
+      mem.addData(b1: _*); q.processAllAvailable()
+      store ++= b1.filter(d => results(0L)(d.doc_id)._2) // commit keepers
+      val b2 = Seq(Doc(20L, cleanB + " qtail", "en")) // near-dup of STREAM doc 11
+      mem.addData(b2: _*); q.processAllAvailable()
+
+      assert(results(0L)(10L) === (("near_dup", false)))
+      assert(results(0L)(11L) === (("", true)))
+      val (r12, k12) = results(0L)(12L)
+      assert(!k12 && r12.split(",").contains("too_short"))
+      // Catching 20 ≈ 11 requires the store to have grown after batch 1.
+      assert(results(1L)(20L) === (("near_dup", false)))
+    } finally q.stop()
+  }
+
   test("streaming attribution matches the batch as-of join once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
