@@ -371,6 +371,10 @@ object ExtQueries {
     "label_cohesion" -> ((s, dir) =>
       Similarity.labelCohesion(Tables.embeddings(s, dir)).orderBy("label")),
 
+    // X3 — one k-means assignment step against the label centroids.
+    "kmeans_assign" -> ((s, dir) =>
+      Similarity.kmeansAssign(Tables.embeddings(s, dir)).orderBy("vec_id")),
+
     // Multimodal — binary payload + stubbed decode, expression variant.
     "multimodal_features" -> ((s, dir) =>
       castLongs(Multimodal.featurizeExpr(Tables.documents(s, dir)), "n_bytes")
@@ -789,6 +793,31 @@ object ExtQueries {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE cosine >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "kmeans_assign" ->
+      s"""WITH cx AS (SELECT label, i - 1 AS dim, embedding[i]::DOUBLE AS x
+         |       FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+         |cs AS (SELECT label, dim, sum(x::DECIMAL(30,10)) AS sx, count(*) AS n_vecs
+         |       FROM cx GROUP BY 1, 2),
+         |cent AS (SELECT label AS c_label,
+         |    list((floor(sx::DOUBLE / n_vecs * 1000000) / 1000000)::FLOAT ORDER BY dim)
+         |      AS cen
+         |  FROM cs GROUP BY label),
+         |p AS (SELECT e.vec_id, e.label, cent.c_label,
+         |  floor(
+         |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |      i -> e.embedding[i]::DOUBLE * cen[i]::DOUBLE)) /
+         |    (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+         |     sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |      i -> cen[i]::DOUBLE * cen[i]::DOUBLE))))
+         |    * 1000000) / 1000000 AS cos
+         |  FROM embeddings e CROSS JOIN cent),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cos DESC, c_label) AS rn FROM p)
+         |SELECT vec_id, label, c_label AS new_label, cos,
+         |  c_label != label AS moved
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "label_centroids" ->
       s"""WITH cx AS (SELECT label, i - 1 AS dim, embedding[i]::DOUBLE AS x

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{CosineSimilarity, TopKByScore}
@@ -188,6 +189,41 @@ object Similarity {
       .select(col("label"), col("n_vecs"),
         TextOps.trunc6(col("sc").cast("double") / col("n_vecs")).as("avg_cos"),
         col("min_cos"))
+  }
+
+  /** One Lloyd's-style assignment step: each vector is (re)assigned to
+    * the label whose [[labelCentroids]] centroid it is most cosine-
+    * similar to — with [[labelCentroids]] itself this closes the k-means
+    * loop (assign → re-average → repeat), and run once it audits how
+    * well the current cell assignment fits the data (`moved` = vectors
+    * whose best centroid is not their current cell). Output: vec_id,
+    * label, new_label, cos (similarity to the winning centroid,
+    * truncated 6dp), moved.
+    *
+    * Ties break on the smaller label (row_number over cos desc, label
+    * asc) — the cosines on both engines are bit-identical (same
+    * index-order kernel), so the argmax is deterministic. Plan shape:
+    * the corpus joins the broadcast |labels|·dims centroid table
+    * (|labels| rows per vector, never a corpus shuffle) and the
+    * per-vector argmax is a window over ≤ |labels| rows — at 100 TB
+    * this is one scan plus a bounded-width window, the standard
+    * distributed k-means assignment.
+    */
+  def kmeansAssign(embeddings: DataFrame): DataFrame = {
+    val cent = labelCentroids(embeddings)
+      .groupBy(col("label").as("c_label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("centroid_val")))),
+        s => s.getField("centroid_val").cast("float")).as("centroid"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("c_label"))
+    embeddings.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        TextOps.trunc6(CosineSimilarity(col("embedding"), col("centroid"))).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("c_label").as("new_label"),
+        col("cos"), (col("c_label") =!= col("label")).as("moved"))
   }
 
   /** Embedding-cosine near-dup pairs: all pairs with cosine ≥ threshold,

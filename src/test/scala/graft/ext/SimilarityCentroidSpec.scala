@@ -30,6 +30,18 @@ class SimilarityCentroidSpec extends SparkSpec {
       (1, 1L, 1.0, 1.0)))
   }
 
+  test("kmeansAssign reassigns each vector to its most similar centroid") {
+    val out = Similarity.kmeansAssign(emb).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3),
+        r.getBoolean(4)))
+    // vec 0 [1,0] is closer to label 1's centroid [2,0] (cos 1) than to
+    // its own cell's [0.5,0.5] (cos 0.707…) → moves; the others stay.
+    assert(out.toSeq === Seq(
+      (0L, 0, 1, 1.0, true),
+      (1L, 0, 0, 0.707106, false),
+      (2L, 1, 1, 1.0, false)))
+  }
+
   test("labelCentroids is invariant to input partitioning (exact decimal sums)") {
     val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val a = Similarity.labelCentroids(d).orderBy("label", "dim")
