@@ -66,6 +66,39 @@ object ExtQueries {
          |    THEN 1.0 ELSE -1.0 END))) > 0 THEN ${1 << i} ELSE 0 END""".stripMargin
     }.mkString("(", " + ", ")")
 
+  /** Shared centroid-sum CTEs `cx` (per-(label, dim) components) and
+    * `cs` (exact DECIMAL(30,10) sums + counts) — the oracle twin of
+    * Similarity.labelCentroids' aggregation.
+    */
+  private val centroidSumCtes: String =
+    s"""cx AS (SELECT label, i - 1 AS dim, embedding[i]::DOUBLE AS x
+       |       FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+       |cs AS (SELECT label, dim, sum(x::DECIMAL(30,10)) AS sx, count(*) AS n_vecs
+       |       FROM cx GROUP BY 1, 2)""".stripMargin
+
+  /** [[centroidSumCtes]] plus the assembled per-label float centroid
+    * `cent($labelAs, cen)` — Similarity.centroidTable's twin.
+    */
+  private def centroidCtes(labelAs: String): String =
+    s"""$centroidSumCtes,
+       |cent AS (SELECT label AS $labelAs,
+       |    list((floor(sx::DOUBLE / n_vecs * 1000000) / 1000000)::FLOAT ORDER BY dim)
+       |      AS cen
+       |  FROM cs GROUP BY label)""".stripMargin
+
+  /** Truncated cosine between `e.embedding` and the centroid list `cen`
+    * (index order, float→double casts — the CosineSimilarity kernel).
+    */
+  private val cosCenSql: String =
+    """floor(
+      |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |      i -> e.embedding[i]::DOUBLE * cen[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |      i -> cen[i]::DOUBLE * cen[i]::DOUBLE))))
+      |    * 1000000) / 1000000""".stripMargin
+
   /** Shared CTE base for MinHash oracles — tokenize → shingle → 60-bit
     * hash sets (`hh`) → 16 signatures (`sg`) → exploded band table (`bd`).
     * Signatures are per-document functions, so one `bd` over the whole
@@ -590,10 +623,12 @@ object ExtQueries {
       val k = Corpus.DecontamShingle
       s"""WITH RECURSIVE corpus AS (SELECT * FROM documents WHERE doc_id % 20 != 0),
          |${qualityCtes("corpus")},
-         |${minhashCtes("corpus")},
+         |kept AS (SELECT c.* FROM corpus c
+         |         JOIN qf ON qf.doc_id = c.doc_id AND qf.reasons = ''),
+         |${minhashCtes("kept")},
          |$dupGroupCtes,
          |ex AS (SELECT doc_id, row_number() OVER (
-         |         PARTITION BY md5($normSql) ORDER BY doc_id) AS rn FROM corpus),
+         |         PARTITION BY md5($normSql) ORDER BY doc_id) AS rn FROM kept),
          |dt AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |dp AS (SELECT doc_id, toks FROM dt WHERE len(toks) >= $k),
          |dshg AS (SELECT doc_id,
@@ -611,7 +646,7 @@ object ExtQueries {
          |    CASE WHEN dct.doc_id IS NOT NULL THEN 'contaminated' END) AS reasons
          |FROM corpus c
          |JOIN qf ON qf.doc_id = c.doc_id
-         |JOIN ex ON ex.doc_id = c.doc_id
+         |LEFT JOIN ex ON ex.doc_id = c.doc_id
          |LEFT JOIN lbl ON lbl.doc_id = c.doc_id
          |LEFT JOIN dct ON dct.doc_id = c.doc_id)
          |SELECT doc_id, reasons, reasons = '' AS keep
@@ -795,23 +830,8 @@ object ExtQueries {
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     "kmeans_assign" ->
-      s"""WITH cx AS (SELECT label, i - 1 AS dim, embedding[i]::DOUBLE AS x
-         |       FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
-         |cs AS (SELECT label, dim, sum(x::DECIMAL(30,10)) AS sx, count(*) AS n_vecs
-         |       FROM cx GROUP BY 1, 2),
-         |cent AS (SELECT label AS c_label,
-         |    list((floor(sx::DOUBLE / n_vecs * 1000000) / 1000000)::FLOAT ORDER BY dim)
-         |      AS cen
-         |  FROM cs GROUP BY label),
-         |p AS (SELECT e.vec_id, e.label, cent.c_label,
-         |  floor(
-         |    list_sum(list_transform(range(1, len(e.embedding) + 1),
-         |      i -> e.embedding[i]::DOUBLE * cen[i]::DOUBLE)) /
-         |    (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
-         |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
-         |     sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
-         |      i -> cen[i]::DOUBLE * cen[i]::DOUBLE))))
-         |    * 1000000) / 1000000 AS cos
+      s"""WITH ${centroidCtes("c_label")},
+         |p AS (SELECT e.vec_id, e.label, cent.c_label, $cosCenSql AS cos
          |  FROM embeddings e CROSS JOIN cent),
          |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
          |        ORDER BY cos DESC, c_label) AS rn FROM p)
@@ -820,32 +840,14 @@ object ExtQueries {
          |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "label_centroids" ->
-      s"""WITH cx AS (SELECT label, i - 1 AS dim, embedding[i]::DOUBLE AS x
-         |       FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
-         |cs AS (SELECT label, dim, sum(x::DECIMAL(30,10)) AS sx, count(*) AS n_vecs
-         |       FROM cx GROUP BY 1, 2)
+      s"""WITH $centroidSumCtes
          |SELECT label, dim, n_vecs,
          |  floor(sx::DOUBLE / n_vecs * 1000000) / 1000000 AS centroid_val
          |FROM cs ORDER BY label, dim""".stripMargin,
 
     "label_cohesion" ->
-      s"""WITH cx AS (SELECT label, i - 1 AS dim, embedding[i]::DOUBLE AS x
-         |       FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
-         |cs AS (SELECT label, dim, sum(x::DECIMAL(30,10)) AS sx, count(*) AS n_vecs
-         |       FROM cx GROUP BY 1, 2),
-         |cent AS (SELECT label,
-         |    list((floor(sx::DOUBLE / n_vecs * 1000000) / 1000000)::FLOAT ORDER BY dim)
-         |      AS cen
-         |  FROM cs GROUP BY label),
-         |j AS (SELECT e.label,
-         |  floor(
-         |    list_sum(list_transform(range(1, len(e.embedding) + 1),
-         |      i -> e.embedding[i]::DOUBLE * cen[i]::DOUBLE)) /
-         |    (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
-         |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
-         |     sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
-         |      i -> cen[i]::DOUBLE * cen[i]::DOUBLE))))
-         |    * 1000000) / 1000000 AS cos_c
+      s"""WITH ${centroidCtes("label")},
+         |j AS (SELECT e.label, $cosCenSql AS cos_c
          |  FROM embeddings e JOIN cent USING (label))
          |SELECT label, count(*) AS n_vecs,
          |  floor(sum(cos_c::DECIMAL(20,10))::DOUBLE / count(*) * 1000000) / 1000000

@@ -384,6 +384,15 @@ object Corpus {
     * survives), or sharing an 8-token shingle with the benchmark set
     * (`contaminated` — [[decontaminate]]). Output: doc_id, reasons, keep.
     *
+    * Order matters: dedup runs over the QUALITY KEEPERS only
+    * (filter-then-dedup, the standard pipeline order and the
+    * [[graft.streaming.StreamingOps.corpusIngestStream]] contract).
+    * This is not just cost — if a group's min-id representative itself
+    * failed quality, deduping before filtering would drop every copy of
+    * that content; filtering first re-elects the smallest SURVIVING doc
+    * as representative, so each content cluster with any clean copy
+    * keeps exactly one. Contamination is independent and applies to all.
+    *
     * Plan shape: four per-doc verdict tables left-joined on doc_id — each
     * component keeps its own documented scale shape; the joins are
     * doc_id-partitioned merges of corpus-sized but narrow (id + flag)
@@ -393,8 +402,13 @@ object Corpus {
   def corpusManifest(corpus: DataFrame, benchmark: DataFrame,
       threshold: Double = 0.5): DataFrame = {
     val q = qualityFilter(corpus).select(col("doc_id"), col("reasons").as("q_reasons"))
-    val survivors = Dedup.exact(corpus).select(col("doc_id"), lit(true).as("is_survivor"))
-    val groups = Dedup.dupGroups(corpus, threshold).select(col("doc_id"), col("group_id"))
+    // Quality keepers, materialized once: three dedup components consume
+    // it, and each would otherwise re-run the quality subtree.
+    val kept = corpus.join(
+      q.where(col("q_reasons") === "").select("doc_id"), "doc_id")
+      .localCheckpoint()
+    val survivors = Dedup.exact(kept).select(col("doc_id"), lit(true).as("is_survivor"))
+    val groups = Dedup.dupGroups(kept, threshold).select(col("doc_id"), col("group_id"))
     val contam = decontaminate(corpus, benchmark)
       .select(col("doc_id"), lit(true).as("contaminated"))
     q.join(survivors, Seq("doc_id"), "left")
@@ -402,7 +416,9 @@ object Corpus {
       .join(contam, Seq("doc_id"), "left")
       .withColumn("reasons", concat_ws(",",
         when(col("q_reasons") =!= "", col("q_reasons")),
-        when(col("is_survivor").isNull, "exact_dup"),
+        // Dedup verdicts exist only for quality keepers: a quality-failed
+        // doc is absent from `kept`, which must not read as exact_dup.
+        when(col("q_reasons") === "" && col("is_survivor").isNull, "exact_dup"),
         when(col("group_id").isNotNull && col("group_id") =!= col("doc_id"), "near_dup"),
         when(col("contaminated").isNotNull, "contaminated")))
       .select(col("doc_id"), col("reasons"), (col("reasons") === "").as("keep"))

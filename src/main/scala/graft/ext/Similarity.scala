@@ -173,12 +173,20 @@ object Similarity {
     * no such care. One aggregate on label after a map-side broadcast
     * join: the corpus contributes a single scan.
     */
-  def labelCohesion(embeddings: DataFrame): DataFrame = {
-    val cent = labelCentroids(embeddings)
-      .groupBy("label")
+  /** The [[labelCentroids]] rows assembled to one float-array centroid
+    * per label (dim-sorted, truncated values cast to float so the
+    * [[CosineSimilarity]] kernel applies) — |labels| rows, broadcast by
+    * every consumer. Shared by [[labelCohesion]] and [[kmeansAssign]].
+    */
+  private def centroidTable(embeddings: DataFrame, labelAlias: String): DataFrame =
+    labelCentroids(embeddings)
+      .groupBy(col("label").as(labelAlias))
       .agg(transform(
         array_sort(collect_list(struct(col("dim"), col("centroid_val")))),
         s => s.getField("centroid_val").cast("float")).as("centroid"))
+
+  def labelCohesion(embeddings: DataFrame): DataFrame = {
+    val cent = centroidTable(embeddings, "label")
     embeddings.join(broadcast(cent), "label")
       .select(col("label"),
         TextOps.trunc6(CosineSimilarity(col("embedding"), col("centroid"))).as("cos_c"))
@@ -210,11 +218,7 @@ object Similarity {
     * distributed k-means assignment.
     */
   def kmeansAssign(embeddings: DataFrame): DataFrame = {
-    val cent = labelCentroids(embeddings)
-      .groupBy(col("label").as("c_label"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("dim"), col("centroid_val")))),
-        s => s.getField("centroid_val").cast("float")).as("centroid"))
+    val cent = centroidTable(embeddings, "c_label")
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc, col("c_label"))
     embeddings.crossJoin(broadcast(cent))

@@ -170,8 +170,13 @@ object StreamingOps {
     incoming.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Materialized once per batch: the verdict table feeds BOTH the
+        // manifest and (via `kept`) the dedup branch of the same action,
+        // and Spark does not share subtrees across join branches — an
+        // unmaterialized `q` would run the quality aggregates twice.
         val q = graft.ext.Corpus.qualityFilter(batch)
           .select(col("doc_id"), col("reasons"), col("keep"))
+          .localCheckpoint()
         val kept = batch.join(q.where(col("keep")).select("doc_id"), "doc_id")
         val dupIds = graft.ext.Dedup
           .nearDupIncremental(existingDocs(), kept, threshold)

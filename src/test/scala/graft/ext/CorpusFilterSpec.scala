@@ -95,10 +95,20 @@ class CorpusFilterSpec extends SparkSpec {
     assert(m.length === corpus.count())
     m.foreach { case (_, reasons, keep) => assert(keep === reasons.isEmpty) }
     val flagged = m.map { case (id, r, _) => id -> r.split(",").toSet }.toMap
-    // near_dup ⟺ non-representative member of a dupGroups component.
-    val nonRep = Dedup.dupGroups(corpus).collect()
+    // near_dup ⟺ non-representative member of a dupGroups component over
+    // the QUALITY KEEPERS (filter-then-dedup — the manifest contract).
+    val kept = corpus.join(
+      Corpus.qualityFilter(corpus).where($"keep").select("doc_id"), "doc_id")
+    val nonRep = Dedup.dupGroups(kept).collect()
       .filter(r => r.getLong(1) != r.getLong(0)).map(_.getLong(0)).toSet
     assert(flagged.filter(_._2.contains("near_dup")).keySet === nonRep)
+    // A quality-failed doc is never additionally flagged as a duplicate.
+    m.foreach { case (_, r, _) =>
+      val rs = r.split(",").toSet
+      if (rs.exists(Set("too_short", "no_stopword", "dup_bigram"))) {
+        assert(!rs.contains("exact_dup"))
+      }
+    }
     // contaminated ⟺ decontaminate hit.
     val contam = Corpus.decontaminate(corpus, bench).collect().map(_.getLong(0)).toSet
     assert(flagged.filter(_._2.contains("contaminated")).keySet === contam)
