@@ -66,6 +66,20 @@ object ExtQueries {
          |    THEN 1.0 ELSE -1.0 END))) > 0 THEN ${1 << i} ELSE 0 END""".stripMargin
     }.mkString("(", " + ", ")")
 
+  /** Session-assignment CTE chain ending in `s` (events + session_no) —
+    * Events.withSessions' oracle twin, shared by `sessionize` and
+    * `session_funnel`.
+    */
+  private val sessionCtes: String =
+    s"""o AS (SELECT user_id, ts, event_id, event_type, value,
+       |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+       |  FROM events),
+       |f AS (SELECT *, CASE WHEN prev_ts IS NULL
+       |    OR epoch_us(ts) - epoch_us(prev_ts) > ${Events.SessionGapSeconds}000000
+       |    THEN 1 ELSE 0 END AS is_new FROM o),
+       |s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+       |    AS session_no FROM f)""".stripMargin
+
   /** Shared centroid-sum CTEs `cx` (per-(label, dim) components) and
     * `cs` (exact DECIMAL(30,10) sums + counts) — the oracle twin of
     * Similarity.labelCentroids' aggregation.
@@ -336,6 +350,10 @@ object ExtQueries {
     // X6 — batch sessionization (6h gap).
     "sessionize" -> ((s, dir) =>
       Events.sessionize(Tables.events(s, dir)).orderBy("user_id", "session_no")),
+
+    // X6 — per-user view→purchase conversion funnel over sessions.
+    "session_funnel" -> ((s, dir) =>
+      Events.sessionFunnel(Tables.events(s, dir)).orderBy("user_id")),
 
     // X6 — tumbling 1-hour rollup by event type.
     "event_windows" -> ((s, dir) =>
@@ -752,20 +770,28 @@ object ExtQueries {
          |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
 
     "sessionize" ->
-      s"""WITH o AS (SELECT user_id, ts, event_id, event_type, value,
-         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-         |  FROM events),
-         |f AS (SELECT *, CASE WHEN prev_ts IS NULL
-         |    OR epoch_us(ts) - epoch_us(prev_ts) > ${Events.SessionGapSeconds}000000
-         |    THEN 1 ELSE 0 END AS is_new FROM o),
-         |s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
-         |    AS session_no FROM f)
+      s"""WITH $sessionCtes
          |SELECT user_id, session_no,
          |  min(ts) AS session_start, max(ts) AS session_end,
          |  count(*) AS n_events,
          |  count(*) FILTER (event_type = 'purchase') AS n_purchases,
          |  round(sum(value), 4) AS sum_value
          |FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
+
+    "session_funnel" ->
+      s"""WITH $sessionCtes,
+         |g AS (SELECT user_id, session_no,
+         |    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         |    max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+         |  FROM s GROUP BY 1, 2),
+         |u AS (SELECT user_id, count(*) AS n_sessions,
+         |    CAST(sum(CASE WHEN first_view IS NOT NULL AND last_purchase IS NOT NULL
+         |      AND first_view <= last_purchase THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_converted
+         |  FROM g GROUP BY 1)
+         |SELECT user_id, n_sessions, n_converted,
+         |  floor(n_converted::DOUBLE / n_sessions * 10000) / 10000 AS conversion
+         |FROM u ORDER BY user_id""".stripMargin,
 
     "event_windows" ->
       s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,

@@ -47,7 +47,11 @@ object Events {
     * Output: user_id, session_no, session_start, session_end, n_events,
     * n_purchases, sum_value (4dp).
     */
-  def sessionize(events: DataFrame): DataFrame = {
+  /** Events with their session_no assigned (lag gap-detect + running
+    * sum, one user_id exchange) — the shared prefix of [[sessionize]]
+    * and [[sessionFunnel]].
+    */
+  private def withSessions(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
@@ -58,6 +62,10 @@ object Events {
           unix_micros(col("ts")) - unix_micros(col("prev_ts")) > SessionGapSeconds * 1000000L, 1)
           .otherwise(0))
       .withColumn("session_no", sum("is_new").over(byUser))
+  }
+
+  def sessionize(events: DataFrame): DataFrame =
+    withSessions(events)
       .groupBy("user_id", "session_no")
       .agg(
         min("ts").as("session_start"),
@@ -65,7 +73,30 @@ object Events {
         count(lit(1)).as("n_events"),
         count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
         round(sum("value"), 4).as("sum_value"))
-  }
+
+  /** X6 — per-user conversion funnel over sessions: a session CONVERTS
+    * when it contains a view and a purchase at-or-after that view (the
+    * same at-or-before rule as the as-of attribution). Output: user_id,
+    * n_sessions, n_converted, conversion (floor-truncated 4dp).
+    *
+    * Plan shape: [[withSessions]]' single user_id exchange feeds both
+    * the per-session conditional-extrema aggregate and the per-user
+    * rollup — the session and user keys nest, so no further shuffle.
+    */
+  def sessionFunnel(events: DataFrame): DataFrame =
+    withSessions(events)
+      .groupBy("user_id", "session_no")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase"))
+      .withColumn("converted", col("first_view").isNotNull &&
+        col("last_purchase").isNotNull && col("first_view") <= col("last_purchase"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+      .select(col("user_id"), col("n_sessions"), col("n_converted"),
+        TextOps.trunc4(col("n_converted") / col("n_sessions").cast("double"))
+          .as("conversion"))
 
   /** X6 — tumbling 1-hour window aggregate by event type. Output:
     * hour_start, event_type, n_events, sum_value (4dp).

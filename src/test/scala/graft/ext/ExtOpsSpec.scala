@@ -193,4 +193,20 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(0).getLong(5) === 1L) // 1 purchase
     assert(out(1).getLong(4) === 1L)
   }
+
+  test("sessionFunnel: a session converts only with a purchase at/after a view") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, "view", 1.0),
+      (2L, ts("2024-01-01 10:30:00"), 100L, "purchase", 9.0), // converts
+      (3L, ts("2024-01-02 09:00:00"), 100L, "view", 2.0),     // new session, no buy
+      (4L, ts("2024-01-01 09:00:00"), 200L, "purchase", 7.0), // purchase w/o view
+      (5L, ts("2024-01-01 10:00:00"), 200L, "view", 3.0))     // view AFTER purchase
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.sessionFunnel(ev).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // User 200's single session has both event types but the view comes
+    // after the purchase → not converted.
+    assert(out.toSeq === Seq((100L, 2L, 1L, 0.5), (200L, 1L, 0L, 0.0)))
+  }
 }
