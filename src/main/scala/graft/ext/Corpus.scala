@@ -401,12 +401,16 @@ object Corpus {
     */
   def corpusManifest(corpus: DataFrame, benchmark: DataFrame,
       threshold: Double = 0.5): DataFrame = {
-    val q = qualityFilter(corpus).select(col("doc_id"), col("reasons").as("q_reasons"))
-    // Quality keepers, materialized once: three dedup components consume
-    // it, and each would otherwise re-run the quality subtree.
+    // The NARROW verdict table (id + reasons) is what gets materialized —
+    // three dedup components re-derive `kept` from it, paying one extra
+    // columnar corpus scan each instead of checkpointing a full-text copy
+    // of the corpus (at 100 TB the verdict table is the thing you can
+    // afford to persist; the corpus re-read is pruned and columnar).
+    val q = qualityFilter(corpus)
+      .select(col("doc_id"), col("reasons").as("q_reasons"))
+      .localCheckpoint()
     val kept = corpus.join(
       q.where(col("q_reasons") === "").select("doc_id"), "doc_id")
-      .localCheckpoint()
     val survivors = Dedup.exact(kept).select(col("doc_id"), lit(true).as("is_survivor"))
     val groups = Dedup.dupGroups(kept, threshold).select(col("doc_id"), col("group_id"))
     val contam = decontaminate(corpus, benchmark)
