@@ -196,7 +196,7 @@ object ExtQueries {
        |  floor(list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) * 10000) / 10000
        |    AS avg_token_len,
        |  floor((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
-       |    / length(text) * 10000) / 10000 AS punct_ratio,
+       |    / greatest(length(text), 1) * 10000) / 10000 AS punct_ratio,
        |  floor(len(list_filter(toks, t -> t IN $stopEn))::DOUBLE / len(toks) * 10000) / 10000
        |    AS stopword_ratio
        |FROM qt),
@@ -456,7 +456,7 @@ object ExtQueries {
          |  floor(list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) * 10000) / 10000
          |    AS avg_token_len,
          |  floor((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
-         |    / length(text) * 10000) / 10000 AS punct_ratio,
+         |    / greatest(length(text), 1) * 10000) / 10000 AS punct_ratio,
          |  floor(len(list_filter(toks, t -> t IN $stopEn))::DOUBLE / len(toks) * 10000) / 10000
          |    AS stopword_ratio
          |FROM t)

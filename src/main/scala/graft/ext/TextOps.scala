@@ -75,9 +75,11 @@ object TextOps {
         length(col("text")).as("n_chars"),
         trunc4(expr("aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x)") /
           size(col("toks")).cast("double")).as("avg_token_len"),
+        // greatest(…, 1): an empty text has zero characters and must
+        // yield punct_ratio 0, not an ANSI divide-by-zero crash.
         trunc4((length(col("text")) -
           length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", ""))) /
-          length(col("text")).cast("double")).as("punct_ratio"),
+          greatest(length(col("text")), lit(1)).cast("double")).as("punct_ratio"),
         trunc4(expr(s"size(filter(toks, t -> t IN $en))") /
           size(col("toks")).cast("double")).as("stopword_ratio"))
       .withColumn("quality_score", trunc4(
