@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Property tests for the MinHash near-dup flagship: soundness (every
+  * emitted pair's Jaccard, recomputed naively in Scala from the same
+  * tokenization, clears the threshold and matches the engine's value)
+  * and recall (a planted near-identical pair is always found — with 8
+  * bands of 2 the miss probability at J ≥ 0.9 is ≤ (1−0.81)⁸ ≈ 2e-6).
+  */
+class DedupPropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  // Small vocabulary → natural overlaps; docs of 4-20 words.
+  private val word = Gen.oneOf((1 to 8).map(i => s"tok$i"))
+  private val doc = Gen.chooseNum(4, 20).flatMap(n => Gen.listOfN(n, word))
+  private val corpusGen = Gen.chooseNum(4, 12).flatMap(n => Gen.listOfN(n, doc))
+
+  /** The operator's tokenization, naively: lowercase alnum runs. */
+  private def shingleSet(words: List[String]): Set[String] =
+    if (words.length < 2) Set.empty
+    else words.sliding(2).map(_.mkString(" ")).toSet
+
+  private def jaccard(a: Set[String], b: Set[String]): Double =
+    if (a.isEmpty || b.isEmpty) 0.0
+    else a.intersect(b).size.toDouble / a.union(b).size
+
+  test("nearDupMinhash is sound and finds planted near-identical pairs") {
+    val prop = Prop.forAll(corpusGen) { docs0 =>
+      // Plant a near-identical copy of doc 0 (one word appended) so the
+      // corpus always contains at least one very-high-J pair.
+      val planted = docs0.head :+ "tok1"
+      val docs = docs0 :+ planted
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" "), "en") }
+        .toDF("doc_id", "text", "lang")
+      val out = Dedup.nearDupMinhash(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val sets = docs.map(shingleSet)
+      val sound = out.forall { case (a, b, j) =>
+        val naive = jaccard(sets(a.toInt), sets(b.toInt))
+        a < b && j >= 0.5 &&
+          math.abs(j - math.floor(naive * 1e6) / 1e6) < 1e-9
+      }
+      // Demand recall only where the banding makes it near-certain:
+      // at J ≥ 0.9 the miss probability is (1−J²)⁸ ≤ 2e-6; just above
+      // the 0.5 threshold the LSH family misses ~10% BY DESIGN.
+      val plantedJ = jaccard(sets.head, sets.last)
+      val recalled = plantedJ < 0.9 ||
+        out.exists { case (a, b, _) => a == 0L && b == (docs.length - 1).toLong }
+      sound && recalled
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("dupGroups labels equal the transitive closure of the pair graph") {
+    val prop = Prop.forAll(corpusGen) { docs0 =>
+      val docs = docs0 :+ (docs0.head :+ "tok1")
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" "), "en") }
+        .toDF("doc_id", "text", "lang")
+      val pairs = Dedup.nearDupMinhash(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // Naive union-find over the emitted pairs.
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(n => n -> find(n)).toMap
+      val got = Dedup.dupGroups(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
