@@ -87,6 +87,48 @@ class DedupPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("nearDupSimhash ≡ naive fingerprint/banding/hamming computation") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // Naive 4×16-bit simhash bands over the distinct 2-word shingles.
+    def bands(words: List[String]): Option[Array[Int]] = {
+      val sh = shingleSet(words)
+      if (sh.isEmpty) None
+      else {
+        val chunks = sh.toSeq.map { s =>
+          val m = md5hex(s)
+          Array.tabulate(4)(j => Integer.parseInt(m.substring(j * 4, j * 4 + 4), 16))
+        }.distinct // operator dedups on the chunk tuple
+        val n = chunks.length
+        Some(Array.tabulate(4) { j =>
+          (0 until 16).map { k =>
+            if (2 * chunks.count(c => ((c(j) >> k) & 1) == 1) > n) 1 << k else 0
+          }.sum
+        })
+      }
+    }
+    val prop = Prop.forAll(corpusGen) { docs0 =>
+      val docs = docs0 :+ (docs0.head :+ "tok1")
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" "), "en") }
+        .toDF("doc_id", "text", "lang")
+      val out = Dedup.nearDupSimhash(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val fps = docs.map(bands)
+      val expected = (for {
+        i <- docs.indices; j <- (i + 1) until docs.length
+        fi <- fps(i); fj <- fps(j)
+        if fi.indices.exists(b => fi(b) == fj(b)) // share ≥1 exact band
+        ham = fi.indices.map(b => Integer.bitCount(fi(b) ^ fj(b))).sum
+        if ham <= 6
+      } yield (i.toLong, j.toLong, ham)).toSet
+      out == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("dupGroups labels equal the transitive closure of the pair graph") {
     val prop = Prop.forAll(corpusGen) { docs0 =>
       val docs = docs0 :+ (docs0.head :+ "tok1")
