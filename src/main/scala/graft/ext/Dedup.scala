@@ -118,10 +118,16 @@ object Dedup {
     * exchange on doc_id is reused by both the signature and the
     * shingle-set branch), a banded self-join on packed-long band keys
     * whose value space grows with the corpus (no bucket densification at
-    * 100×), and a verification join that BROADCASTS the candidate pairs —
-    * candidates are band-collisions, orders of magnitude smaller than the
-    * corpus, so the set side streams with full partitioning and never
-    * re-shuffles.
+    * 100×), and a verification join over the candidate pairs. Candidates
+    * are USUALLY band-collisions, orders of magnitude smaller than the
+    * corpus — but a duplicate-saturated crawl (the common case in web
+    * data) makes them corpus-scale, so they are NOT broadcast by
+    * default: the shuffle join never OOMs an executor, and AQE upgrades
+    * it to a runtime broadcast whenever the candidate side measures
+    * small, so the happy case pays nothing for the safety.
+    * `broadcastCandidates = true` is the opt-in assertion (same contract
+    * as [[ngramJaccardBlocked]]'s `broadcastBlocked`) for pipelines that
+    * KNOW their collision volume is bounded and want the hint pinned.
     */
   /** Hashed shingle rows (doc_id, h): each 2-word shingle md5'd once to
     * its 60-bit base hash — the shared input of [[minhashBands]] and
@@ -163,7 +169,15 @@ object Dedup {
   def shingleSets(hr: DataFrame): DataFrame =
     hr.groupBy("doc_id").agg(array_sort(collect_set(col("h"))).as("sh"))
 
-  def nearDupMinhash(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  /** Candidate-frame hint helper: the default leaves the join strategy
+    * to AQE (broadcast at runtime iff the measured size allows); the
+    * opt-in pins the broadcast.
+    */
+  private def maybeBroadcast(df: DataFrame, pin: Boolean): DataFrame =
+    if (pin) broadcast(df) else df
+
+  def nearDupMinhash(docs: DataFrame, threshold: Double = 0.5,
+      broadcastCandidates: Boolean = false): DataFrame = {
     val hr = hashedShingleRows(docs)
     val banded = minhashBands(hr)
     // localCheckpoint: cand is band-collision pairs — tiny — and it is
@@ -179,19 +193,23 @@ object Dedup {
       .distinct()
       .localCheckpoint()
     // Shingle sets ONLY for docs that appear in some candidate pair: the
-    // broadcast id filter drops non-candidates map-side BEFORE the
-    // collect_set, so the heavy aggregate shuffles candidate shingles
-    // instead of the whole corpus's (at 100 TB the full-corpus set
-    // aggregate IS the job; candidates are band collisions, orders of
-    // magnitude fewer). One filtered pass, materialized because both
-    // verification joins consume it.
+    // id semi-filter drops non-candidates BEFORE the collect_set, so the
+    // heavy aggregate shuffles candidate shingles instead of the whole
+    // corpus's (at 100 TB the full-corpus set aggregate IS the job;
+    // candidates are band collisions, usually orders of magnitude
+    // fewer — but see the broadcastCandidates contract above: on a
+    // duplicate-saturated corpus candIds IS the corpus, so none of these
+    // joins may assume a broadcast; AQE re-instates it when warranted).
+    // One filtered pass, materialized because both verification joins
+    // consume it.
     val candIds = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sets = shingleSets(hr.join(broadcast(candIds), "doc_id")).localCheckpoint()
+    val sets = shingleSets(
+      hr.join(maybeBroadcast(candIds, broadcastCandidates), "doc_id")).localCheckpoint()
     val withA = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      .join(broadcast(cand), "doc_a")
+      .join(maybeBroadcast(cand, broadcastCandidates), "doc_a")
     val full = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      .join(broadcast(withA), "doc_b")
+      .join(maybeBroadcast(withA, broadcastCandidates), "doc_b")
     // |A ∪ B| = |A| + |B| − |A ∩ B| for distinct inputs: one codegen'd
     // two-pointer merge yields exact Jaccard per candidate.
     full
@@ -215,20 +233,21 @@ object Dedup {
     * computed once at ingest and persisted (bands partitioned by
     * band_val, sets by doc_id). Per batch the work is O(|batch| shingles)
     * + the band-collision joins: the batch's band table probes the stored
-    * band table (broadcast of the BATCH side — bounded by contract, never
-    * the corpus), and only collision pairs pay verification. Batch-internal
+    * band table (the BATCH side is bounded by contract, never the
+    * corpus), and only collision pairs pay verification. Batch-internal
     * dups are caught in the same pass by unioning the batch's own bands
     * with an id-order tie-break, so results are independent of how a
     * stream of documents is cut into batches.
     */
   def nearDupIncremental(existing: DataFrame, incoming: DataFrame,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, broadcastCandidates: Boolean = false): DataFrame = {
     val hrE = hashedShingleRows(existing)
     // Recompute the existing side's signature tables in-query; the store
     // form ([[nearDupAgainstStore]]) takes them pre-persisted instead and
     // nothing downstream changes (CorpusPrepSpec asserts the parquet
     // round trip is exact).
-    nearDupAgainstStore(minhashBands(hrE), shingleSets(hrE), incoming, threshold)
+    nearDupAgainstStore(minhashBands(hrE), shingleSets(hrE), incoming, threshold,
+      broadcastCandidates)
   }
 
   /** [[nearDupIncremental]] against a PERSISTED signature store: the
@@ -238,9 +257,17 @@ object Dedup {
     * written once per batch at ingest by [[minhashBands]]/[[shingleSets]].
     * This is the form a 100 TB pipeline actually runs: per batch it reads
     * the store, never re-tokenizes the corpus.
+    *
+    * The batch side is bounded by contract, but its CANDIDATE pairs are
+    * not — a batch of popular boilerplate can collide with a large slice
+    * of the store — so the verification joins default to shuffle joins
+    * (AQE broadcasts at runtime when actually small);
+    * `broadcastCandidates` pins the hint, same contract as
+    * [[nearDupMinhash]].
     */
   def nearDupAgainstStore(existingBands: DataFrame, existingSets: DataFrame,
-      incoming: DataFrame, threshold: Double = 0.5): DataFrame = {
+      incoming: DataFrame, threshold: Double = 0.5,
+      broadcastCandidates: Boolean = false): DataFrame = {
     val hrI = hashedShingleRows(incoming)
     val bands = existingBands
       .select(col("doc_id"), col("band_idx"), col("band_val")) // store col order free
@@ -261,9 +288,9 @@ object Dedup {
     val batchSets = shingleSets(hrI)
     val sets = existingSets.select(col("doc_id"), col("sh")).unionByName(batchSets)
     val withA = batchSets.select(col("doc_id").as("doc_new"), col("sh").as("sh_a"))
-      .join(broadcast(cand), "doc_new")
+      .join(maybeBroadcast(cand, broadcastCandidates), "doc_new")
     val full = sets.select(col("doc_id").as("doc_match"), col("sh").as("sh_b"))
-      .join(broadcast(withA), "doc_match")
+      .join(maybeBroadcast(withA, broadcastCandidates), "doc_match")
     full
       .withColumn("inter", SortedIntersectSize(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", TextOps.trunc6(col("inter") /
@@ -290,11 +317,12 @@ object Dedup {
     * `localCheckpoint`s the label frame: labels are node-sized (tiny
     * relative to the corpus), and truncating lineage keeps round N's plan
     * from re-running rounds 1..N−1 — without it the plan doubles per
-    * round. At adversarial diameters (long chains) the O(log n)-round
-    * alternating large-star/small-star algorithm (Kiveris et al.,
-    * "Connected Components in MapReduce") drops in behind the same
-    * signature; the driver-side loop stays — iteration count is the
-    * convergence test, data never leaves the cluster.
+    * round. At adversarial diameters (long chains) propagation hands off
+    * AUTOMATICALLY to the O(log n)-round alternating
+    * [[largeStarSmallStar]] (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") behind the same signature; the driver-side
+    * loop stays — iteration count is the convergence test, data never
+    * leaves the cluster.
     */
   def dupGroups(docs: DataFrame, threshold: Double = 0.5,
       maxIters: Int = 25): DataFrame =
@@ -338,11 +366,86 @@ object Dedup {
       labels = next.select("node", "label")
       iters += 1
     }
-    require(changed == 0,
-      s"connectedComponents did not converge in $maxIters rounds — component " +
-        "diameter exceeds the bound; raise maxIters or switch to " +
-        "large-star/small-star")
-    labels
+    // Adversarial-diameter fallback: a component whose diameter exceeds
+    // maxIters (a long chain) can't finish under plain propagation, whose
+    // round count is the DIAMETER. Large-star/small-star contracts paths
+    // instead of walking them — O(log² n) rounds worst case, in practice
+    // a handful — so availability never cliffs on graph shape. The happy
+    // path (short near-dup chains) still takes the cheaper propagation
+    // exit above and never reaches here.
+    if (changed == 0) labels else largeStarSmallStar(edges)
+  }
+
+  /** Connected components by alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the adversarial-diameter fallback of
+    * [[connectedComponents]]. Each round is two grouped aggregates + two
+    * joins over the CURRENT edge frame (which only shrinks toward star
+    * shape, never grows beyond 2|E|):
+    *
+    *  - large-star: every node u links each STRICTLY LARGER neighbor to
+    *    `m = min(Γ(u) ∪ {u})` — long tails fold onto local minima;
+    *  - small-star: every node u links itself and each smaller neighbor
+    *    to its neighborhood minimum — stars flatten to depth 1.
+    *
+    * Both operations preserve connectivity and never create new
+    * components (every emitted edge connects two nodes already connected
+    * through u), and alternating them converges to one star per
+    * component rooted at the component minimum in O(log² n) rounds
+    * (O(log n) in practice). The driver-side loop is iteration control
+    * only (edge-count fixpoint test); edges `localCheckpoint` per round
+    * exactly like the propagation path, so plans stay flat. Returns the
+    * same (node, label) shape as the propagation path.
+    */
+  private def largeStarSmallStar(edges: DataFrame): DataFrame = {
+    // Canonical directed form: u > v per edge (self-loops dropped).
+    var e = edges.where(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    // Nodes are fixed by the ORIGINAL edge set — star edges lose
+    // non-root arity, so membership must be captured up front.
+    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
+    var converged = false
+    // 64 alternations ≫ log²(any JVM-representable node count): the cap
+    // is a runaway backstop, not a tunable.
+    var rounds = 0
+    while (!converged && rounds < 64) {
+      // Large-star over the symmetric neighborhood view.
+      val sym = e.select(col("u").as("a"), col("v").as("b"))
+        .union(e.select(col("v").as("a"), col("u").as("b")))
+      val mins = sym.groupBy("a").agg(min(col("b")).as("nm"))
+        .select(col("a"), least(col("a"), col("nm")).as("m"))
+      // (b, m) for b ∈ Γ(a), b > a; b > a ≥ m keeps the u > v canon.
+      val ls = sym.join(mins, "a").where(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+        .localCheckpoint()
+      // Small-star over the directed form: every u and its smaller
+      // neighbors all link to the neighborhood minimum.
+      val sMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = ls.join(sMin, "u")
+        .select(col("v").as("su"), col("m").as("sv"))
+        .union(sMin.select(col("u").as("su"), col("m").as("sv")))
+        .where(col("su") =!= col("sv")).distinct()
+        .select(col("su").as("u"), col("sv").as("v"))
+        .localCheckpoint()
+      // Fixpoint: the round changed nothing (set equality via two
+      // anti-joins over node-pair frames — edge-sized, not corpus-sized).
+      converged =
+        ss.join(e, Seq("u", "v"), "left_anti").isEmpty &&
+          e.join(ss, Seq("u", "v"), "left_anti").isEmpty
+      e = ss
+      rounds += 1
+    }
+    require(converged, "large-star/small-star failed to converge in 64 rounds")
+    // At fixpoint every component is a star rooted at its minimum: a
+    // non-root node's single out-edge is its label; roots label
+    // themselves. min() guards the (never-observed) multi-edge case.
+    nodes.join(e.groupBy(col("u").as("node")).agg(min(col("v")).as("l")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("l"), col("node")).as("label"))
   }
 
   /** SimHash fingerprint width in bits: 4 bands × 16 bits. 16-bit bands

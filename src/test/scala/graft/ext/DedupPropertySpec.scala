@@ -156,4 +156,60 @@ class DedupPropertySpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("connectedComponents converges on a 100-node chain with diameter ≫ maxIters") {
+    // Diameter 99 with maxIters = 3: plain min-label propagation CANNOT
+    // finish (it advances the min one hop per round), so this exercises
+    // the automatic large-star/small-star fallback end-to-end.
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(chain, "a", "b", maxIters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == (0L to 99L).toSet)
+    assert(labels.values.forall(_ == 0L), "every chain node must label to the minimum 0")
+  }
+
+  test("large-star/small-star fallback ≡ propagation on random graphs") {
+    val edgeGen = for {
+      n <- Gen.chooseNum(2, 14)
+      m <- Gen.chooseNum(1, 20)
+      es <- Gen.listOfN(m, Gen.zip(Gen.chooseNum(0, n - 1), Gen.chooseNum(0, n - 1)))
+    } yield es.collect { case (a, b) if a != b => (a.toLong, b.toLong) }
+    val prop = Prop.forAll(edgeGen) { es =>
+      es.isEmpty || {
+        val df = es.toDF("a", "b")
+        // maxIters = 0 skips propagation entirely → pure fallback path;
+        // maxIters = 50 always converges via propagation on these sizes.
+        val viaFallback = Dedup.connectedComponents(df, "a", "b", maxIters = 0)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val viaProp = Dedup.connectedComponents(df, "a", "b", maxIters = 50)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        viaFallback == viaProp
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("nearDupMinhash default (shuffle) path survives a duplicate-saturated corpus") {
+    // Every document is a near-copy of the same text — the web-crawl
+    // worst case where candidate pairs are O(n²), corpus-scale rather
+    // than "orders of magnitude smaller": exactly the regime the
+    // default-no-broadcast contract exists for.
+    val base = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = (0 until 20).map(i => (i.toLong, s"$base extra$i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Dedup.nearDupMinhash(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 13 tokens per doc → 12 bigrams, 11 shared + 1 unique ("tok12
+    // extraI") → J = 11/13 ≈ 0.846 for every pair; at that J the 8×2
+    // banding misses a pair with p ≈ (1−0.716)⁸ ≈ 4e-5, so demand
+    // near-total rather than perfect recall.
+    val expJ = math.floor(11.0 / 13.0 * 1e6) / 1e6
+    assert(out.forall { case (a, b, j) => a < b && math.abs(j - expJ) < 1e-9 })
+    assert(out.length >= 185, s"expected ~190 saturated pairs, got ${out.length}")
+    // And the opt-in pinned-broadcast path agrees exactly.
+    val pinned = Dedup.nearDupMinhash(docs, broadcastCandidates = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSet == pinned.toSet)
+  }
 }
