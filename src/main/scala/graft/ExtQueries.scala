@@ -113,6 +113,35 @@ object ExtQueries {
       |      i -> cen[i]::DOUBLE * cen[i]::DOUBLE))))
       |    * 1000000) / 1000000""".stripMargin
 
+  /** Unrolled k-means CTE chain — the oracle twin of
+    * Similarity.kmeansCells: assignment a0 is the stored label; each
+    * round r derives exact-decimal centroids from a(r−1) (grouped by the
+    * CURRENT cell, unlike centroidCtes' static label) and reassigns every
+    * vector by argmax cosine with the smaller-cell tie-break. Ends in
+    * `a$rounds(vec_id, cell)`.
+    */
+  private def kmeansCtes(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""cx$r AS (SELECT a.cell, i - 1 AS dim, e.embedding[i]::DOUBLE AS x
+         |  FROM embeddings e JOIN a${r - 1} a USING (vec_id),
+         |       unnest(range(1, len(e.embedding) + 1)) AS u(i)),
+         |cs$r AS (SELECT cell, dim, sum(x::DECIMAL(30,10)) AS sx, count(*) AS n_vecs
+         |  FROM cx$r GROUP BY 1, 2),
+         |cent$r AS (SELECT cell AS c_cell,
+         |    list((floor(sx::DOUBLE / n_vecs * 1000000) / 1000000)::FLOAT ORDER BY dim)
+         |      AS cen
+         |  FROM cs$r GROUP BY cell),
+         |p$r AS (SELECT e.vec_id, c_cell, $cosCenSql AS cos
+         |  FROM embeddings e CROSS JOIN cent$r),
+         |a$r AS (SELECT vec_id, c_cell AS cell FROM (
+         |    SELECT vec_id, c_cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_cell) AS rn
+         |    FROM p$r) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""a0 AS (SELECT vec_id, label AS cell FROM embeddings),
+       |$steps""".stripMargin
+  }
+
   /** Shared CTE base for MinHash oracles — tokenize → shingle → 60-bit
     * hash sets (`hh`) → 16 signatures (`sg`) → exploded band table (`bd`).
     * Signatures are per-document functions, so one `bd` over the whole
@@ -402,6 +431,13 @@ object ExtQueries {
     // X3 — IVF-style cell-restricted top-k (the scale path).
     "ann_topk_ivf" -> ((s, dir) =>
       castLongs(Similarity.topKIvf(Tables.embeddings(s, dir)), "rank")
+        .orderBy("probe_id", "rank")),
+
+    // X3 — IVF top-k over TRAINED cells: two deterministic Lloyd
+    // iterations seeded from the label column, then cell-restricted
+    // search (the closed train → assign → search loop).
+    "ann_topk_ivf_trained" -> ((s, dir) =>
+      castLongs(Similarity.topKIvfTrained(Tables.embeddings(s, dir)), "rank")
         .orderBy("probe_id", "rank")),
 
     // X3 — random-hyperplane LSH-bucketed top-k (the trained-index-free
@@ -819,6 +855,19 @@ object ExtQueries {
       s"""WITH pairs AS (
          |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
          |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+         |  WHERE a.vec_id % 50 = 0 AND a.vec_id < ${50L * Similarity.MaxProbes}),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
+         |SELECT probe_id, rank, neighbor_id, cosine FROM r
+         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "ann_topk_ivf_trained" ->
+      s"""WITH ${kmeansCtes(Similarity.IvfTrainRounds)},
+         |e2 AS (SELECT e.vec_id, e.embedding, a.cell
+         |  FROM embeddings e JOIN a${Similarity.IvfTrainRounds} a USING (vec_id)),
+         |pairs AS (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
+         |  FROM e2 a JOIN e2 b ON a.cell = b.cell AND a.vec_id != b.vec_id
          |  WHERE a.vec_id % 50 = 0 AND a.vec_id < ${50L * Similarity.MaxProbes}),
          |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
          |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)

@@ -20,10 +20,11 @@ import graft.functions.{CosineSimilarity, TopKByScore}
   *    probe set is CONTRACTUALLY bounded ([[MaxProbes]]): the broadcast
   *    side cannot grow with the corpus, so the quadratic blow-up of an
   *    unbounded probe set is excluded by construction, not by hope.
-  *  - `topKIvf` is the scale path: vectors are pre-assigned to cells
-  *    (here the `label` column stands in for a trained IVF/k-means cell
-  *    id; at rest, cell = partition key). A probe searches only its own
-  *    cell → partition-pruned scan, work divided by the cell count.
+  *  - `topKIvf` is the scale path: vectors are assigned to cells (the
+  *    pre-assigned `label` column, or cells TRAINED by `kmeansCells` —
+  *    `topKIvfTrained`; at rest, cell = partition key). A probe searches
+  *    only its own cell → partition-pruned scan, work divided by the
+  *    cell count.
   *  - `nearDupCosine` is a triangle-partitioned blocked self-join: cells
   *    are salted into sub-blocks and joined pairwise, so NO side is ever
   *    broadcast whole (the previous full-corpus broadcast was an executor
@@ -119,11 +120,12 @@ object Similarity {
       k)
   }
 
-  /** X3 — IVF-style cell-restricted top-k: each probe searches only the
-    * vectors sharing its cell id (`label`). The trained
-    * assign-to-nearest-centroid step happens upstream (stubbed by the
-    * pre-assigned label column); at scale cells map to storage partitions
-    * so the scan itself is pruned.
+  /** X3 — IVF-style cell-restricted top-k over a PRE-ASSIGNED cell id
+    * (`label`): the form a store whose cell column was materialized at
+    * ingest runs — at scale cells map to storage partitions so the scan
+    * itself is pruned. [[topKIvfTrained]] is the same search pattern
+    * with the assignment actually TRAINED ([[kmeansCells]]) instead of
+    * taken from the stored column.
     */
   def topKIvf(embeddings: DataFrame, probeEvery: Int = 50, k: Int = 5): DataFrame =
     topK(
@@ -173,17 +175,33 @@ object Similarity {
     * no such care. One aggregate on label after a map-side broadcast
     * join: the corpus contributes a single scan.
     */
+  /** Per-cell float-array centroids of an arbitrary `(cell, embedding)`
+    * frame — the [[labelCentroids]] aggregation (exact-decimal sums,
+    * trunc6, dim-sorted assembly, float cast so the [[CosineSimilarity]]
+    * kernel applies) generalized over any cell assignment, which is what
+    * lets the k-means loop re-derive centroids from ITS OWN assignments
+    * instead of the static label column. |cells| rows, broadcast by
+    * every consumer.
+    */
+  private def centroidsOf(vecs: DataFrame, cellAlias: String): DataFrame =
+    vecs
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("cell", "dim")
+      .agg(sum(col("x").cast("double").cast("decimal(30,10)")).as("sx"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("cell"), col("dim"),
+        TextOps.trunc6(col("sx").cast("double") / col("n_vecs")).as("cv"))
+      .groupBy(col("cell").as(cellAlias))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("cv")))),
+        s => s.getField("cv").cast("float")).as("centroid"))
+
   /** The [[labelCentroids]] rows assembled to one float-array centroid
-    * per label (dim-sorted, truncated values cast to float so the
-    * [[CosineSimilarity]] kernel applies) — |labels| rows, broadcast by
-    * every consumer. Shared by [[labelCohesion]] and [[kmeansAssign]].
+    * per label — [[centroidsOf]] with the label column as the cell.
+    * Shared by [[labelCohesion]] and [[kmeansAssign]].
     */
   private def centroidTable(embeddings: DataFrame, labelAlias: String): DataFrame =
-    labelCentroids(embeddings)
-      .groupBy(col("label").as(labelAlias))
-      .agg(transform(
-        array_sort(collect_list(struct(col("dim"), col("centroid_val")))),
-        s => s.getField("centroid_val").cast("float")).as("centroid"))
+    centroidsOf(embeddings.select(col("label").as("cell"), col("embedding")), labelAlias)
 
   def labelCohesion(embeddings: DataFrame): DataFrame = {
     val cent = centroidTable(embeddings, "label")
@@ -228,6 +246,67 @@ object Similarity {
       .where(col("rn") === 1)
       .select(col("vec_id"), col("label"), col("c_label").as("new_label"),
         col("cos"), (col("c_label") =!= col("label")).as("moved"))
+  }
+
+  /** Lloyd iterations run by the trained-IVF query — FIXED (not
+    * convergence-tested) so the DuckDB oracle can unroll the identical
+    * iterations; each step is deterministic (bit-identical cosines +
+    * min-cell tie-break), so a fixed count is reproducible end-to-end.
+    */
+  val IvfTrainRounds = 2
+
+  /** TRAINED IVF cell assignment: `rounds` full Lloyd iterations —
+    * centroids from the current assignment ([[centroidsOf]]), every
+    * vector reassigned to its most-similar centroid (argmax cosine,
+    * smaller-cell tie-break) — seeded from the stored `label` column
+    * (deterministic, no RNG to mirror across engines). Returns the
+    * narrow `(vec_id, cell)` assignment.
+    *
+    * Scale design (100 TB of vectors): per round the corpus contributes
+    * ONE scan joined to a broadcast |cells|·dims centroid table — the
+    * canonical distributed k-means step ([[kmeansAssign]]'s shape,
+    * iterated). Only the narrow assignment is `localCheckpoint`ed
+    * between rounds (at rest: a persisted (vec_id, cell) table), never
+    * the embeddings — lineage stays flat and nothing corpus-sized is
+    * materialized. The driver loop is iteration control only; a cell
+    * that loses all members simply drops out of the next centroid table
+    * (deterministically, on both engines).
+    */
+  def kmeansCells(embeddings: DataFrame, rounds: Int = IvfTrainRounds): DataFrame = {
+    var assign = embeddings.select(col("vec_id"), col("label").as("cell"))
+    for (_ <- 1 to rounds) {
+      val cent = centroidsOf(
+        embeddings.join(assign, "vec_id").select(col("cell"), col("embedding")),
+        "c_cell")
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("c_cell"))
+      assign = embeddings.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("c_cell"),
+          TextOps.trunc6(CosineSimilarity(col("embedding"), col("centroid"))).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("c_cell").as("cell"))
+        .localCheckpoint()
+    }
+    assign
+  }
+
+  /** X3 — IVF top-k over TRAINED cells: the [[topKIvf]] search pattern
+    * with the cell id coming from [[kmeansCells]] (centroids actually
+    * fitted to the data) instead of the pre-assigned label. This closes
+    * the loop [[topKIvf]]'s scaladoc promises: train → assign → search
+    * own cell. At rest the trained assignment is the storage partition
+    * key, so the per-probe scan is pruned to one cell.
+    */
+  def topKIvfTrained(embeddings: DataFrame, probeEvery: Int = 50, k: Int = 5,
+      rounds: Int = IvfTrainRounds): DataFrame = {
+    val e = embeddings.join(kmeansCells(embeddings, rounds), "vec_id")
+    topK(
+      broadcast(probes(e, probeEvery).as("a"))
+        .join(e.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("probe_id"), col("b.vec_id").as("neighbor_id"),
+          cos6.as("cosine")),
+      k)
   }
 
   /** Embedding-cosine near-dup pairs: all pairs with cosine ≥ threshold,

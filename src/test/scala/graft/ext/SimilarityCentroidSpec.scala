@@ -42,6 +42,49 @@ class SimilarityCentroidSpec extends SparkSpec {
       (2L, 1, 1, 1.0, false)))
   }
 
+  test("kmeansCells corrects mislabeled vectors on planted clusters; trained IVF recall ≥ untrained") {
+    // Three well-separated clusters along orthogonal axes, 8 vectors
+    // each, small per-vector noise in an off-axis dimension. Labels are
+    // correct EXCEPT the three probe vectors (vec_id 0, 8, 16 — each a
+    // multiple of probeEvery = 8), which are planted with the wrong
+    // label: untrained IVF searches the wrong cell for every probe, so
+    // its neighbors are cross-cluster junk, while training must re-home
+    // each probe to its true cluster within IvfTrainRounds rounds.
+    def vec(axis: Int, i: Int): Array[Float] = {
+      val a = Array.fill(4)(0.0f)
+      a(axis) = 1.0f
+      a(3) = 0.01f * (i % 8) // tiny per-vector perturbation
+      a
+    }
+    val rows = for (c <- 0 until 3; i <- 0 until 8) yield {
+      val id = (c * 8 + i).toLong
+      val lbl = if (i == 0) (c + 1) % 3 else c // probes mislabeled
+      (id, vec(c, i), lbl)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val cells = Similarity.kmeansCells(emb).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // Trained assignment groups every vector with its true cluster: the
+    // three axis clusters stay intact (whatever cell ids they end on).
+    for (c <- 0 until 3) {
+      val ids = (c * 8 until c * 8 + 8).map(_.toLong)
+      assert(ids.map(cells).distinct.size == 1,
+        s"cluster $c must land in one trained cell: ${ids.map(cells)}")
+    }
+    def hits(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Boolean] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)) -> true).toMap
+    val brute = hits(Similarity.topKBruteForce(emb, probeEvery = 8, k = 3))
+    val trained = hits(Similarity.topKIvfTrained(emb, probeEvery = 8, k = 3))
+    val untrained = hits(Similarity.topKIvf(emb, probeEvery = 8, k = 3))
+    def recall(got: Map[(Long, Long), Boolean]): Double =
+      if (brute.isEmpty) 1.0 else brute.keys.count(got.contains).toDouble / brute.size
+    // On the planted fixture the true top-k all live in the probe's own
+    // cluster, so trained-cell search recovers brute force exactly;
+    // untrained search (wrong cell) can recover none of it.
+    assert(recall(trained) == 1.0, s"trained recall ${recall(trained)}")
+    assert(recall(untrained) == 0.0, s"untrained recall ${recall(untrained)}")
+  }
+
   test("labelCentroids is invariant to input partitioning (exact decimal sums)") {
     val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val a = Similarity.labelCentroids(d).orderBy("label", "dim")
