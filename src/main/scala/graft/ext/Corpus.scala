@@ -402,17 +402,31 @@ object Corpus {
   def corpusManifest(corpus: DataFrame, benchmark: DataFrame,
       threshold: Double = 0.5): DataFrame = {
     // The NARROW verdict table (id + reasons) is what gets materialized —
-    // three dedup components re-derive `kept` from it, paying one extra
-    // columnar corpus scan each instead of checkpointing a full-text copy
-    // of the corpus (at 100 TB the verdict table is the thing you can
-    // afford to persist; the corpus re-read is pruned and columnar).
+    // never a full-text copy of the corpus (at 100 TB the verdict table
+    // is the thing you can afford to persist; corpus re-reads are pruned
+    // and columnar).
     val q = qualityFilter(corpus)
       .select(col("doc_id"), col("reasons").as("q_reasons"))
       .localCheckpoint()
     val kept = corpus.join(
       q.where(col("q_reasons") === "").select("doc_id"), "doc_id")
-    val survivors = Dedup.exact(kept).select(col("doc_id"), lit(true).as("is_survivor"))
-    val groups = Dedup.dupGroups(kept, threshold).select(col("doc_id"), col("group_id"))
+    // ONE shared normalize/shingle pass over the keepers, checkpointed
+    // as two narrow derived tables: the exact-dup content keys and the
+    // 2-word shingle hashes. Without these, exact and the minhash
+    // pipeline each re-derived `kept` (corpus scan + verdict join +
+    // normalize/tokenize) per consumer — and the banded self-join
+    // consumes the shingle subtree on BOTH sides, so the shingle scan
+    // alone re-ran three times per manifest. At scale these checkpoints
+    // are exactly the signature store written at ingest
+    // ([[Dedup.minhashBands]]' contract), not extra state.
+    val keyed = kept.select(col("doc_id"),
+      md5(TextOps.normalized(col("text")).cast("binary")).as("content_key"))
+      .localCheckpoint()
+    val hr = Dedup.hashedShingleRows(kept).localCheckpoint()
+    val survivors = Dedup.exactByKey(keyed)
+      .select(col("doc_id"), lit(true).as("is_survivor"))
+    val groups = Dedup.dupGroupsFromHashes(hr, threshold)
+      .select(col("doc_id"), col("group_id"))
     val contam = decontaminate(corpus, benchmark)
       .select(col("doc_id"), lit(true).as("contaminated"))
     q.join(survivors, Seq("doc_id"), "left")

@@ -48,10 +48,17 @@ object Dedup {
     * doc_id per content group (deterministic survivor), reports group
     * size. Output: doc_id, content_key, group_size.
     */
-  def exact(docs: DataFrame): DataFrame = {
-    val keyed = docs.select(
+  def exact(docs: DataFrame): DataFrame =
+    exactByKey(docs.select(
       col("doc_id"),
-      md5(TextOps.normalized(col("text")).cast("binary")).as("content_key"))
+      md5(TextOps.normalized(col("text")).cast("binary")).as("content_key")))
+
+  /** [[exact]] over a PRECOMPUTED `(doc_id, content_key)` frame — the
+    * form that lets a composite pipeline ([[Corpus.corpusManifest]])
+    * derive the key in its one shared normalize pass instead of
+    * re-scanning the corpus here.
+    */
+  def exactByKey(keyed: DataFrame): DataFrame = {
     val w = Window.partitionBy("content_key")
     keyed
       .withColumn("rn", row_number().over(w.orderBy("doc_id")))
@@ -177,8 +184,17 @@ object Dedup {
     if (pin) broadcast(df) else df
 
   def nearDupMinhash(docs: DataFrame, threshold: Double = 0.5,
+      broadcastCandidates: Boolean = false): DataFrame =
+    nearDupMinhashFromHashes(hashedShingleRows(docs), threshold, broadcastCandidates)
+
+  /** [[nearDupMinhash]] over a precomputed [[hashedShingleRows]] frame.
+    * The hr subtree is consumed SEVERAL times below (both sides of the
+    * banded self-join + the set branch), so a caller that already has hr
+    * materialized — [[Corpus.corpusManifest]] checkpoints one shared
+    * shingle scan — saves that many corpus re-scans.
+    */
+  def nearDupMinhashFromHashes(hr: DataFrame, threshold: Double = 0.5,
       broadcastCandidates: Boolean = false): DataFrame = {
-    val hr = hashedShingleRows(docs)
     val banded = minhashBands(hr)
     // localCheckpoint: cand is band-collision pairs — tiny — and it is
     // consumed three times below (id filter twice, pair join once);
@@ -326,8 +342,15 @@ object Dedup {
     */
   def dupGroups(docs: DataFrame, threshold: Double = 0.5,
       maxIters: Int = 25): DataFrame =
+    dupGroupsFromHashes(hashedShingleRows(docs), threshold, maxIters)
+
+  /** [[dupGroups]] over a precomputed [[hashedShingleRows]] frame — see
+    * [[nearDupMinhashFromHashes]] for why callers pass hr.
+    */
+  def dupGroupsFromHashes(hr: DataFrame, threshold: Double = 0.5,
+      maxIters: Int = 25): DataFrame =
     connectedComponents(
-      nearDupMinhash(docs, threshold).select("doc_a", "doc_b"),
+      nearDupMinhashFromHashes(hr, threshold).select("doc_a", "doc_b"),
       "doc_a", "doc_b", maxIters)
       .select(col("node").as("doc_id"), col("label").as("group_id"))
       .withColumn("group_size", count(lit(1)).over(Window.partitionBy("group_id")))

@@ -84,23 +84,42 @@ object Similarity {
     * the same planes from the same formula; no RNG state to mirror).
     */
   val LshBits = 6
-  private val EmbDim = 64
+
+  /** Embedding width the default hyperplane family covers — a PARAMETER
+    * of the signature ([[lshSignatures]]' `dim`), not a hard bake: the
+    * testdata embeddings are 64-wide, so 64 is the default.
+    */
+  val EmbDim = 64
 
   private def lshSign(i: Int, j: Int): Double =
     if (((i * 2654435761L + j * 40503L) & 16L) != 0L) 1.0 else -1.0
 
   /** Bucket id: bit i set iff the vector's dot product with hyperplane i
     * is strictly positive. Two HOF passes per plane (interpreted — fine
-    * for signature computation at ingest; at real scale this is computed
-    * once per vector at write time and stored, exactly like the IVF cell
-    * id, never recomputed per query).
+    * for signature computation at INGEST, which is where this belongs:
+    * [[lshSignatures]] computes it once per vector into the persisted
+    * store, exactly like the IVF cell id, and [[topKLsh]] probes the
+    * store instead of recomputing per query).
     */
-  private def rpBucket(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private def rpBucket(vec: org.apache.spark.sql.Column,
+      dim: Int): org.apache.spark.sql.Column =
     (0 until LshBits).map { i =>
-      val signs = array((1 to EmbDim).map(j => lit(lshSign(i, j))): _*)
+      val signs = array((1 to dim).map(j => lit(lshSign(i, j))): _*)
       when(aggregate(zip_with(vec, signs, (x, s) => x * s),
         lit(0.0d), (acc, x) => acc + x) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** The LSH SIGNATURE STORE: one `(vec_id, bkt)` row per vector — a
+    * pure per-vector function (like [[graft.ext.Dedup.minhashBands]]),
+    * so signatures computed batch-by-batch equal signatures computed
+    * over the union, and at scale this is written once per ingest batch
+    * and persisted (bucketed/partitioned by `bkt`, so a probe's
+    * candidate fetch is a pruned read). `dim` is the embedding width
+    * the hyperplanes cover.
+    */
+  def lshSignatures(embeddings: DataFrame, dim: Int = EmbDim): DataFrame =
+    embeddings.select(col("vec_id"),
+      rpBucket(col("embedding"), dim).as("bkt"))
 
   /** X3 — LSH-bucketed top-k (the second scale path, complementing IVF):
     * candidates are vectors in the probe's random-hyperplane bucket, so a
@@ -108,9 +127,18 @@ object Similarity {
     * needs no trained centroids — the bucketing is data-independent — at
     * the cost of recall near bucket boundaries (the classic trade; both
     * paths share the same verification kernel and top-k aggregate).
+    *
+    * `signatures` is the persisted [[lshSignatures]] store; when given,
+    * buckets come from the store (the 100 TB path — no per-query
+    * signature recompute), when absent they are derived inline (the
+    * self-contained form; identical output, asserted by spec).
     */
-  def topKLsh(embeddings: DataFrame, probeEvery: Int = 50, k: Int = 5): DataFrame = {
-    val e = embeddings.withColumn("bkt", rpBucket(col("embedding")))
+  def topKLsh(embeddings: DataFrame, probeEvery: Int = 50, k: Int = 5,
+      signatures: Option[DataFrame] = None): DataFrame = {
+    val e = signatures match {
+      case Some(store) => embeddings.join(store.select(col("vec_id"), col("bkt")), "vec_id")
+      case None => embeddings.withColumn("bkt", rpBucket(col("embedding"), EmbDim))
+    }
     topK(
       broadcast(probes(e, probeEvery).as("a"))
         .join(e.as("b"),

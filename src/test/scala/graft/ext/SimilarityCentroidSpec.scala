@@ -85,6 +85,19 @@ class SimilarityCentroidSpec extends SparkSpec {
     assert(recall(untrained) == 0.0, s"untrained recall ${recall(untrained)}")
   }
 
+  test("topKLsh against a parquet-round-tripped signature store ≡ inline buckets") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshstore").toString
+    // Ingest-time write, bucketed layout by bkt (the pruned-probe shape).
+    Similarity.lshSignatures(d).write.partitionBy("bkt").parquet(s"$dir/lsh")
+    val viaStore = Similarity.topKLsh(d,
+        signatures = Some(spark.read.parquet(s"$dir/lsh")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val inline = Similarity.topKLsh(d)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaStore === inline && viaStore.nonEmpty)
+  }
+
   test("labelCentroids is invariant to input partitioning (exact decimal sums)") {
     val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val a = Similarity.labelCentroids(d).orderBy("label", "dim")
