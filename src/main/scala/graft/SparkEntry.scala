@@ -117,7 +117,7 @@ object SparkEntry {
       val tmp = s"${sys.props("java.io.tmpdir")}/graft-csv-${java.util.UUID.randomUUID}"
       RetailMapping.rawSales(s, dir, D)
         .write.mode("overwrite").option("header", "true").csv(tmp)
-      val raw = s.read.schema(Schemas.posSalesRaw).option("header", "true").csv(tmp)
+      val raw = graft.sources.CsvIngest.read(s, tmp, Schemas.posSalesRaw)
       StageSales.stage(raw, D).orderBy("sku")
     }),
 

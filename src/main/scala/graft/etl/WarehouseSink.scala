@@ -1,8 +1,10 @@
 package graft.etl
 
+import java.sql.{Connection, DriverManager}
 import java.time.LocalDate
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types._
 
 /** Warehouse load contract — the typed seam for the reference's Redshift
   * loads (dags/retail_pipeline_dag.py:19-41: DELETE-by-date + COPY for
@@ -55,4 +57,96 @@ final class ParquetWarehouseSink(root: String) extends WarehouseSink {
 
   override def read(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(location(table))
+}
+
+/** JDBC binding: the reference's ACTUAL warehouse-load semantics
+  * (dags/retail_pipeline_dag.py:20-42) over any JDBC database — facts
+  * load as DELETE-by-date then COPY (bulk append), dims as TRUNCATE then
+  * COPY, exactly the DAG's SQL pairs. Tested against embedded Derby
+  * (on the Spark classpath); a Redshift/Postgres URL drops in unchanged.
+  *
+  * Tables are created on first load with explicit portable DDL (VARCHAR,
+  * not the Derby dialect's CLOB default — mirroring
+  * sql/create_redshift_tables.sql:4-38's typed columns) so warehouse-side
+  * predicates and joins work on every column.
+  *
+  * Scale notes: the DELETE runs once on the driver (pruned by the
+  * warehouse's date_key sort/dist key, per the reference DDL); the COPY
+  * is Spark's distributed JDBC append — each partition writes its own
+  * batch, which is the reference's parallel S3 COPY analogue. Like the
+  * reference's DELETE-then-COPY pair, the two steps are not one
+  * transaction: a failed COPY leaves the date partially loaded until the
+  * (idempotent) re-run — the standard warehouse pattern; a
+  * staging-table + transactional swap binding would slot behind the same
+  * trait if stronger atomicity were needed.
+  */
+final class JdbcWarehouseSink(url: String) extends WarehouseSink {
+
+  override def location(table: String): String = s"$url#$table"
+
+  private def withConn[A](f: Connection => A): A = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  /** Reference-DDL-shaped portable column types (VARCHAR over the JDBC
+    * dialect's CLOB mapping for strings — CLOBs cannot be compared or
+    * grouped warehouse-side).
+    */
+  private def sqlType(dt: DataType): String = dt match {
+    case StringType => "VARCHAR(255)"
+    case IntegerType => "INT"
+    case LongType => "BIGINT"
+    case DoubleType => "DOUBLE"
+    case FloatType => "REAL"
+    case BooleanType => "BOOLEAN"
+    case DateType => "DATE"
+    case TimestampType => "TIMESTAMP"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case other => throw new IllegalArgumentException(
+      s"no warehouse mapping for column type $other")
+  }
+
+  private def ensureTable(df: DataFrame, table: String): Unit = {
+    // Column identifiers are QUOTED so the warehouse stores the frame's
+    // exact (lowercase) names — unquoted DDL would be uppercased by
+    // case-folding databases (Derby/Oracle style) and read back as a
+    // DIFFERENT schema than was written; Spark's JDBC writer quotes its
+    // INSERT column lists, so quoting here keeps the two consistent.
+    val cols = df.schema.fields
+      .map(f => s""""${f.name}" ${sqlType(f.dataType)}""").mkString(", ")
+    withConn { c =>
+      try c.createStatement().executeUpdate(s"CREATE TABLE $table ($cols)")
+      catch {
+        // Derby X0Y32 / SQLState 42xxx family: table already exists —
+        // the steady-state path after the first load.
+        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+      }
+    }
+  }
+
+  /** DELETE-by-date + COPY (dags/retail_pipeline_dag.py:20,35):
+    * re-running a date replaces exactly that date's rows.
+    */
+  override def loadFact(df: DataFrame, table: String, date: LocalDate): Unit = {
+    ensureTable(df, table)
+    withConn { c =>
+      val del = c.prepareStatement(s"""DELETE FROM $table WHERE "date_key" = ?""")
+      del.setDate(1, java.sql.Date.valueOf(date))
+      del.executeUpdate()
+    }
+    df.write.mode(SaveMode.Append).jdbc(url, table, new java.util.Properties)
+  }
+
+  /** TRUNCATE + COPY (dags/retail_pipeline_dag.py:28-33): the table
+    * afterwards holds exactly `df`'s rows.
+    */
+  override def loadDim(df: DataFrame, table: String): Unit = {
+    ensureTable(df, table)
+    withConn(_.createStatement().executeUpdate(s"TRUNCATE TABLE $table"))
+    df.write.mode(SaveMode.Append).jdbc(url, table, new java.util.Properties)
+  }
+
+  override def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.jdbc(url, table, new java.util.Properties)
 }

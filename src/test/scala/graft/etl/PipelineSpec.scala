@@ -55,6 +55,27 @@ class PipelineSpec extends SparkSpec {
     assert(sink.read(spark, "dim_products").count() === 1)
   }
 
+  test("JDBC sink: DELETE+COPY idempotency and TRUNCATE+COPY refresh through real SQL") {
+    val dbDir = Files.createTempDirectory("graft-derby").toString
+    val sink: WarehouseSink = new JdbcWarehouseSink(s"jdbc:derby:$dbDir/wh;create=true")
+    val res = Pipeline.run(spark, sales, invOpen, invClose, d1, sink)
+    assert(sink.read(spark, "fact_daily_sales").count() === 2)
+    assert(res.alert.get.count === 1)
+    // Idempotent re-run: DELETE-by-date drops the prior rows before COPY.
+    Pipeline.run(spark, sales, invOpen, invClose, d1, sink)
+    assert(sink.read(spark, "fact_daily_sales").count() === 2)
+    assert(sink.read(spark, "fact_inventory_reconciliation").count() === 2)
+    // A second date loads beside the first, untouched.
+    Pipeline.run(spark, sales.limit(1), invOpen, invClose, d2, sink)
+    val recon = sink.read(spark, "fact_inventory_reconciliation")
+    assert(recon.where(col("date_key") === d1.toString).count() === 2)
+    assert(recon.where(col("date_key") === d2.toString).count() === 2)
+    // Dim full refresh: TRUNCATE + COPY leaves exactly the new rows.
+    sink.loadDim(invOpen.limit(1).select("sku", "product_name", "category"),
+      "dim_products")
+    assert(sink.read(spark, "dim_products").count() === 1)
+  }
+
   test("a second date adds its partition without touching the first") {
     val root = Files.createTempDirectory("graft-pipe").toString
     Pipeline.run(spark, sales, invOpen, invClose, d1, root)
