@@ -126,8 +126,14 @@ object StreamingOps {
     * `existingDocs` is a THUNK re-evaluated per batch so the caller's
     * `sink` can append each processed batch's documents/signatures to the
     * store and the next batch dedupes against the grown corpus — with
-    * that contract, results are independent of how the stream is cut into
-    * batches (asserted in StreamingOpsSpec). At scale the store read is a
+    * that contract, the SET of detected duplicates is independent of how
+    * the stream is cut into batches (asserted in StreamingOpsSpec). The
+    * SURVIVOR choice carries one caveat: within a batch the smallest
+    * doc_id survives, across batches the first-committed doc survives —
+    * identical only when doc_ids arrive in nondecreasing order (the
+    * append-log norm for ingest ids); out-of-order ids keep the same dup
+    * set but may elect a different representative than a batch re-run
+    * would. At scale the store read is a
     * band_val-partitioned parquet/bucketed table, so each batch's probe
     * is a partition-pruned lookup, cost O(batch + collisions) — the
     * unbounded-feed form of dedup where any full-corpus re-pairing would
@@ -155,13 +161,19 @@ object StreamingOps {
     * ([[graft.ext.Dedup.nearDupIncremental]] — drop-then-dedup, so
     * rejected docs never pay signature cost), and hand the sink one
     * MANIFEST row per document (doc_id, reasons, keep) — the streaming
-    * twin of the batch `corpus_manifest`.
+    * twin of the batch `corpus_manifest`, with the SAME reason
+    * vocabulary: content-key collisions are reported `exact_dup`
+    * (usually alongside `near_dup`, since an exact copy is also a
+    * Jaccard-1 near-dup — exactly how the batch manifest flags them),
+    * near-only matches just `near_dup`.
     *
     * The caller's `sink` owns committing accepted documents (and their
     * signatures) to the store; `existingDocs` is the per-batch re-read of
-    * that store, exactly the [[incrementalDedupStream]] contract — so
-    * verdicts are independent of how the stream is cut into batches, and
-    * per-batch cost is O(batch + collisions), never O(corpus).
+    * that store, exactly the [[incrementalDedupStream]] contract — so the
+    * drop/keep verdicts are independent of how the stream is cut into
+    * batches (with that contract's nondecreasing-doc_id caveat on WHICH
+    * copy survives), and per-batch cost is O(batch + collisions), never
+    * O(corpus).
     */
   def corpusIngestStream(incoming: DataFrame,
       existingDocs: () => DataFrame,
@@ -178,17 +190,55 @@ object StreamingOps {
           .select(col("doc_id"), col("reasons"), col("keep"))
           .localCheckpoint()
         val kept = batch.join(q.where(col("keep")).select("doc_id"), "doc_id")
+        val existing = existingDocs()
+        // Exact-dup split (the batch manifest's `exact_dup` flag): a
+        // keeper whose normalized-content key collides with the store or
+        // with a smaller-id keeper in the same batch. Recomputed from
+        // the doc store here like the incremental signatures; at rest
+        // the content key is one more column of the signature store.
+        def keyed(df: DataFrame) = df.select(col("doc_id"),
+          md5(graft.ext.TextOps.normalized(col("text")).cast("binary")).as("ck"))
+        val kk = keyed(kept)
+        val allKeys = keyed(existing).withColumn("is_new", lit(false))
+          .unionByName(kk.withColumn("is_new", lit(true)))
+        val exactIds = kk.as("a")
+          .join(allKeys.as("b"),
+            col("a.ck") === col("b.ck") && col("a.doc_id") =!= col("b.doc_id") &&
+              (!col("b.is_new") || col("b.doc_id") < col("a.doc_id")))
+          .select(col("a.doc_id").as("doc_id")).distinct()
+          .withColumn("is_exact", lit(true))
         val dupIds = graft.ext.Dedup
-          .nearDupIncremental(existingDocs(), kept, threshold)
+          .nearDupIncremental(existing, kept, threshold)
           .select(col("doc_new").as("doc_id")).distinct()
           .withColumn("is_dup", lit(true))
-        val manifest = q.join(dupIds, Seq("doc_id"), "left")
+        val manifest = q.join(exactIds, Seq("doc_id"), "left")
+          .join(dupIds, Seq("doc_id"), "left")
           .withColumn("reasons", concat_ws(",",
             when(col("reasons") =!= "", col("reasons")),
+            when(col("is_exact").isNotNull, "exact_dup"),
             when(col("is_dup").isNotNull, "near_dup")))
           .select(col("doc_id"), col("reasons"),
             (col("reasons") === "").as("keep"))
         sink(manifest, batchId)
+      }
+
+  /** Streaming LSH-ANN ingest — maintain the
+    * [[graft.ext.Similarity.lshSignatures]] store per arriving
+    * micro-batch of embeddings, the vector-side twin of the minhash
+    * signature maintenance in [[incrementalDedupStream]]. The bucket is
+    * a pure per-vector function, so the store built batch-by-batch
+    * equals the store built over the union in one pass (asserted in
+    * StreamingOpsSpec) — and a [[graft.ext.Similarity.topKLsh]] probe
+    * against the accumulated store never recomputes a signature. The
+    * caller's `sink` owns the bucketed-by-`bkt` persisted layout.
+    */
+  def lshIngestStream(incoming: DataFrame,
+      sink: (DataFrame, Long) => Unit,
+      dim: Int = graft.ext.Similarity.EmbDim): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    incoming.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.ext.Similarity.lshSignatures(batch, dim), batchId)
       }
 
   /** Per-user state transition; also invoked on event-time timeout with

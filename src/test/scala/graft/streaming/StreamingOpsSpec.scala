@@ -13,6 +13,9 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, 
 /** Document row for the streaming incremental-dedup spec. */
 case class Doc(doc_id: Long, text: String, lang: String)
 
+/** Embedding row for the streaming LSH-ingest spec. */
+case class Emb(vec_id: Long, embedding: Array[Float], label: Int)
+
 /** Streaming operators driven end-to-end through MemoryStream →
   * streaming query → memory sink.
   */
@@ -150,6 +153,64 @@ class StreamingOpsSpec extends SparkSpec {
       assert(!k12 && r12.split(",").contains("too_short"))
       // Catching 20 ≈ 11 requires the store to have grown after batch 1.
       assert(results(1L)(20L) === (("near_dup", false)))
+    } finally q.stop()
+  }
+
+  test("streaming ingest splits exact_dup from near_dup like the batch manifest") {
+    implicit val sqlCtx = spark.sqlContext
+    val wordsA = "the " + (1 to 24).map(i => s"w$i").mkString(" ")
+    val cleanB = "a " + (1 to 24).map(i => s"q$i").mkString(" ")
+    val store = scala.collection.mutable.ArrayBuffer(Doc(1L, wordsA, "en"))
+    val results = scala.collection.mutable.Map.empty[Long, Map[Long, (String, Boolean)]]
+    val mem = MemoryStream[Doc]
+    val writer = StreamingOps.corpusIngestStream(
+      mem.toDF(),
+      () => store.toSeq.toDF(),
+      (manifest, id) => results(id) = manifest.collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap)
+    val q = writer.start()
+    try {
+      val b1 = Seq(
+        Doc(10L, wordsA, "en"),            // EXACT copy of store doc 1
+        Doc(11L, cleanB, "en"),            // clean keeper
+        Doc(12L, cleanB + " !!", "en"))    // exact copy of 11 modulo
+                                           // normalization (punct strips)
+      mem.addData(b1: _*); q.processAllAvailable()
+      // Exact copies report both flags, exactly like the batch manifest
+      // (an exact copy is also a Jaccard-1 near-dup group member).
+      assert(results(0L)(10L) === (("exact_dup,near_dup", false)))
+      assert(results(0L)(11L) === (("", true)))
+      assert(results(0L)(12L) === (("exact_dup,near_dup", false)))
+      store ++= b1.filter(d => results(0L)(d.doc_id)._2)
+      // A near-but-not-exact copy across batches stays near_dup only.
+      mem.addData(Doc(20L, cleanB + " qtail", "en")); q.processAllAvailable()
+      assert(results(1L)(20L) === (("near_dup", false)))
+    } finally q.stop()
+  }
+
+  test("streaming LSH ingest accumulates the exact batch signature store") {
+    implicit val sqlCtx = spark.sqlContext
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val all = Seq(
+      Emb(0L, v(1, 0, 0, 0), 0), Emb(1L, v(0.9, 0.1, 0, 0), 0),
+      Emb(2L, v(-1, 0.2, 0, 0), 1), Emb(3L, v(0, 0, 1, 0), 1),
+      Emb(4L, v(0, -1, 0.3, 0), 2), Emb(5L, v(0.2, 0.2, 0.2, 0.2), 2))
+    val gotRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    val mem = MemoryStream[Emb]
+    val writer = StreamingOps.lshIngestStream(
+      mem.toDF(),
+      (sigs, _) => gotRows ++= sigs.collect().map(r => (r.getLong(0), r.getInt(1))),
+      dim = 4)
+    val q = writer.start()
+    try {
+      mem.addData(all.take(3): _*); q.processAllAvailable()
+      mem.addData(all.drop(3): _*); q.processAllAvailable()
+      val batchStore = graft.ext.Similarity.lshSignatures(all.toDF(), dim = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      // Signatures are pure per-vector: two micro-batches accumulate
+      // exactly the one-pass store, row for row.
+      assert(gotRows.toSet === batchStore)
+      assert(gotRows.size === all.size)
     } finally q.stop()
   }
 
