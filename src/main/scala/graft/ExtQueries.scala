@@ -292,6 +292,11 @@ object ExtQueries {
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardBlocked(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
 
+    // X4 — containment near-dup: |A∩B| / min(|A|,|B|) ≥ 0.8 over the
+    // same banded candidates (partial-copy detection).
+    "containment_near_dup" -> ((s, dir) =>
+      Dedup.containmentNearDup(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+
     // X1/X4 — duplicate groups: connected components over the verified
     // MinHash pair graph (iterative min-label propagation).
     "dup_groups" -> ((s, dir) =>
@@ -450,6 +455,17 @@ object ExtQueries {
     "embedding_near_dup" -> ((s, dir) =>
       Similarity.nearDupCosine(Tables.embeddings(s, dir)).orderBy("vec_a", "vec_b")),
 
+    // X3 — int8 quantized embedding store (digested for the scalar-only
+    // oracle compare; the operator itself returns the raw qvec array).
+    "embedding_quantize" -> ((s, dir) =>
+      Similarity.quantizeEmbeddings(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("scale"),
+          md5(concat_ws(",",
+            transform(col("qvec"), x => x.cast("string"))).cast("binary")).as("q_md5"),
+          aggregate(col("qvec"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_max(col("qvec")).cast("long").as("q_max"))
+        .orderBy("vec_id")),
+
     // X3 — per-(label, dim) centroid components (exact-decimal mean).
     "label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Tables.embeddings(s, dir)).orderBy("label", "dim")),
@@ -553,6 +569,38 @@ object ExtQueries {
       s"""WITH ${minhashCtes()}
          |SELECT doc_a, doc_b, jaccard FROM vp
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Same banded candidates as near_dup_minhash, containment-verified.
+    "containment_near_dup" ->
+      s"""WITH ${minhashBaseCtes()},
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bd a JOIN bd b
+         |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |          AND a.doc_id < b.doc_id),
+         |vc AS (SELECT doc_a, doc_b,
+         |  floor(len(list_intersect(sa.hs, sb.hs))::DOUBLE
+         |    / least(len(sa.hs), len(sb.hs)) * 1000000) / 1000000 AS containment
+         |FROM cand
+         |JOIN hh sa ON sa.doc_id = doc_a
+         |JOIN hh sb ON sb.doc_id = doc_b
+         |WHERE containment >= 0.8)
+         |SELECT doc_a, doc_b, containment FROM vc
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "embedding_quantize" ->
+      s"""WITH s AS (SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+         |  FROM embeddings),
+         |q AS (SELECT vec_id, scale,
+         |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+         |         ELSE list_transform(embedding,
+         |                x -> CAST(floor(x::DOUBLE / scale + 0.5) AS INTEGER)) END AS qvec
+         |  FROM s)
+         |SELECT vec_id, scale,
+         |  md5(array_to_string(qvec, ',')) AS q_md5,
+         |  CAST(list_sum(qvec) AS BIGINT) AS q_sum,
+         |  CAST(list_max(qvec) AS BIGINT) AS q_max
+         |FROM q ORDER BY vec_id""".stripMargin,
 
     // Connected components over the vp pair graph ([[dupGroupCtes]]).
     "dup_groups" ->

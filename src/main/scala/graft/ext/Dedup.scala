@@ -194,7 +194,48 @@ object Dedup {
     * shingle scan — saves that many corpus re-scans.
     */
   def nearDupMinhashFromHashes(hr: DataFrame, threshold: Double = 0.5,
-      broadcastCandidates: Boolean = false): DataFrame = {
+      broadcastCandidates: Boolean = false): DataFrame =
+    // |A ∪ B| = |A| + |B| − |A ∩ B| for distinct inputs: one codegen'd
+    // two-pointer merge yields exact Jaccard per candidate.
+    bandedScoredPairs(hr, broadcastCandidates)
+      .withColumn("jaccard", TextOps.trunc6(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double")))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+
+  /** X4 — CONTAINMENT near-dup: pairs where the smaller document's
+    * shingle set is mostly inside the larger's —
+    * `C = |A ∩ B| / min(|A|, |B|) ≥ threshold`. Catches the partial-copy
+    * shapes symmetric Jaccard misses by construction: a quoted document
+    * inside a larger page, boilerplate-wrapped reposts, truncated
+    * mirrors — a doc 20% the size of its superset has J ≤ 0.2 (invisible
+    * at any sane Jaccard threshold) but containment 1.0. Output: doc_a,
+    * doc_b, containment (truncated 6dp).
+    *
+    * Candidates come from the SAME banded minhash join (one signature
+    * store serves both operators), which estimates symmetric J — so
+    * recall degrades as the size ratio grows (a contained doc at 10% of
+    * its superset's size has J ≈ 0.1 and band-collision probability
+    * ≈ 8·J² ≈ 8%). That is the documented trade of sharing the store;
+    * the web-scale fix is banding CONTAINMENT sketches (size-stratified
+    * minhash) behind the same signature, and verification here is
+    * already containment-exact for every candidate surfaced.
+    */
+  def containmentNearDup(docs: DataFrame, threshold: Double = 0.8,
+      broadcastCandidates: Boolean = false): DataFrame =
+    bandedScoredPairs(hashedShingleRows(docs), broadcastCandidates)
+      .withColumn("containment", TextOps.trunc6(col("inter") /
+        least(size(col("sh_a")), size(col("sh_b"))).cast("double")))
+      .where(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+
+  /** Shared verification core of the minhash family: banded candidate
+    * generation + exact sorted-set intersection, leaving the similarity
+    * FORMULA (Jaccard / containment) to the caller. Returns
+    * (doc_a, doc_b, sh_a, sh_b, inter) for every band-collision pair.
+    */
+  private def bandedScoredPairs(hr: DataFrame,
+      broadcastCandidates: Boolean): DataFrame = {
     val banded = minhashBands(hr)
     // localCheckpoint: cand is band-collision pairs — tiny — and it is
     // consumed three times below (id filter twice, pair join once);
@@ -224,16 +265,9 @@ object Dedup {
       hr.join(maybeBroadcast(candIds, broadcastCandidates), "doc_id")).localCheckpoint()
     val withA = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       .join(maybeBroadcast(cand, broadcastCandidates), "doc_a")
-    val full = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
       .join(maybeBroadcast(withA, broadcastCandidates), "doc_b")
-    // |A ∪ B| = |A| + |B| − |A ∩ B| for distinct inputs: one codegen'd
-    // two-pointer merge yields exact Jaccard per candidate.
-    full
       .withColumn("inter", SortedIntersectSize(col("sh_a"), col("sh_b")))
-      .withColumn("jaccard", TextOps.trunc6(col("inter") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double")))
-      .where(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** X4 — INCREMENTAL near-dup: dedupe a newly-arrived batch against an

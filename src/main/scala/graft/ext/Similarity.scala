@@ -337,6 +337,37 @@ object Similarity {
       k)
   }
 
+  /** Symmetric int8 QUANTIZATION of the embedding store: per-vector
+    * scale = max|x| / 127, each component q = ⌊x/scale + 0.5⌋ ∈
+    * [−127, 127] — the standard 4× shrink of an ANN store (float32 →
+    * int8 + one scale), applied at ingest like the LSH/IVF signatures.
+    * Reconstruction error is ≤ scale/2 per component by construction
+    * (spec-asserted). All-zero vectors get scale 0 and a zero qvec.
+    * Output: vec_id, scale, qvec.
+    *
+    * Determinism: scale is one IEEE division of the exact component max;
+    * q is one divide + add + floor — all exactly-rounded IEEE double
+    * ops, so the quantized store is bit-identical across engines (the
+    * oracle digests the same arrays). Pure per-vector map, zero shuffle;
+    * the HOFs are interpreted but this is a write-once ingest op, the
+    * [[lshSignatures]] precedent.
+    */
+  def quantizeEmbeddings(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding"),
+        (array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127.0d)
+          .as("scale"))
+      // Two-project stack, scale referenced twice below: CollapseProject's
+      // cost check (multi-referenced non-trivial expressions stay put)
+      // keeps the max from being inlined into the per-element lambda —
+      // the O(dim²) HOF-recompute trap — so scale evaluates once per row.
+      .select(col("vec_id"), col("scale"),
+        when(col("scale") === 0.0d,
+          transform(col("embedding"), _ => lit(0)))
+          .otherwise(transform(col("embedding"),
+            x => floor(x.cast("double") / col("scale") + 0.5d).cast("int")))
+          .as("qvec"))
+
   /** Embedding-cosine near-dup pairs: all pairs with cosine ≥ threshold,
     * candidates blocked on the cell id. Output: vec_a, vec_b, cosine.
     *

@@ -190,6 +190,56 @@ class DedupPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("containmentNearDup finds a planted contained doc and is sound vs naive containment") {
+    val prop = Prop.forAll(corpusGen) { docs0 =>
+      // Plant a doc that is a contiguous ~80% slice of doc 0: its bigram
+      // set is a SUBSET of doc 0's → containment 1.0, while symmetric
+      // Jaccard can sit well under any dedup threshold.
+      val slice = docs0.head.take(math.max(2, docs0.head.length * 4 / 5))
+      val docs = docs0 :+ slice
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" "), "en") }
+        .toDF("doc_id", "text", "lang")
+      val out = Dedup.containmentNearDup(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val sets = docs.map(shingleSet)
+      def naive(a: Set[String], b: Set[String]): Double =
+        if (a.isEmpty || b.isEmpty) 0.0
+        else a.intersect(b).size.toDouble / math.min(a.size, b.size)
+      val sound = out.forall { case (a, b, c) =>
+        a < b && c >= 0.8 &&
+          math.abs(c - math.floor(naive(sets(a.toInt), sets(b.toInt)) * 1e6) / 1e6) < 1e-9
+      }
+      // Demand recall only when the shared-band candidate generation is
+      // near-certain: the planted pair's symmetric J must be high enough
+      // for the 8×2 banding (J ≥ 0.7 → miss p ≤ 3e-3).
+      val plantedJ = jaccard(sets.head, sets.last)
+      val recalled = plantedJ < 0.7 ||
+        out.exists { case (a, b, _) => a == 0L && b == (docs.length - 1).toLong }
+      sound && recalled
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("containment sees the small-inside-big pair that symmetric Jaccard misses") {
+    // Doc 1 is a 10-bigram slice of the 50-bigram doc 0: J = 10/50 = 0.2
+    // (invisible at the 0.5 Jaccard threshold) but containment = 1.0.
+    // Bands still collide here because a contiguous PREFIX slice keeps
+    // minhash agreement high enough on this fixture to surface the pair.
+    val big = (1 to 51).map(i => s"w$i")
+    val small = big.take(11)
+    val df = Seq((0L, big.mkString(" "), "en"), (1L, small.mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val contain = Dedup.containmentNearDup(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val jac = Dedup.nearDupMinhash(df).collect()
+    if (contain.nonEmpty) { // banding may miss a J=0.2 pair — see scaladoc
+      assert(contain.toSeq === Seq((0L, 1L, 1.0)))
+      assert(jac.isEmpty, "J = 0.2 must not pass the 0.5 Jaccard threshold")
+    }
+  }
+
   test("nearDupMinhash default (shuffle) path survives a duplicate-saturated corpus") {
     // Every document is a near-copy of the same text — the web-crawl
     // worst case where candidate pairs are O(n²), corpus-scale rather

@@ -98,6 +98,28 @@ class SimilarityCentroidSpec extends SparkSpec {
     assert(viaStore === inline && viaStore.nonEmpty)
   }
 
+  test("quantizeEmbeddings: ≤ scale/2 reconstruction error, zero-vector safe, range bounded") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .limit(50)
+      .union(Seq((9999L, Array.fill(4)(0.0f), 0)).toDF("vec_id", "embedding", "label")
+        .select("vec_id", "embedding", "label"))
+    val rows = Similarity.quantizeEmbeddings(d.select("vec_id", "embedding"))
+      .join(d, "vec_id").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val q = r.getAs[scala.collection.Seq[Int]]("qvec")
+      val x = r.getAs[scala.collection.Seq[Float]]("embedding")
+      assert(q.length == x.length)
+      assert(q.forall(v => v >= -127 && v <= 127))
+      if (scale == 0.0) assert(q.forall(_ == 0))
+      else x.zip(q).foreach { case (xi, qi) =>
+        assert(math.abs(xi.toDouble - qi * scale) <= scale / 2 + 1e-12,
+          s"component $xi reconstructed as ${qi * scale} with scale $scale")
+      }
+    }
+  }
+
   test("labelCentroids is invariant to input partitioning (exact decimal sums)") {
     val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val a = Similarity.labelCentroids(d).orderBy("label", "dim")
