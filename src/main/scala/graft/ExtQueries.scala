@@ -466,6 +466,12 @@ object ExtQueries {
           array_max(col("qvec")).cast("long").as("q_max"))
         .orderBy("vec_id")),
 
+    // X3 — cosine top-k over the int8 quantized store (search never
+    // touches the float embeddings).
+    "ann_topk_quantized" -> ((s, dir) =>
+      castLongs(Similarity.topKQuantized(Tables.embeddings(s, dir)), "rank")
+        .orderBy("probe_id", "rank")),
+
     // X3 — per-(label, dim) centroid components (exact-decimal mean).
     "label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Tables.embeddings(s, dir)).orderBy("label", "dim")),
@@ -586,6 +592,25 @@ object ExtQueries {
          |WHERE containment >= 0.8)
          |SELECT doc_a, doc_b, containment FROM vc
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "ann_topk_quantized" ->
+      s"""WITH s AS (SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+         |  FROM embeddings),
+         |dq AS (SELECT vec_id,
+         |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> CAST(0 AS FLOAT))
+         |         ELSE list_transform(embedding,
+         |                x -> CAST(CAST(floor(x::DOUBLE / scale + 0.5) AS INTEGER)::DOUBLE
+         |                          * scale AS FLOAT)) END AS embedding
+         |  FROM s),
+         |pairs AS (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
+         |  FROM dq a JOIN dq b ON a.vec_id != b.vec_id
+         |  WHERE a.vec_id % 50 = 0 AND a.vec_id < ${50L * Similarity.MaxProbes}),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
+         |SELECT probe_id, rank, neighbor_id, cosine FROM r
+         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
     "embedding_quantize" ->
       s"""WITH s AS (SELECT vec_id, embedding,

@@ -368,6 +368,27 @@ object Similarity {
             x => floor(x.cast("double") / col("scale") + 0.5d).cast("int")))
           .as("qvec"))
 
+  /** X3 — cosine top-k over the QUANTIZED store: the search reads only
+    * `(vec_id, scale, qvec)` — the 4×-smaller memory-resident form at
+    * scale — reconstructing each component as `q·scale` narrowed to
+    * float so the same codegen'd [[CosineSimilarity]] kernel (and the
+    * whole [[topKBruteForce]] plan) applies unchanged. `store` is the
+    * persisted [[quantizeEmbeddings]] table; when absent the store is
+    * derived in-query and localCheckpoint'ed — materialization is not
+    * optional here, because collapsing the dequant lambda into the
+    * quantize projection would inline the qvec expression per element
+    * (the O(dim²) HOF-recompute trap), and at scale the store IS a
+    * materialized table anyway.
+    */
+  def topKQuantized(embeddings: DataFrame, probeEvery: Int = 50, k: Int = 5,
+      store: Option[DataFrame] = None): DataFrame = {
+    val st = store.getOrElse(quantizeEmbeddings(embeddings).localCheckpoint())
+    val deq = st.select(col("vec_id"),
+      transform(col("qvec"),
+        q => (q.cast("double") * col("scale")).cast("float")).as("embedding"))
+    topKBruteForce(deq, probeEvery, k)
+  }
+
   /** Embedding-cosine near-dup pairs: all pairs with cosine ≥ threshold,
     * candidates blocked on the cell id. Output: vec_a, vec_b, cosine.
     *

@@ -120,6 +120,27 @@ class SimilarityCentroidSpec extends SparkSpec {
     }
   }
 
+  test("topKQuantized: int8-store search recovers nearly all exact top-k neighbors") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = hits(Similarity.topKBruteForce(d, probeEvery = 10, k = 5))
+    val quant = hits(Similarity.topKQuantized(d, probeEvery = 10, k = 5))
+    assert(exact.nonEmpty)
+    // int8 symmetric quantization perturbs each component by ≤ scale/2
+    // (~0.4% relative), so cosine ranks are near-identical; only exact
+    // near-ties may flip.
+    val overlap = exact.count(quant.contains).toDouble / exact.size
+    assert(overlap >= 0.9, s"quantized recall $overlap")
+    // And the store round trip: searching a parquet-persisted store
+    // gives exactly the in-query result.
+    val dir = java.nio.file.Files.createTempDirectory("graft-qstore").toString
+    Similarity.quantizeEmbeddings(d).write.parquet(s"$dir/q")
+    val viaStore = hits(Similarity.topKQuantized(d, probeEvery = 10, k = 5,
+      store = Some(spark.read.parquet(s"$dir/q"))))
+    assert(viaStore === quant)
+  }
+
   test("labelCentroids is invariant to input partitioning (exact decimal sums)") {
     val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val a = Similarity.labelCentroids(d).orderBy("label", "dim")
