@@ -393,6 +393,11 @@ object ExtQueries {
     "event_windows" -> ((s, dir) =>
       Events.hourlyRollup(Tables.events(s, dir)).orderBy("hour_start", "event_type")),
 
+    // X6 — cohort retention matrix (first-seen day × return-day offset).
+    "retention_cohorts" -> ((s, dir) =>
+      Events.retentionCohorts(Tables.events(s, dir))
+        .orderBy("cohort_day", "day_offset")),
+
     // X7 — distributed as-of join: attribute each purchase to the user's
     // most recent view at or before it (union + one window pass — never
     // the range cross-product; see AsOfJoin scaladoc).
@@ -906,6 +911,14 @@ object ExtQueries {
       s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
          |  count(*) AS n_events, round(sum(value), 4) AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "retention_cohorts" ->
+      s"""WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         |coh AS (SELECT user_id, min(d) AS cohort_day FROM act GROUP BY 1)
+         |SELECT cohort_day, CAST(d - cohort_day AS BIGINT) AS day_offset,
+         |  count(*) AS n_users
+         |FROM act JOIN coh USING (user_id)
+         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
 
     "event_attribution" ->
       s"""WITH v AS (SELECT user_id, ts AS vts, max(event_id) AS view_id

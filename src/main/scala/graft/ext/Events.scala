@@ -98,6 +98,32 @@ object Events {
         TextOps.trunc4(col("n_converted") / col("n_sessions").cast("double"))
           .as("conversion"))
 
+  /** X6 — cohort RETENTION matrix: users grouped by first-seen day (the
+    * cohort), counted per (cohort_day, day_offset) for every later day
+    * they return — the standard product-analytics retention triangle.
+    * Output: cohort_day, day_offset, n_users.
+    *
+    * Plan shape: one (user, day) distinct projection of the event
+    * stream, one per-user min for the cohort day, a user-keyed join
+    * (both sides partitioned by user_id — the activity distinct and the
+    * cohort min reuse one exchange), then the (cohort, offset) hash
+    * aggregate. count(DISTINCT user) in the final aggregate is exact
+    * but cheap: the input is already distinct per (user, day), so each
+    * user contributes one row per retained day. At 100 TB this is two
+    * user-keyed shuffles + one small-keyspace aggregate — no window, no
+    * self-join, and the cohort table is per-user narrow.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val activity = events
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .distinct()
+    val cohorts = activity.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+    activity.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** X6 — tumbling 1-hour window aggregate by event type. Output:
     * hour_start, event_type, n_events, sum_value (4dp).
     */

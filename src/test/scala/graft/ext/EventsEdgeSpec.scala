@@ -29,6 +29,24 @@ class EventsEdgeSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 1L, 0L, 0.0)))
   }
 
+  test("retentionCohorts builds the first-seen-day retention triangle") {
+    val ts = Timestamp.valueOf(_: String)
+    val ev = Seq(
+      // user 1: cohort day 1, returns day 2 and day 4 (twice → one row)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      (2L, ts("2024-01-02 09:00:00"), 1L, "view", 0.0),
+      (3L, ts("2024-01-04 09:00:00"), 1L, "purchase", 1.0),
+      (4L, ts("2024-01-04 23:00:00"), 1L, "view", 0.0),
+      // user 2: cohort day 2, never returns
+      (5L, ts("2024-01-02 12:00:00"), 2L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.retentionCohorts(ev).orderBy("cohort_day", "day_offset")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L), ("2024-01-01", 3L, 1L),
+      ("2024-01-02", 0L, 1L)))
+  }
+
   private val noVecs: DataFrame = Seq
     .empty[(Long, Array[Float], Int)]
     .toDF("vec_id", "embedding", "label")
