@@ -30,6 +30,14 @@ object Probe {
     dump("near_dup_simhash")(SparkEntry.queries("near_dup_simhash")(spark, dir))
     dump("ngram_jaccard")(SparkEntry.queries("ngram_jaccard")(spark, dir))
     dump("embedding_near_dup")(SparkEntry.queries("embedding_near_dup")(spark, dir))
+    // r5 additions — audit points: containment shares the minhash
+    // verification core (identical plan up to the final Project);
+    // trained IVF broadcasts only the |cells|·dims centroid table;
+    // quantize keeps scale OUT of the per-element lambda (two-Project
+    // stack, CollapseProject cost guard).
+    dump("containment_near_dup")(SparkEntry.queries("containment_near_dup")(spark, dir))
+    dump("ann_topk_ivf_trained")(SparkEntry.queries("ann_topk_ivf_trained")(spark, dir))
+    dump("embedding_quantize")(SparkEntry.queries("embedding_quantize")(spark, dir))
     // the at-scale shape: shuffle joins (no auto-broadcast) → ReuseExchange
     // (AQE materializes reuse at runtime, so execute then read the final plan)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
