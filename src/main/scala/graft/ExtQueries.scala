@@ -297,6 +297,12 @@ object ExtQueries {
     "containment_near_dup" -> ((s, dir) =>
       Dedup.containmentNearDup(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
 
+    // X4 — size-stratified containment: the banded channel plus a
+    // 1-row-band channel gated to skewed-size pairs (LSH-Ensemble lite).
+    "containment_stratified" -> ((s, dir) =>
+      Dedup.containmentNearDupStratified(Tables.documents(s, dir))
+        .orderBy("doc_a", "doc_b")),
+
     // X1/X4 — duplicate groups: connected components over the verified
     // MinHash pair graph (iterative min-label propagation).
     "dup_groups" -> ((s, dir) =>
@@ -616,6 +622,37 @@ object ExtQueries {
          |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
          |SELECT probe_id, rank, neighbor_id, cosine FROM r
          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // Banded channel + single-sig channel gated to size ratio > 2,
+    // unioned, containment-verified — Dedup.containmentNearDupStratified.
+    "containment_stratified" -> {
+      val sigList = (0 until Dedup.SigCount).map(i => s"sig$i").mkString("[", ", ", "]")
+      s"""WITH ${minhashBaseCtes()},
+         |sz AS (SELECT doc_id, len(hs) AS n FROM hh),
+         |sb AS (SELECT doc_id, unnest(range(0, ${Dedup.SigCount})) AS si,
+         |              unnest($sigList) AS sv FROM sg),
+         |cb AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM bd a JOIN bd b
+         |         ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |        AND a.doc_id < b.doc_id),
+         |c1 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM sb a JOIN sb b ON a.si = b.si AND a.sv = b.sv
+         |        AND a.doc_id < b.doc_id
+         |       JOIN sz za ON za.doc_id = a.doc_id
+         |       JOIN sz zb ON zb.doc_id = b.doc_id
+         |       WHERE za.n > zb.n * 2.0 OR zb.n > za.n * 2.0),
+         |cand AS (SELECT DISTINCT doc_a, doc_b FROM
+         |         (SELECT * FROM cb UNION ALL SELECT * FROM c1)),
+         |vc AS (SELECT doc_a, doc_b,
+         |  floor(len(list_intersect(sa.hs, sb.hs))::DOUBLE
+         |    / least(len(sa.hs), len(sb.hs)) * 1000000) / 1000000 AS containment
+         |FROM cand
+         |JOIN hh sa ON sa.doc_id = doc_a
+         |JOIN hh sb ON sb.doc_id = doc_b
+         |WHERE containment >= 0.8)
+         |SELECT doc_a, doc_b, containment FROM vc
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "embedding_quantize" ->
       s"""WITH s AS (SELECT vec_id, embedding,

@@ -229,26 +229,102 @@ object Dedup {
       .where(col("containment") >= threshold)
       .select("doc_a", "doc_b", "containment")
 
+  /** Per-document minhash SIGNATURE rows (doc_id, sig_idx, sig_val) —
+    * the unbanded form of the signature store, the 1-row-band candidate
+    * channel of [[containmentNearDupStratified]].
+    */
+  def minhashSigRows(hr: DataFrame): DataFrame = {
+    val sigAggs = Perms.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * (col("h") % Prime) + lit(b)) % Prime).as(s"sig$i")
+    }
+    hr.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until SigCount).map(i => col(s"sig$i")): _*))
+          .as(Seq("sig_idx", "sig_val")))
+  }
+
+  /** X4 — SIZE-STRATIFIED containment (the LSH-Ensemble idea — Zhu,
+    * Nakashole & Miller, "LSH Ensemble: Internet-Scale Domain Search",
+    * VLDB'16 — reduced to two strata): [[containmentNearDup]]'s banded
+    * channel under-recalls skewed pairs by construction, because 2-row
+    * bands are tuned for symmetric Jaccard and a contained doc at size
+    * ratio r has J = C/(1 + r − C) — at r = 5, C = 1 that is J = 0.2,
+    * band-collision probability ≈ 1−(1−J²)⁸ ≈ 27%. This variant adds a
+    * WIDER candidate channel exactly where the banded one thins out:
+    * pairs whose set sizes differ by more than `ratioCut` are candidates
+    * on ANY single matching signature (1-row bands: collision
+    * probability 1−(1−J)¹⁶ ≈ 97% at J = 0.2). Near-size pairs keep the
+    * selective banded channel, so the permissive channel's extra
+    * collisions are paid ONLY on the skewed slice of the pair space;
+    * both channels feed the same exact containment verification, so the
+    * union can only add recall, never error. Output: doc_a, doc_b,
+    * containment.
+    *
+    * Scale: the 1-row-band join keys on raw (sig_idx, sig_val) — a
+    * value space that grows with the corpus like the packed band keys —
+    * and the size-ratio gate sits in the join condition, so candidate
+    * volume is bounded by the skewed-pair collision count, not the
+    * corpus square. A full LSH-Ensemble (geometric size partitions,
+    * per-partition (b, r) tuned to the containment threshold) drops in
+    * behind the same two-channel shape if more strata are ever needed.
+    */
+  def containmentNearDupStratified(docs: DataFrame, threshold: Double = 0.8,
+      ratioCut: Double = 2.0, broadcastCandidates: Boolean = false): DataFrame = {
+    // hr feeds four consumers (bands, sigs, sizes, verification sets):
+    // checkpoint so tokenize+shingle runs once, the corpusManifest
+    // precedent.
+    val hr = hashedShingleRows(docs).localCheckpoint()
+    val sizes = hr.groupBy("doc_id").agg(count_distinct(col("h")).as("n"))
+    val sized = minhashSigRows(hr).join(sizes, "doc_id")
+    val skew = sized.as("a")
+      .join(sized.as("b"),
+        col("a.sig_idx") === col("b.sig_idx") &&
+          col("a.sig_val") === col("b.sig_val") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          (col("a.n") > col("b.n") * ratioCut || col("b.n") > col("a.n") * ratioCut))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    scoredPairs(hr, bandedCandidates(hr).union(skew), broadcastCandidates)
+      .withColumn("containment", TextOps.trunc6(col("inter") /
+        least(size(col("sh_a")), size(col("sh_b"))).cast("double")))
+      .where(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+  }
+
   /** Shared verification core of the minhash family: banded candidate
     * generation + exact sorted-set intersection, leaving the similarity
     * FORMULA (Jaccard / containment) to the caller. Returns
     * (doc_a, doc_b, sh_a, sh_b, inter) for every band-collision pair.
     */
   private def bandedScoredPairs(hr: DataFrame,
-      broadcastCandidates: Boolean): DataFrame = {
+      broadcastCandidates: Boolean): DataFrame =
+    scoredPairs(hr, bandedCandidates(hr), broadcastCandidates)
+
+  /** The standard 2-row-band candidate channel: pairs sharing any packed
+    * band key (doc_a < doc_b).
+    */
+  private def bandedCandidates(hr: DataFrame): DataFrame = {
     val banded = minhashBands(hr)
-    // localCheckpoint: cand is band-collision pairs — tiny — and it is
-    // consumed three times below (id filter twice, pair join once);
-    // materializing it keeps the banded self-join subtree from
-    // re-executing per consumer.
-    val cand = banded.as("a")
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-      .localCheckpoint()
+  }
+
+  /** Exact verification of an arbitrary candidate channel: distinct +
+    * checkpoint the pair list, build shingle sets for candidate docs
+    * only, intersect. Candidate generation is pluggable
+    * ([[bandedCandidates]], the stratified union in
+    * [[containmentNearDupStratified]]); verification is shared.
+    */
+  private def scoredPairs(hr: DataFrame, cand0: DataFrame,
+      broadcastCandidates: Boolean): DataFrame = {
+    // localCheckpoint: cand is collision pairs — small — and it is
+    // consumed three times below (id filter twice, pair join once);
+    // materializing it keeps the candidate-generation subtree from
+    // re-executing per consumer.
+    val cand = cand0.distinct().localCheckpoint()
     // Shingle sets ONLY for docs that appear in some candidate pair: the
     // id semi-filter drops non-candidates BEFORE the collect_set, so the
     // heavy aggregate shuffles candidate shingles instead of the whole

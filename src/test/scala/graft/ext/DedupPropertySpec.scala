@@ -240,6 +240,46 @@ class DedupPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("stratified containment recovers a ratio-5 contained doc the banded channel misses") {
+    // Small doc = 12-bigram prefix slice of a 60-bigram doc: C = 1.0 but
+    // J = 0.2 — the skewed regime where 2-row bands collide with only
+    // ~27% probability while the 1-row-band channel collides with ~97%.
+    // Everything is md5-deterministic, so this fixture either passes
+    // forever or fails forever (validated once at authoring time).
+    val big = (1 to 61).map(i => s"w$i")
+    val small = big.take(13)
+    val noise = (100 to 140).map(i => s"n$i")
+    val df = Seq(
+      (0L, big.mkString(" "), "en"),
+      (1L, small.mkString(" "), "en"),
+      (2L, noise.mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val strat = Dedup.containmentNearDupStratified(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(strat.contains((0L, 1L, 1.0)),
+      s"stratified channel must surface the contained pair; got $strat")
+    // The stratified result is a superset of the banded-only result.
+    val plain = Dedup.containmentNearDup(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(plain.subsetOf(strat))
+  }
+
+  test("stratified containment ⊇ banded containment on random corpora (verification shared)") {
+    val prop = Prop.forAll(corpusGen) { docs0 =>
+      val docs = docs0 :+ docs0.head.take(math.max(2, docs0.head.length / 3))
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" "), "en") }
+        .toDF("doc_id", "text", "lang")
+      def pairs(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val plain = pairs(Dedup.containmentNearDup(df))
+      val strat = pairs(Dedup.containmentNearDupStratified(df))
+      plain.subsetOf(strat)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("nearDupMinhash default (shuffle) path survives a duplicate-saturated corpus") {
     // Every document is a near-copy of the same text — the web-crawl
     // worst case where candidate pairs are O(n²), corpus-scale rather
