@@ -91,13 +91,15 @@ final class JdbcWarehouseSink(url: String) extends WarehouseSink {
 
   /** Reference-DDL-shaped portable column types (VARCHAR over the JDBC
     * dialect's CLOB mapping for strings — CLOBs cannot be compared or
-    * grouped warehouse-side).
+    * grouped warehouse-side; DOUBLE PRECISION because bare DOUBLE is
+    * not a PostgreSQL/Redshift type, while every major warehouse and
+    * Derby accept the SQL-standard spelling).
     */
   private def sqlType(dt: DataType): String = dt match {
     case StringType => "VARCHAR(255)"
     case IntegerType => "INT"
     case LongType => "BIGINT"
-    case DoubleType => "DOUBLE"
+    case DoubleType => "DOUBLE PRECISION"
     case FloatType => "REAL"
     case BooleanType => "BOOLEAN"
     case DateType => "DATE"
@@ -105,6 +107,22 @@ final class JdbcWarehouseSink(url: String) extends WarehouseSink {
     case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
     case other => throw new IllegalArgumentException(
       s"no warehouse mapping for column type $other")
+  }
+
+  /** Existence via JDBC metadata, not by catching a vendor-specific
+    * duplicate-table SQLState (Derby says X0Y32, PostgreSQL/Redshift
+    * 42P07, …) — the steady-state second load must take the
+    * already-exists path on EVERY backend. Case-insensitive compare:
+    * case-folding databases store the unquoted table name folded.
+    */
+  private def tableExists(c: Connection, table: String): Boolean = {
+    val rs = c.getMetaData.getTables(null, null, null, Array("TABLE"))
+    try {
+      var found = false
+      while (!found && rs.next())
+        found = table.equalsIgnoreCase(rs.getString("TABLE_NAME"))
+      found
+    } finally rs.close()
   }
 
   private def ensureTable(df: DataFrame, table: String): Unit = {
@@ -116,12 +134,8 @@ final class JdbcWarehouseSink(url: String) extends WarehouseSink {
     val cols = df.schema.fields
       .map(f => s""""${f.name}" ${sqlType(f.dataType)}""").mkString(", ")
     withConn { c =>
-      try c.createStatement().executeUpdate(s"CREATE TABLE $table ($cols)")
-      catch {
-        // Derby X0Y32 / SQLState 42xxx family: table already exists —
-        // the steady-state path after the first load.
-        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
-      }
+      if (!tableExists(c, table))
+        c.createStatement().executeUpdate(s"CREATE TABLE $table ($cols)")
     }
   }
 

@@ -420,7 +420,7 @@ object Corpus {
     // are exactly the signature store written at ingest
     // ([[Dedup.minhashBands]]' contract), not extra state.
     val keyed = kept.select(col("doc_id"),
-      md5(TextOps.normalized(col("text")).cast("binary")).as("content_key"))
+      Dedup.contentKey(col("text")).as("content_key"))
       .localCheckpoint()
     val hr = Dedup.hashedShingleRows(kept).localCheckpoint()
     val survivors = Dedup.exactByKey(keyed)

@@ -48,10 +48,17 @@ object Dedup {
     * doc_id per content group (deterministic survivor), reports group
     * size. Output: doc_id, content_key, group_size.
     */
+  /** The exact-dup content key: md5 of the normalized text. ONE shared
+    * definition — [[exact]], [[Corpus.corpusManifest]]'s prep pass, and
+    * the streaming ingest's exact_dup split must all hash identically,
+    * or streaming verdicts silently desynchronize from the batch
+    * manifest.
+    */
+  def contentKey(text: Column): Column =
+    md5(TextOps.normalized(text).cast("binary"))
+
   def exact(docs: DataFrame): DataFrame =
-    exactByKey(docs.select(
-      col("doc_id"),
-      md5(TextOps.normalized(col("text")).cast("binary")).as("content_key")))
+    exactByKey(docs.select(col("doc_id"), contentKey(col("text")).as("content_key")))
 
   /** [[exact]] over a PRECOMPUTED `(doc_id, content_key)` frame — the
     * form that lets a composite pipeline ([[Corpus.corpusManifest]])
@@ -151,12 +158,18 @@ object Dedup {
     * a pure per-document function, so bands computed batch-by-batch equal
     * bands computed over the union.
     */
+  /** The [[SigCount]] universal-hash min-aggregates — ONE definition
+    * shared by [[minhashBands]] and [[minhashSigRows]]: the stratified
+    * 1-row-band channel is only sound because its signatures are
+    * bit-identical to the banded channel's (and the oracle's).
+    */
+  private def sigAggs: Seq[Column] = Perms.zipWithIndex.map { case ((a, b), i) =>
+    min((lit(a) * (col("h") % Prime) + lit(b)) % Prime).as(s"sig$i")
+  }
+
   def minhashBands(hr: DataFrame): DataFrame = {
     val rows = SigCount / BandCount
     require(rows == 2, s"band key packs exactly 2 sigs into a long, got $rows per band")
-    val sigAggs = Perms.zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * (col("h") % Prime) + lit(b)) % Prime).as(s"sig$i")
-    }
     val sig = hr.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     // Band key = the band's two sigs packed into one long (sig < p, so
     // sig₀·p + sig₁ < 2⁶² — collision-free, engine-portable, and a
@@ -229,19 +242,18 @@ object Dedup {
       .where(col("containment") >= threshold)
       .select("doc_a", "doc_b", "containment")
 
-  /** Per-document minhash SIGNATURE rows (doc_id, sig_idx, sig_val) —
-    * the unbanded form of the signature store, the 1-row-band candidate
-    * channel of [[containmentNearDupStratified]].
+  /** Per-document minhash SIGNATURE rows (doc_id, n, sig_idx, sig_val)
+    * — the unbanded form of the signature store, with the distinct
+    * shingle-set size `n` carried from the SAME aggregate (the
+    * size-stratified channel needs both; a separate size aggregate
+    * would re-scan hr and pay a doc_id join to reunite them).
     */
-  def minhashSigRows(hr: DataFrame): DataFrame = {
-    val sigAggs = Perms.zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * (col("h") % Prime) + lit(b)) % Prime).as(s"sig$i")
-    }
-    hr.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-      .select(col("doc_id"),
+  def minhashSigRows(hr: DataFrame): DataFrame =
+    hr.groupBy("doc_id")
+      .agg(count_distinct(col("h")).as("n"), sigAggs: _*)
+      .select(col("doc_id"), col("n"),
         posexplode(array((0 until SigCount).map(i => col(s"sig$i")): _*))
           .as(Seq("sig_idx", "sig_val")))
-  }
 
   /** X4 — SIZE-STRATIFIED containment (the LSH-Ensemble idea — Zhu,
     * Nakashole & Miller, "LSH Ensemble: Internet-Scale Domain Search",
@@ -270,12 +282,13 @@ object Dedup {
     */
   def containmentNearDupStratified(docs: DataFrame, threshold: Double = 0.8,
       ratioCut: Double = 2.0, broadcastCandidates: Boolean = false): DataFrame = {
-    // hr feeds four consumers (bands, sigs, sizes, verification sets):
+    // hr feeds three consumers (bands, sig rows, verification sets):
     // checkpoint so tokenize+shingle runs once, the corpusManifest
     // precedent.
     val hr = hashedShingleRows(docs).localCheckpoint()
-    val sizes = hr.groupBy("doc_id").agg(count_distinct(col("h")).as("n"))
-    val sized = minhashSigRows(hr).join(sizes, "doc_id")
+    // Sig rows carry the set size from their own aggregate — no second
+    // size aggregate, no doc_id reunite join.
+    val sized = minhashSigRows(hr)
     val skew = sized.as("a")
       .join(sized.as("b"),
         col("a.sig_idx") === col("b.sig_idx") &&

@@ -197,7 +197,7 @@ object StreamingOps {
         // the doc store here like the incremental signatures; at rest
         // the content key is one more column of the signature store.
         def keyed(df: DataFrame) = df.select(col("doc_id"),
-          md5(graft.ext.TextOps.normalized(col("text")).cast("binary")).as("ck"))
+          graft.ext.Dedup.contentKey(col("text")).as("ck"))
         val kk = keyed(kept)
         val allKeys = keyed(existing).withColumn("is_new", lit(false))
           .unionByName(kk.withColumn("is_new", lit(true)))
