@@ -76,6 +76,16 @@ class PipelineSpec extends SparkSpec {
     assert(sink.read(spark, "dim_products").count() === 1)
   }
 
+  test("JDBC sink maps double columns portably (DOUBLE PRECISION DDL)") {
+    val dbDir = Files.createTempDirectory("graft-derby-dbl").toString
+    val sink = new JdbcWarehouseSink(s"jdbc:derby:$dbDir/wh;create=true")
+    val dim = Seq(("a1", 0.25), ("b2", 1.5)).toDF("sku", "weight")
+    sink.loadDim(dim, "dim_weights")
+    val back = sink.read(spark, "dim_weights").orderBy("sku").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(back.toSeq === Seq(("a1", 0.25), ("b2", 1.5)))
+  }
+
   test("a second date adds its partition without touching the first") {
     val root = Files.createTempDirectory("graft-pipe").toString
     Pipeline.run(spark, sales, invOpen, invClose, d1, root)

@@ -141,6 +141,13 @@ class SimilarityCentroidSpec extends SparkSpec {
     assert(viaStore === quant)
   }
 
+  test("kmeansCells is invariant to input partitioning (inherits exact decimal sums)") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Similarity.kmeansCells(df).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(d) === cells(d.repartition(7)))
+  }
+
   test("labelCentroids is invariant to input partitioning (exact decimal sums)") {
     val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val a = Similarity.labelCentroids(d).orderBy("label", "dim")
