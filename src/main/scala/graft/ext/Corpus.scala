@@ -459,6 +459,21 @@ object Corpus {
       .option("compression", "gzip")
       .json(path)
 
+  /** Pinned-schema JSONL source — the read half of [[exportJsonl]] and
+    * the interchange ingest path. The payload schema is PINNED for the
+    * same reason as the CSV path (graft.sources.CsvIngest): JSON
+    * inference is a second full read of the corpus whose result drifts
+    * with the data. The `shard` partition column comes from the
+    * directory names, typed by the appended field.
+    */
+  def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField("shard",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      .json(path)
+
   def corpusProfile(docs: DataFrame): DataFrame = {
     val base = docs.select(
       col("doc_id"), col("lang"),

@@ -121,8 +121,12 @@ class CorpusFilterSpec extends SparkSpec {
       .select("doc_id", "text", "lang", "source")
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
     Corpus.exportJsonl(d, dir, shards = 4)
-    val back = spark.read.json(dir)
+    // Read back through the PINNED-schema source (no inference pass).
+    val back = Corpus.readJsonl(spark, dir,
+      org.apache.spark.sql.types.StructType(d.schema.fields))
     assert(back.count() === d.count())
+    assert(back.schema.fieldNames.toSeq ===
+      d.schema.fieldNames.toSeq :+ "shard")
     // Hive-style shard directories exist and carry gzip part files.
     val shardDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
       .map(_.getName).filter(_.startsWith("shard=")).sorted
