@@ -623,8 +623,9 @@ object ExtQueries {
          |SELECT probe_id, rank, neighbor_id, cosine FROM r
          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
-    // Banded channel + single-sig channel gated to size ratio > 2,
-    // unioned, containment-verified — Dedup.containmentNearDupStratified.
+    // Banded channel + skewed-size channel (size ratio > 2, ≥ 2 matching
+    // signatures), unioned, containment-verified —
+    // Dedup.containmentNearDupStratified.
     "containment_stratified" -> {
       val sigList = (0 until Dedup.SigCount).map(i => s"sig$i").mkString("[", ", ", "]")
       s"""WITH ${minhashBaseCtes()},
@@ -640,7 +641,8 @@ object ExtQueries {
          |        AND a.doc_id < b.doc_id
          |       JOIN sz za ON za.doc_id = a.doc_id
          |       JOIN sz zb ON zb.doc_id = b.doc_id
-         |       WHERE za.n > zb.n * 2.0 OR zb.n > za.n * 2.0),
+         |       WHERE za.n > zb.n * 2.0 OR zb.n > za.n * 2.0
+         |       GROUP BY 1, 2 HAVING count(*) >= 2),
          |cand AS (SELECT DISTINCT doc_a, doc_b FROM
          |         (SELECT * FROM cb UNION ALL SELECT * FROM c1)),
          |vc AS (SELECT doc_a, doc_b,

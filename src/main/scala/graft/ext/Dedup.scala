@@ -264,44 +264,76 @@ object Dedup {
     * band-collision probability ≈ 1−(1−J²)⁸ ≈ 27%. This variant adds a
     * WIDER candidate channel exactly where the banded one thins out:
     * pairs whose set sizes differ by more than `ratioCut` are candidates
-    * on ANY single matching signature (1-row bands: collision
-    * probability 1−(1−J)¹⁶ ≈ 97% at J = 0.2). Near-size pairs keep the
+    * on at least `minSigMatches` of the 16 signatures (1-row bands,
+    * aggregated per pair). Near-size pairs keep the
     * selective banded channel, so the permissive channel's extra
     * collisions are paid ONLY on the skewed slice of the pair space;
     * both channels feed the same exact containment verification, so the
     * union can only add recall, never error. Output: doc_a, doc_b,
     * containment.
     *
+    * `minSigMatches` is what keeps the permissive channel sub-quadratic
+    * on boilerplate-heavy corpora. At 1, a skewed pair fires on ANY
+    * signature — probability 1−(1−J)¹⁶ ≈ 27% at J = 0.02 and ≈ 56% at
+    * J = 0.05, similarity levels that ubiquitous shared boilerplate
+    * produces between essentially UNRELATED web documents, so with only
+    * the size ratio as a gate the candidate volume approaches
+    * O(skewed-pairs), each paying exact verification. At the default 2
+    * the J = 0.02 firing rate drops to 1−(1−J)¹⁶−16·J·(1−J)¹⁵ ≈ 4%
+    * (≈ 7× fewer boilerplate candidates, quadratically better as J → 0)
+    * while a genuinely contained skewed pair (r = 5, C = 1 → J = 0.2)
+    * still fires with ≈ 86% — ≈ 90% unioned with the banded channel —
+    * which is the recall the channel exists for. DedupPropertySpec pins
+    * both sides: bounded candidate volume on a planted boilerplate
+    * corpus, and the ratio-5 recall fixture.
+    *
     * Scale: the 1-row-band join keys on raw (sig_idx, sig_val) — a
     * value space that grows with the corpus like the packed band keys —
-    * and the size-ratio gate sits in the join condition, so candidate
-    * volume is bounded by the skewed-pair collision count, not the
-    * corpus square. A full LSH-Ensemble (geometric size partitions,
+    * the size-ratio gate sits in the join condition, and the
+    * `minSigMatches` gate is one count aggregate over the collision
+    * pairs, so candidate volume is bounded by the multi-collision count,
+    * not the corpus square. A full LSH-Ensemble (geometric size partitions,
     * per-partition (b, r) tuned to the containment threshold) drops in
     * behind the same two-channel shape if more strata are ever needed.
     */
   def containmentNearDupStratified(docs: DataFrame, threshold: Double = 0.8,
-      ratioCut: Double = 2.0, broadcastCandidates: Boolean = false): DataFrame = {
+      ratioCut: Double = 2.0, minSigMatches: Int = 2,
+      broadcastCandidates: Boolean = false): DataFrame = {
     // hr feeds three consumers (bands, sig rows, verification sets):
     // checkpoint so tokenize+shingle runs once, the corpusManifest
     // precedent.
     val hr = hashedShingleRows(docs).localCheckpoint()
     // Sig rows carry the set size from their own aggregate — no second
     // size aggregate, no doc_id reunite join.
-    val sized = minhashSigRows(hr)
-    val skew = sized.as("a")
-      .join(sized.as("b"),
-        col("a.sig_idx") === col("b.sig_idx") &&
-          col("a.sig_val") === col("b.sig_val") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          (col("a.n") > col("b.n") * ratioCut || col("b.n") > col("a.n") * ratioCut))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val skew = skewCandidates(minhashSigRows(hr), ratioCut, minSigMatches)
     scoredPairs(hr, bandedCandidates(hr).union(skew), broadcastCandidates)
       .withColumn("containment", TextOps.trunc6(col("inter") /
         least(size(col("sh_a")), size(col("sh_b"))).cast("double")))
       .where(col("containment") >= threshold)
       .select("doc_a", "doc_b", "containment")
   }
+
+  /** The permissive skewed-size channel of
+    * [[containmentNearDupStratified]], exposed for the property suite:
+    * pairs of [[minhashSigRows]] documents whose set sizes differ by
+    * more than `ratioCut` AND that agree on at least `minSigMatches` of
+    * the [[SigCount]] signatures. One aggregate over the (sig_idx,
+    * sig_val) collision pairs — the ≥-count gate is what keeps the
+    * channel's candidate volume sub-quadratic on boilerplate-heavy
+    * corpora (see the caller's scaladoc for the firing-rate arithmetic).
+    */
+  private[ext] def skewCandidates(sized: DataFrame, ratioCut: Double,
+      minSigMatches: Int): DataFrame =
+    sized.as("a")
+      .join(sized.as("b"),
+        col("a.sig_idx") === col("b.sig_idx") &&
+          col("a.sig_val") === col("b.sig_val") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          (col("a.n") > col("b.n") * ratioCut || col("b.n") > col("a.n") * ratioCut))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_sig_matches"))
+      .where(col("n_sig_matches") >= minSigMatches)
+      .select("doc_a", "doc_b")
 
   /** Shared verification core of the minhash family: banded candidate
     * generation + exact sorted-set intersection, leaving the similarity

@@ -241,13 +241,14 @@ class DedupPropertySpec extends AnyFunSuite {
   }
 
   test("stratified containment recovers a ratio-5 contained doc the banded channel misses") {
-    // Small doc = 12-bigram prefix slice of a 60-bigram doc: C = 1.0 but
-    // J = 0.2 — the skewed regime where 2-row bands collide with only
-    // ~27% probability while the 1-row-band channel collides with ~97%.
-    // Everything is md5-deterministic, so this fixture either passes
-    // forever or fails forever (validated once at authoring time).
-    val big = (1 to 61).map(i => s"w$i")
-    val small = big.take(13)
+    // Small doc = 11-bigram prefix slice of a 59-bigram doc: C = 1.0 but
+    // J ≈ 0.19 — the skewed regime where 2-row bands collide with only
+    // ~27% probability while the skew channel fires with ~86% at the
+    // default minSigMatches = 2. Everything is md5-deterministic, so
+    // this fixture either passes forever or fails forever (validated at
+    // authoring time: exactly 2 of the 16 signatures match).
+    val big = (1 to 60).map(i => s"w$i")
+    val small = big.take(12)
     val noise = (100 to 140).map(i => s"n$i")
     val df = Seq(
       (0L, big.mkString(" "), "en"),
@@ -278,6 +279,55 @@ class DedupPropertySpec extends AnyFunSuite {
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("skew channel candidate volume stays bounded on a boilerplate-heavy corpus") {
+    // The adversarial-but-common web shape: many small documents and many
+    // large documents that are pairwise UNRELATED except for a short
+    // shared boilerplate run (copyright footer / nav bar). Every
+    // small × large pair passes the size-ratio gate with J ≈ 0.02 — at
+    // minSigMatches = 1 the channel fires on most of those 400+ pairs
+    // (candidate volume ~O(skewed-pairs)) because an extreme permuted
+    // hash of a SHARED boilerplate shingle is the minhash of many docs
+    // at once; the default 2 demands a second independent agreement and
+    // sheds the bulk of them. Three TRUE contained pairs are planted;
+    // the bounded channel must keep them while shedding the noise.
+    // All md5-deterministic — counts validated at authoring time
+    // (loose = 213, bounded = 59, planted matches = 5/2/2).
+    val boiler = Seq("all", "rights", "reserved")
+    val larges = (0 until 20).map { i =>
+      (i.toLong, ((1 to 90).map(w => s"u${i}x$w") ++ boiler).mkString(" "), "en")
+    }
+    val smalls = (0 until 20).map { i =>
+      (100L + i, ((1 to 15).map(w => s"s${i}x$w") ++ boiler).mkString(" "), "en")
+    }
+    // True contained docs: 20-token prefix slices of larges 1, 2, 4
+    // (shingle-size ratio ≈ 4.9, containment 1.0).
+    val plantedOf = Seq(1, 2, 4)
+    val contained = plantedOf.zipWithIndex.map { case (i, j) =>
+      (200L + j, (1 to 20).map(w => s"u${i}x$w").mkString(" "), "en")
+    }
+    val df = (larges ++ smalls ++ contained).toDF("doc_id", "text", "lang")
+    val sized = Dedup.minhashSigRows(
+      Dedup.hashedShingleRows(df).localCheckpoint()).localCheckpoint()
+    def candCount(minMatches: Int): Long =
+      Dedup.skewCandidates(sized, 2.0, minMatches).count()
+    val loose = candCount(1)
+    val bounded = candCount(2)
+    // The unbounded channel admits half the skewed pair space; the
+    // default bound must cut it by ≥ 3× (the correlated-boilerplate
+    // regime — independent-trial arithmetic would predict ~7×).
+    assert(loose >= 150, s"fixture must stress the channel; loose=$loose")
+    assert(bounded * 3 <= loose,
+      s"minSigMatches=2 must cut candidates >=3x (loose=$loose bounded=$bounded)")
+    // Recall: all three planted contained pairs survive the bound and
+    // verify at containment 1.0.
+    val out = Dedup.containmentNearDupStratified(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    plantedOf.zipWithIndex.foreach { case (i, j) =>
+      assert(out.contains((i.toLong, 200L + j, 1.0)),
+        s"planted contained pair ($i, ${200 + j}) must survive the bounded channel")
+    }
   }
 
   test("nearDupMinhash default (shuffle) path survives a duplicate-saturated corpus") {
