@@ -324,10 +324,22 @@ object Similarity {
     * the loop [[topKIvf]]'s scaladoc promises: train → assign → search
     * own cell. At rest the trained assignment is the storage partition
     * key, so the per-probe scan is pruned to one cell.
+    *
+    * `assignments` is the persisted trained-assignment STORE — a
+    * `(vec_id, cell)` [[kmeansCells]] output written once by the
+    * offline training job (at scale, partitioned by cell) — mirroring
+    * [[topKLsh]]'s `signatures` / [[topKQuantized]]'s `store` params.
+    * When given, the query probes the store and pays NO training;
+    * when absent, cells are trained in-query (the self-contained form;
+    * identical output, asserted by SimilarityCentroidSpec's parquet
+    * round trip). At 100 TB training is an offline job, so the probing
+    * form is the plan a real ANN user runs per query.
     */
   def topKIvfTrained(embeddings: DataFrame, probeEvery: Int = 50, k: Int = 5,
-      rounds: Int = IvfTrainRounds): DataFrame = {
-    val e = embeddings.join(kmeansCells(embeddings, rounds), "vec_id")
+      rounds: Int = IvfTrainRounds,
+      assignments: Option[DataFrame] = None): DataFrame = {
+    val asg = assignments.getOrElse(kmeansCells(embeddings, rounds))
+    val e = embeddings.join(asg.select(col("vec_id"), col("cell")), "vec_id")
     topK(
       broadcast(probes(e, probeEvery).as("a"))
         .join(e.as("b"),
@@ -335,6 +347,37 @@ object Similarity {
         .select(col("a.vec_id").as("probe_id"), col("b.vec_id").as("neighbor_id"),
           cos6.as("cosine")),
       k)
+  }
+
+  /** The CENTROID half of the trained-IVF store: per-cell float-array
+    * centroids of an `assignments` table (a [[kmeansCells]] output, or
+    * any `(vec_id, cell)` frame) — written beside the assignment at
+    * training time so NEW vectors can be routed to cells
+    * ([[assignCells]]) without touching the corpus. |cells| rows,
+    * broadcast by every consumer. Output: cell, centroid.
+    */
+  def trainedCentroids(embeddings: DataFrame, assignments: DataFrame): DataFrame =
+    centroidsOf(
+      embeddings.join(assignments.select(col("vec_id"), col("cell")), "vec_id")
+        .select(col("cell"), col("embedding")),
+      "cell")
+
+  /** Route arbitrary vectors (an out-of-corpus probe batch, the next
+    * ingest batch) to their most-cosine-similar trained cell — the
+    * argmax assignment step of [[kmeansCells]] run once against a
+    * persisted [[trainedCentroids]] table. Smaller-cell tie-break,
+    * matching the training loop, so routing is deterministic. One
+    * broadcast join + a bounded-width window per vector; the corpus is
+    * never touched. Output: vec_id, cell.
+    */
+  def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cell"))
+    vectors.crossJoin(broadcast(centroids.select(col("cell"), col("centroid"))))
+      .select(col("vec_id"), col("cell"),
+        TextOps.trunc6(CosineSimilarity(col("embedding"), col("centroid"))).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cell"))
   }
 
   /** Symmetric int8 QUANTIZATION of the embedding store: per-vector
@@ -387,6 +430,41 @@ object Similarity {
       transform(col("qvec"),
         q => (q.cast("double") * col("scale")).cast("float")).as("embedding"))
     topKBruteForce(deq, probeEvery, k)
+  }
+
+  /** X3 — IVF-PQ-lite: cell-restricted top-k over the int8 QUANTIZED
+    * store — the composition that is the actual 100 TB ANN shape. The
+    * index is [[kmeansCells]]' trained assignment (trained on the
+    * full-precision embeddings by the offline job, like every real IVF
+    * build); the searched vectors are the [[quantizeEmbeddings]] store
+    * reconstructed as `q·scale` — so a probe touches ~|corpus|/|cells|
+    * vectors AND reads them from the 4×-smaller int8 form, multiplying
+    * the two savings. Both stores are probed via the same optional
+    * params as the component operators ([[topKIvfTrained]]'s
+    * `assignments`, [[topKQuantized]]'s `store`); absent params derive
+    * them in-query (the self-contained oracle-checked form).
+    *
+    * Recall decomposes cleanly: cell restriction bounds it exactly as
+    * [[topKIvfTrained]] (same cells), quantization perturbs each
+    * component by ≤ scale/2 (~0.4% relative) on top — spec-asserted
+    * ≥ 0.9 against the exact-precision same-cell search.
+    */
+  def topKIvfQuantized(embeddings: DataFrame, probeEvery: Int = 50, k: Int = 5,
+      rounds: Int = IvfTrainRounds, assignments: Option[DataFrame] = None,
+      store: Option[DataFrame] = None): DataFrame = {
+    val asg = assignments.getOrElse(kmeansCells(embeddings, rounds))
+    val st = store.getOrElse(quantizeEmbeddings(embeddings).localCheckpoint())
+    val deq = st.select(col("vec_id"),
+      transform(col("qvec"),
+        q => (q.cast("double") * col("scale")).cast("float")).as("embedding"))
+    val e = deq.join(asg.select(col("vec_id"), col("cell")), "vec_id")
+    topK(
+      broadcast(probes(e, probeEvery).as("a"))
+        .join(e.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("probe_id"), col("b.vec_id").as("neighbor_id"),
+          cos6.as("cosine")),
+      k)
   }
 
   /** Embedding-cosine near-dup pairs: all pairs with cosine ≥ threshold,

@@ -141,6 +141,65 @@ class SimilarityCentroidSpec extends SparkSpec {
     assert(viaStore === quant)
   }
 
+  test("topKIvfTrained against a parquet-round-tripped assignment store ≡ in-query training") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfstore").toString
+    // Offline training job: assignment written partitioned by cell (the
+    // pruned-probe layout at rest).
+    Similarity.kmeansCells(d).write.partitionBy("cell").parquet(s"$dir/cells")
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaStore = res(Similarity.topKIvfTrained(d,
+      assignments = Some(spark.read.parquet(s"$dir/cells"))))
+    val inQuery = res(Similarity.topKIvfTrained(d))
+    assert(viaStore === inQuery && viaStore.nonEmpty)
+  }
+
+  test("assignCells routes corpus vectors to their trained cells via the centroid store") {
+    // Planted orthogonal clusters (the kmeansCells fixture shape): the
+    // centroid table derived from the trained assignment must route
+    // every member vector back to its own cluster's cell, and a NEW
+    // out-of-corpus vector near axis 1 to cluster 1's cell.
+    def vec(axis: Int, i: Int): Array[Float] = {
+      val a = Array.fill(4)(0.0f)
+      a(axis) = 1.0f
+      a(3) = 0.01f * (i % 8)
+      a
+    }
+    val rows = for (c <- 0 until 3; i <- 0 until 8) yield
+      ((c * 8 + i).toLong, vec(c, i), c)
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val asg = Similarity.kmeansCells(emb).localCheckpoint()
+    val cent = Similarity.trainedCentroids(emb, asg).localCheckpoint()
+    val trained = asg.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val routed = Similarity.assignCells(emb.select("vec_id", "embedding"), cent)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(routed === trained,
+      "routing the corpus through the centroid store must reproduce the trained cells")
+    val newVec = Seq((999L, vec(1, 3))).toDF("vec_id", "embedding")
+    val newCell = Similarity.assignCells(newVec, cent).collect().head.getInt(1)
+    assert(newCell == trained(8L), "a new axis-1 vector must route to cluster 1's cell")
+  }
+
+  test("topKIvfQuantized: quantization costs <10% recall vs exact-precision same-cell search") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exactCells = hits(Similarity.topKIvfTrained(d, probeEvery = 10, k = 5))
+    val quant = hits(Similarity.topKIvfQuantized(d, probeEvery = 10, k = 5))
+    assert(exactCells.nonEmpty)
+    val overlap = exactCells.count(quant.contains).toDouble / exactCells.size
+    assert(overlap >= 0.9, s"ivf-quantized recall $overlap vs exact-precision ivf")
+    // Probing BOTH persisted stores gives exactly the in-query result.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfq").toString
+    Similarity.kmeansCells(d).write.partitionBy("cell").parquet(s"$dir/cells")
+    Similarity.quantizeEmbeddings(d).write.parquet(s"$dir/q")
+    val viaStores = hits(Similarity.topKIvfQuantized(d, probeEvery = 10, k = 5,
+      assignments = Some(spark.read.parquet(s"$dir/cells")),
+      store = Some(spark.read.parquet(s"$dir/q"))))
+    assert(viaStores === quant)
+  }
+
   test("kmeansCells is invariant to input partitioning (inherits exact decimal sums)") {
     val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def cells(df: org.apache.spark.sql.DataFrame) =
