@@ -128,12 +128,11 @@ object StreamingOps {
     * store and the next batch dedupes against the grown corpus — with
     * that contract, the SET of detected duplicates is independent of how
     * the stream is cut into batches (asserted in StreamingOpsSpec). The
-    * SURVIVOR choice carries one caveat: within a batch the smallest
-    * doc_id survives, across batches the first-committed doc survives —
-    * identical only when doc_ids arrive in nondecreasing order (the
-    * append-log norm for ingest ids); out-of-order ids keep the same dup
-    * set but may elect a different representative than a batch re-run
-    * would. At scale the store read is a
+    * emitted pairs carry BOTH id orders — doc_match may be a store doc
+    * with a LARGER id than the arrival — so a sink that wants the
+    * canonical min-id survivor re-elects from the pairs themselves;
+    * [[corpusIngestStream]] does exactly that (demotion rows), making
+    * its manifest batch-cut invariant even for out-of-id-order arrivals. At scale the store read is a
     * band_val-partitioned parquet/bucketed table, so each batch's probe
     * is a partition-pruned lookup, cost O(batch + collisions) — the
     * unbounded-feed form of dedup where any full-corpus re-pairing would
@@ -167,13 +166,28 @@ object StreamingOps {
     * Jaccard-1 near-dup — exactly how the batch manifest flags them),
     * near-only matches just `near_dup`.
     *
-    * The caller's `sink` owns committing accepted documents (and their
+    * SURVIVOR ELECTION is batch-cut invariant, including out-of-id-order
+    * arrivals: the drop rule is "a document is a duplicate iff a similar
+    * document with a SMALLER doc_id exists anywhere in the stream" — a
+    * pure function of the document SET, so any cut of the stream into
+    * batches converges to the same manifest (StreamingOpsSpec asserts
+    * identical manifests under permuted cuts with non-monotone ids).
+    * Mechanically: an incoming doc only loses to smaller-id matches
+    * (store or batch), and when an incoming doc UNDERCUTS a store doc
+    * (matches it with a smaller id) the manifest emits a DEMOTION row
+    * for the store doc — (doc_id, reasons, keep = false) — letting the
+    * sink re-elect the canonical min-id survivor it had previously
+    * admitted. Within one batch the same rule applies pairwise, so a
+    * batch of two copies keeps exactly the smaller id.
+    *
+    * The caller's `sink` owns committing processed documents (and their
     * signatures) to the store; `existingDocs` is the per-batch re-read of
-    * that store, exactly the [[incrementalDedupStream]] contract — so the
-    * drop/keep verdicts are independent of how the stream is cut into
-    * batches (with that contract's nondecreasing-doc_id caveat on WHICH
-    * copy survives), and per-batch cost is O(batch + collisions), never
-    * O(corpus).
+    * that store, exactly the [[incrementalDedupStream]] contract. For
+    * full cut invariance the sink must commit EVERY quality-keeper's
+    * signatures — kept, dropped and demoted alike (the signature store
+    * covers the corpus, exactly like the batch store; a dropped doc can
+    * still be the smaller-id witness that drops a later arrival).
+    * Per-batch cost stays O(batch + collisions), never O(corpus).
     */
   def corpusIngestStream(incoming: DataFrame,
       existingDocs: () => DataFrame,
@@ -201,16 +215,46 @@ object StreamingOps {
         val kk = keyed(kept)
         val allKeys = keyed(existing).withColumn("is_new", lit(false))
           .unionByName(kk.withColumn("is_new", lit(true)))
-        val exactIds = kk.as("a")
+        // All content-key collisions of batch keepers, BOTH id orders
+        // (materialized once: the drop and demotion branches both read
+        // it). A batch keeper DROPS iff some smaller-id doc shares its
+        // key; a STORE doc is DEMOTED iff a smaller-id batch keeper
+        // undercuts it (in-batch larger-side pairs need no demotion row
+        // — the larger doc's own a-side row drops it).
+        val exactPairs = kk.as("a")
           .join(allKeys.as("b"),
-            col("a.ck") === col("b.ck") && col("a.doc_id") =!= col("b.doc_id") &&
-              (!col("b.is_new") || col("b.doc_id") < col("a.doc_id")))
-          .select(col("a.doc_id").as("doc_id")).distinct()
+            col("a.ck") === col("b.ck") && col("a.doc_id") =!= col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_new"),
+            col("b.doc_id").as("doc_match"), col("b.is_new"))
+          .localCheckpoint()
+        val exactIds = exactPairs.where(col("doc_match") < col("doc_new"))
+          .select(col("doc_new").as("doc_id")).distinct()
           .withColumn("is_exact", lit(true))
-        val dupIds = graft.ext.Dedup
+        val demotedExact = exactPairs
+          .where(!col("is_new") && col("doc_match") > col("doc_new"))
+          .select(col("doc_match").as("doc_id"))
+        // Near-dup pairs likewise feed both branches. nearDupIncremental
+        // emits (doc_new ∈ batch, doc_match ∈ store at any id, or a
+        // smaller in-batch id) — so doc_match > doc_new identifies
+        // exactly the store docs an arrival undercuts.
+        val dupPairs = graft.ext.Dedup
           .nearDupIncremental(existing, kept, threshold)
+          .select("doc_new", "doc_match")
+          .localCheckpoint()
+        val dupIds = dupPairs.where(col("doc_match") < col("doc_new"))
           .select(col("doc_new").as("doc_id")).distinct()
           .withColumn("is_dup", lit(true))
+        val demotedNear = dupPairs.where(col("doc_match") > col("doc_new"))
+          .select(col("doc_match").as("doc_id"))
+        // Demotion rows: keep = false with the dup flags that fired
+        // (alphabetical concat yields the batch manifest's
+        // "exact_dup,near_dup" for exact copies, which are also
+        // Jaccard-1 near-dups).
+        val demoted = demotedExact.withColumn("flag", lit("exact_dup"))
+          .union(demotedNear.withColumn("flag", lit("near_dup")))
+          .groupBy("doc_id")
+          .agg(concat_ws(",", array_sort(collect_set(col("flag")))).as("reasons"))
+          .select(col("doc_id"), col("reasons"), lit(false).as("keep"))
         val manifest = q.join(exactIds, Seq("doc_id"), "left")
           .join(dupIds, Seq("doc_id"), "left")
           .withColumn("reasons", concat_ws(",",
@@ -219,6 +263,7 @@ object StreamingOps {
             when(col("is_dup").isNotNull, "near_dup")))
           .select(col("doc_id"), col("reasons"),
             (col("reasons") === "").as("keep"))
+          .unionByName(demoted)
         sink(manifest, batchId)
       }
 
@@ -239,6 +284,27 @@ object StreamingOps {
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sink(graft.ext.Similarity.lshSignatures(batch, dim), batchId)
+      }
+
+  /** Streaming QUANTIZED-store ingest — maintain the
+    * [[graft.ext.Similarity.quantizeEmbeddings]] int8 store per arriving
+    * micro-batch of embeddings, the third ingest-store twin beside
+    * [[lshIngestStream]] and the minhash signature maintenance.
+    * Quantization is a pure per-vector map (scale and qvec are functions
+    * of the one vector), so the store built batch-by-batch equals the
+    * store built over the union in one pass (asserted in
+    * StreamingOpsSpec) — and a
+    * [[graft.ext.Similarity.topKQuantized]] /
+    * [[graft.ext.Similarity.topKIvfQuantized]] probe against the
+    * accumulated store never re-quantizes a vector. The caller's `sink`
+    * owns the persisted layout.
+    */
+  def quantizeIngestStream(incoming: DataFrame,
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    incoming.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.ext.Similarity.quantizeEmbeddings(batch), batchId)
       }
 
   /** Per-user state transition; also invoked on event-time timeout with

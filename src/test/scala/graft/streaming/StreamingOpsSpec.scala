@@ -188,6 +188,55 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpus ingest manifest is identical under permuted batch cuts with non-monotone ids") {
+    implicit val sqlCtx = spark.sqlContext
+    // Similarity family with deliberately out-of-order ids: 5 is the
+    // canonical min-id survivor but arrives LAST in one cut; 40 is an
+    // exact copy of 5, 30 a near-dup, 50 unrelated. The final manifest
+    // (per-doc upsert, demotion rows included) must be the same pure
+    // function of the SET for every cut.
+    val textA = "the " + (1 to 24).map(i => s"w$i").mkString(" ")
+    val textB = "a " + (1 to 24).map(i => s"b$i").mkString(" ")
+    val docs = Map(
+      5L -> Doc(5L, textA, "en"),
+      30L -> Doc(30L, textA + " tail", "en"),
+      40L -> Doc(40L, textA, "en"),
+      50L -> Doc(50L, textB, "en"))
+    def run(cuts: Seq[Seq[Long]]): Map[Long, (String, Boolean)] = {
+      val store = scala.collection.mutable.ArrayBuffer.empty[Doc]
+      val finalManifest = scala.collection.mutable.Map.empty[Long, (String, Boolean)]
+      val mem = MemoryStream[Doc]
+      val writer = StreamingOps.corpusIngestStream(
+        mem.toDF(),
+        () => if (store.isEmpty) Seq.empty[Doc].toDF() else store.toSeq.toDF(),
+        (manifest, _) => manifest.collect().foreach(r =>
+          finalManifest(r.getLong(0)) = (r.getString(1), r.getBoolean(2))))
+      val q = writer.start()
+      try {
+        cuts.foreach { ids =>
+          mem.addData(ids.map(docs): _*); q.processAllAvailable()
+          // Cut-invariance contract: EVERY quality-keeper's signatures
+          // are committed, dropped and demoted docs included.
+          store ++= ids.map(docs)
+        }
+      } finally q.stop()
+      finalManifest.toMap
+    }
+    val expected = Map(
+      5L -> (("", true)),
+      30L -> (("near_dup", false)),
+      40L -> (("exact_dup,near_dup", false)),
+      50L -> (("", true)))
+    val cuts = Seq(
+      Seq(Seq(40L), Seq(30L), Seq(5L), Seq(50L)), // min-id survivor arrives last
+      Seq(Seq(5L), Seq(40L, 30L), Seq(50L)),      // in id order
+      Seq(Seq(40L, 30L, 5L, 50L)),                // one batch = the batch oracle
+      Seq(Seq(30L, 50L), Seq(40L), Seq(5L)))
+    cuts.foreach { cut =>
+      assert(run(cut) === expected, s"manifest must be cut-invariant for $cut")
+    }
+  }
+
   test("streaming LSH ingest accumulates the exact batch signature store") {
     implicit val sqlCtx = spark.sqlContext
     def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
@@ -211,6 +260,34 @@ class StreamingOpsSpec extends SparkSpec {
       // exactly the one-pass store, row for row.
       assert(gotRows.toSet === batchStore)
       assert(gotRows.size === all.size)
+    } finally q.stop()
+  }
+
+  test("streaming quantize ingest accumulates the exact one-pass int8 store") {
+    implicit val sqlCtx = spark.sqlContext
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val all = Seq(
+      Emb(0L, v(1, 0, -2, 0.5), 0), Emb(1L, v(0.9, 0.1, 0, 0), 0),
+      Emb(2L, v(0, 0, 0, 0), 1), // zero vector → scale 0, zero qvec
+      Emb(3L, v(-0.3, 0.7, 1.1, -0.2), 1), Emb(4L, v(127, -127, 64, 1), 2))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Seq[Int])]
+    val mem = MemoryStream[Emb]
+    val writer = StreamingOps.quantizeIngestStream(
+      mem.toDF().select("vec_id", "embedding"),
+      (st, _) => got ++= st.collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getAs[scala.collection.Seq[Int]](2).toSeq)))
+    val q = writer.start()
+    try {
+      mem.addData(all.take(2): _*); q.processAllAvailable()
+      mem.addData(all.drop(2): _*); q.processAllAvailable()
+      val onePass = graft.ext.Similarity
+        .quantizeEmbeddings(all.toDF().select("vec_id", "embedding"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1),
+          r.getAs[scala.collection.Seq[Int]](2).toSeq)).toSet
+      // Quantization is pure per-vector: two micro-batches accumulate
+      // exactly the one-pass store, scale and qvec bit-identical.
+      assert(got.toSet === onePass)
+      assert(got.size === all.size)
     } finally q.stop()
   }
 
