@@ -173,6 +173,13 @@ object SparkEntry {
       Alerts.topOffenders(
         Alerts.discrepancies(RetailMapping.reconciliation(s, dir, D)), 5)),
 
+    // K5/§2.9 — the SNS alert message body lifted in-plan
+    // (format_string/concat; the reference loops over collected rows
+    // driver-side, glue_job_2_reconcile.py:127-135). One row: count,
+    // example lines, full message.
+    "alert_body" -> ((s, dir) =>
+      Alerts.alertBody(RetailMapping.reconciliation(s, dir, D))),
+
     // Multi-day set-oriented reconciliation (the 100 TB shape).
     "multi_day_reconciliation" -> ((s, dir) =>
       MultiDayReconcile.reconcileRange(s, dir, From, To).orderBy("date_key", "sku")),
@@ -251,6 +258,28 @@ object SparkEntry {
          |FROM ($reconciliationSql)
          |WHERE discrepancy_amount != 0
          |ORDER BY abs(discrepancy_amount) DESC, sku LIMIT 5""".stripMargin,
+
+    "alert_body" ->
+      s"""WITH disc AS (SELECT * FROM ($reconciliationSql)
+         |             WHERE discrepancy_amount != 0),
+         |top5 AS (SELECT sku, COALESCE(product_name, 'N/A') AS product_name,
+         |                discrepancy_amount
+         |         FROM disc
+         |         ORDER BY abs(discrepancy_amount) DESC, sku LIMIT 5),
+         |ex AS (SELECT string_agg(
+         |         '- SKU: ' || sku || ', Product: ' || product_name ||
+         |         ', Discrepancy: ' || CAST(discrepancy_amount AS VARCHAR),
+         |         chr(10) ORDER BY abs(discrepancy_amount) DESC, sku)
+         |         AS example_lines
+         |       FROM top5),
+         |agg AS (SELECT count(*) AS n_discrepancies, max(date_key) AS d FROM disc)
+         |SELECT n_discrepancies, example_lines,
+         |  'Inventory reconciliation for date ' || CAST(d AS VARCHAR) ||
+         |  ' found discrepancies.' || chr(10) || chr(10) ||
+         |  'Total items with discrepancies: ' || n_discrepancies ||
+         |  chr(10) || chr(10) || 'Example Discrepancies:' || chr(10) ||
+         |  example_lines AS body
+         |FROM agg, ex""".stripMargin,
 
     "multi_day_reconciliation" ->
       s"""WITH daily AS (${dailySql(From.minusDays(1), To.plusDays(1))}),

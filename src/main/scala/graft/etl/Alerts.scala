@@ -64,28 +64,75 @@ object Alerts {
       .orderBy(abs(col("discrepancy_amount")).desc, col("sku"))
       .limit(k)
 
-  /** Builds the alert iff any discrepancy exists — returns None otherwise.
-    * One pass: cache → count → bounded collect(k).
+  /** The alert MESSAGE BODY as a one-row DataFrame — the reference
+    * builds this string driver-side in a Python loop over collected rows
+    * (glue_job_2_reconcile.py:127-135); here the whole message is
+    * format_string/concat column work (SURVEY.md §2.9), so it
+    * distributes, is oracle-checkable, and [[build]]'s driver-side work
+    * shrinks to ONE bounded single-row collect. Output columns:
+    * n_discrepancies, example_lines (the top-k "- SKU: …" lines,
+    * newline-joined, worst-first with sku tie-break — the reference's
+    * nondeterministic limit(5) made deterministic exactly like
+    * [[topOffenders]]), body (the full reference-format message, date
+    * taken in-plan from the frame's date_key).
+    *
+    * `reportPath` appends the reference's "Full report available at:"
+    * footer when the caller has a processed-zone location to point at.
     */
-  def build(recon: DataFrame, k: Int = 5): Option[AlertReport] = {
+  def alertBody(recon: DataFrame, k: Int = 5,
+      reportPath: Option[String] = None): DataFrame =
+    // The count branch and the top-k branch both consume disc; it is
+    // filter output (bounded by the mismatch rate), so materialize once.
+    alertBodyOfDisc(discrepancies(recon).localCheckpoint(), k, reportPath)
+
+  /** [[alertBody]] over an already-filtered (and caller-materialized)
+    * discrepancy frame — the form [[build]] uses so its cache is shared.
+    */
+  private[etl] def alertBodyOfDisc(disc: DataFrame, k: Int,
+      reportPath: Option[String] = None): DataFrame = {
+    // Each example line pre-sorted into a struct whose natural order is
+    // (|amount| desc, sku asc) — array_sort after collect_list gives a
+    // deterministic aggregation order without a window.
+    val ex = topOffenders(disc, k).select(
+      struct((-abs(col("discrepancy_amount"))).as("neg_mag"),
+        col("sku").as("s"),
+        format_string("- SKU: %s, Product: %s, Discrepancy: %d",
+          col("sku"), col("product_name"), col("discrepancy_amount")).as("line"))
+        .as("e"))
+      .agg(array_join(
+        transform(array_sort(collect_list(col("e"))), e => e.getField("line")),
+        "\n").as("example_lines"))
+    val counts = disc.agg(count(lit(1)).as("n_discrepancies"),
+      max(col("date_key")).as("d"))
+    counts.crossJoin(ex) // 1 × 1
+      .select(col("n_discrepancies"), col("example_lines"),
+        concat(
+          lit("Inventory reconciliation for date "),
+          coalesce(col("d").cast("string"), lit("?")),
+          lit(" found discrepancies.\n\nTotal items with discrepancies: "),
+          col("n_discrepancies"),
+          lit("\n\nExample Discrepancies:\n"),
+          col("example_lines"),
+          lit(reportPath.fold("")(p => s"\n\nFull report available at: $p")))
+          .as("body"))
+  }
+
+  /** Builds the alert iff any discrepancy exists — returns None otherwise.
+    * One pass: cache → ONE single-row collect of the in-plan
+    * [[alertBody]] (count + examples + message all computed in the
+    * cluster; the reference collected 5 whole rows and looped
+    * driver-side).
+    */
+  def build(recon: DataFrame, k: Int = 5,
+      reportPath: Option[String] = None): Option[AlertReport] = {
     val disc = discrepancies(recon).cache()
     try {
-      val n = disc.count()
+      val row: Row = alertBodyOfDisc(disc, k, reportPath).collect().head
+      val n = row.getAs[Long]("n_discrepancies")
       if (n == 0) None
-      else {
-        val rows: Array[Row] = topOffenders(disc, k).collect()
-        val examples = rows.toSeq.map { r =>
-          val name = r.getAs[String]("product_name") // "N/A"-coalesced in-plan
-          val sku = r.getAs[String]("sku")
-          val amt = r.getAs[Long]("discrepancy_amount")
-          s"SKU $sku ($name): discrepancy $amt"
-        }
-        val msg =
-          s"""Inventory reconciliation found $n discrepancies.
-             |Top ${examples.size} by magnitude:
-             |${examples.mkString("\n")}""".stripMargin
-        Some(AlertReport(n, examples, msg))
-      }
+      else Some(AlertReport(n,
+        row.getAs[String]("example_lines").split("\n").toSeq,
+        row.getAs[String]("body")))
     } finally disc.unpersist()
   }
 }

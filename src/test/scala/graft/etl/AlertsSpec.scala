@@ -23,8 +23,22 @@ class AlertsSpec extends SparkSpec {
     val r = Alerts.build(recon(Seq("A" -> 3L, "B" -> -10L, "C" -> 0L, "D" -> 7L)), k = 2).get
     assert(r.count === 3)
     assert(r.examples.size === 2)
-    assert(r.examples.head.contains("SKU B")) // |−10| largest
-    assert(r.message.contains("3 discrepancies"))
+    assert(r.examples.head === "- SKU: B, Product: name-B, Discrepancy: -10") // |−10| largest
+    assert(r.message.contains("Total items with discrepancies: 3"))
+  }
+
+  test("alertBody builds the reference-format message fully in-plan") {
+    val row = Alerts.alertBody(
+      recon(Seq("A" -> 3L, "B" -> -10L, "C" -> 0L)),
+      k = 2, reportPath = Some("s3://bucket/processed/")).collect().head
+    assert(row.getAs[Long]("n_discrepancies") === 2L)
+    assert(row.getAs[String]("example_lines") ===
+      "- SKU: B, Product: name-B, Discrepancy: -10\n- SKU: A, Product: name-A, Discrepancy: 3")
+    val body = row.getAs[String]("body")
+    assert(body.startsWith(
+      "Inventory reconciliation for date 2024-01-02 found discrepancies.\n\n" +
+        "Total items with discrepancies: 2\n\nExample Discrepancies:\n- SKU: B"))
+    assert(body.endsWith("\n\nFull report available at: s3://bucket/processed/"))
   }
 
   test("topOffenders orders by |discrepancy| desc with sku tie-break") {
@@ -45,7 +59,7 @@ class AlertsSpec extends SparkSpec {
     assert(Alerts.notify(Alerts.build(recon(Seq("A" -> 4L))), sink))
     assert(seen.size === 1)
     assert(seen.head._1 === "Inventory discrepancies found")
-    assert(seen.head._2.message.contains("1 discrepancies"))
+    assert(seen.head._2.message.contains("Total items with discrepancies: 1"))
   }
 
   test("null product_name is coalesced to N/A in-plan") {
