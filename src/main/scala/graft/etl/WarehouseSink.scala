@@ -80,12 +80,25 @@ final class ParquetWarehouseSink(root: String) extends WarehouseSink {
   * staging-table + transactional swap binding would slot behind the same
   * trait if stronger atomicity were needed.
   */
-final class JdbcWarehouseSink(url: String) extends WarehouseSink {
+/** @param props optional JDBC connection properties (user/password,
+  *   driver options) threaded through BOTH the driver-side statements
+  *   and Spark's distributed read/write — so a warehouse needing
+  *   credentials works without embedding them in the URL string.
+  *   Defensively copied: later caller mutation cannot change the sink.
+  */
+final class JdbcWarehouseSink(url: String,
+    props: java.util.Properties = new java.util.Properties) extends WarehouseSink {
+
+  private val connProps: java.util.Properties = {
+    val p = new java.util.Properties()
+    p.putAll(props)
+    p
+  }
 
   override def location(table: String): String = s"$url#$table"
 
   private def withConn[A](f: Connection => A): A = {
-    val c = DriverManager.getConnection(url)
+    val c = DriverManager.getConnection(url, connProps)
     try f(c) finally c.close()
   }
 
@@ -114,9 +127,17 @@ final class JdbcWarehouseSink(url: String) extends WarehouseSink {
     * 42P07, …) — the steady-state second load must take the
     * already-exists path on EVERY backend. Case-insensitive compare:
     * case-folding databases store the unquoted table name folded.
+    * Scoped to the connection's CURRENT schema: a same-named table in
+    * another schema/catalog must not satisfy the check while the
+    * subsequent DELETE/TRUNCATE/INSERT resolve against the default
+    * schema where it does not exist. (Drivers predating
+    * Connection.getSchema fall back to the unscoped listing.)
     */
   private def tableExists(c: Connection, table: String): Boolean = {
-    val rs = c.getMetaData.getTables(null, null, null, Array("TABLE"))
+    val schemaPattern =
+      try Option(c.getSchema).filter(_.nonEmpty).orNull
+      catch { case _: java.sql.SQLException | _: AbstractMethodError => null }
+    val rs = c.getMetaData.getTables(null, schemaPattern, null, Array("TABLE"))
     try {
       var found = false
       while (!found && rs.next())
@@ -149,7 +170,7 @@ final class JdbcWarehouseSink(url: String) extends WarehouseSink {
       del.setDate(1, java.sql.Date.valueOf(date))
       del.executeUpdate()
     }
-    df.write.mode(SaveMode.Append).jdbc(url, table, new java.util.Properties)
+    df.write.mode(SaveMode.Append).jdbc(url, table, connProps)
   }
 
   /** TRUNCATE + COPY (dags/retail_pipeline_dag.py:28-33): the table
@@ -158,9 +179,9 @@ final class JdbcWarehouseSink(url: String) extends WarehouseSink {
   override def loadDim(df: DataFrame, table: String): Unit = {
     ensureTable(df, table)
     withConn(_.createStatement().executeUpdate(s"TRUNCATE TABLE $table"))
-    df.write.mode(SaveMode.Append).jdbc(url, table, new java.util.Properties)
+    df.write.mode(SaveMode.Append).jdbc(url, table, connProps)
   }
 
   override def read(spark: SparkSession, table: String): DataFrame =
-    spark.read.jdbc(url, table, new java.util.Properties)
+    spark.read.jdbc(url, table, connProps)
 }

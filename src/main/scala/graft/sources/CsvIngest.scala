@@ -19,14 +19,23 @@ import org.apache.spark.sql.types.StructType
   */
 object CsvIngest {
 
-  /** Read a header'd CSV zone with the pinned `schema`, or with the
-    * reference's inference when `inferSchema` is set (the pinned schema
-    * is ignored in that mode, exactly like the reference's reader).
+  /** Read a header'd CSV zone with the pinned `schema` — the default
+    * (and only) typed path. The reference-compatibility inference mode
+    * lives in [[readInferred]], a separate method with no schema
+    * parameter, so a carefully pinned schema can never be silently
+    * ignored by a stray flag (the r5 `inferSchema = true` overload
+    * accepted — and discarded — the schema argument).
     */
-  def read(spark: SparkSession, path: String, schema: StructType,
-      inferSchema: Boolean = false): DataFrame =
-    if (inferSchema)
-      spark.read.option("header", "true").option("inferSchema", "true").csv(path)
-    else
-      spark.read.schema(schema).option("header", "true").csv(path)
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** Reference-compatibility mode: infer the schema from the data on
+    * every read, exactly like the reference's reader
+    * (glue_job_1_stage_sales.py:35). Only for sources whose files are
+    * already trusted to be type-stable — the drift hazard (and the
+    * second full read the inference pre-pass costs at scale) is pinned
+    * by CsvIngestSpec.
+    */
+  def readInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
 }

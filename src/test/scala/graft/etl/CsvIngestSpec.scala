@@ -26,8 +26,7 @@ class CsvIngestSpec extends SparkSpec {
     val intDay = writeCsv("a1,3", "b2,4")
     val fracDay = writeCsv("a1,3", "b2,4.5") // one decimal flips the type
     def inferredType(path: String) =
-      CsvIngest.read(spark, path, Schemas.posSalesRaw, inferSchema = true)
-        .schema("quantity").dataType
+      CsvIngest.readInferred(spark, path).schema("quantity").dataType
     assert(inferredType(intDay) === IntegerType)
     assert(inferredType(fracDay) === DoubleType,
       "one fractional row must flip the inferred column type — the drift hazard")
@@ -42,7 +41,9 @@ class CsvIngestSpec extends SparkSpec {
     val day = writeCsv("a1,3", "a1,2", "b2,4")
     val d = java.time.LocalDate.parse("2024-01-02")
     def staged(infer: Boolean) =
-      StageSales.stage(CsvIngest.read(spark, day, Schemas.posSalesRaw, infer), d)
+      StageSales.stage(
+        if (infer) CsvIngest.readInferred(spark, day)
+        else CsvIngest.read(spark, day, Schemas.posSalesRaw), d)
         .orderBy("sku").collect()
         .map(r => (r.getString(1), r.getLong(2))).toSeq
     // stage()'s try_cast(quantity as int) normalizes either arrival type,

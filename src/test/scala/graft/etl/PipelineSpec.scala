@@ -32,7 +32,7 @@ class PipelineSpec extends SparkSpec {
     // a1: open 10, sold 5, expected 5, actual 5 → ok; b2: 8-4=4 vs 5 → 1
     val alert = res.alert.get
     assert(alert.count === 1)
-    assert(alert.examples.head.contains("SKU B2"))
+    assert(alert.examples.head.contains("SKU: B2"))
   }
 
   test("re-running the same date is idempotent (dynamic partition overwrite)") {
