@@ -296,16 +296,37 @@ object Dedup {
     * per-partition (b, r) tuned to the containment threshold) drops in
     * behind the same two-channel shape if more strata are ever needed.
     */
+  /** @param strata number of size strata (2 or 3). The default 2 is the
+    *   two-channel scheme above. 3 splits the skewed class GEOMETRICALLY
+    *   (the full LSH-Ensemble shape): ratios in (ratioCut, ratioCut²]
+    *   keep the `minSigMatches` gate, while the EXTREME class
+    *   (ratio > ratioCut²) fires on any single signature — at those
+    *   ratios a contained pair's J ≤ 1/ratioCut² puts the expected match
+    *   count near 1, so a ≥ 2 gate would forfeit nearly all recall (the
+    *   16-signature store cannot give both bounded FPs and recall
+    *   there; Zhu et al. widen the small strata's signatures instead,
+    *   which would grow the shared store). Opt-in because the extreme
+    *   channel re-admits the boilerplate FP class for very skewed
+    *   pairs: a recall-rescue whose candidate cost is the documented
+    *   ensemble trade.
+    */
   def containmentNearDupStratified(docs: DataFrame, threshold: Double = 0.8,
       ratioCut: Double = 2.0, minSigMatches: Int = 2,
-      broadcastCandidates: Boolean = false): DataFrame = {
+      broadcastCandidates: Boolean = false, strata: Int = 2): DataFrame = {
+    require(strata == 2 || strata == 3, s"strata must be 2 or 3, got $strata")
     // hr feeds three consumers (bands, sig rows, verification sets):
     // checkpoint so tokenize+shingle runs once, the corpusManifest
     // precedent.
     val hr = hashedShingleRows(docs).localCheckpoint()
     // Sig rows carry the set size from their own aggregate — no second
     // size aggregate, no doc_id reunite join.
-    val skew = skewCandidates(minhashSigRows(hr), ratioCut, minSigMatches)
+    val sized = minhashSigRows(hr)
+    val skew =
+      if (strata == 2) skewCandidates(sized, ratioCut, minSigMatches)
+      else
+        skewCandidates(sized, ratioCut, minSigMatches,
+          hiRatio = Some(ratioCut * ratioCut))
+          .union(skewCandidates(sized, ratioCut * ratioCut, 1))
     scoredPairs(hr, bandedCandidates(hr).union(skew), broadcastCandidates)
       .withColumn("containment", TextOps.trunc6(col("inter") /
         least(size(col("sh_a")), size(col("sh_b"))).cast("double")))
@@ -315,25 +336,30 @@ object Dedup {
 
   /** The permissive skewed-size channel of
     * [[containmentNearDupStratified]], exposed for the property suite:
-    * pairs of [[minhashSigRows]] documents whose set sizes differ by
-    * more than `ratioCut` AND that agree on at least `minSigMatches` of
-    * the [[SigCount]] signatures. One aggregate over the (sig_idx,
-    * sig_val) collision pairs — the ≥-count gate is what keeps the
-    * channel's candidate volume sub-quadratic on boilerplate-heavy
-    * corpora (see the caller's scaladoc for the firing-rate arithmetic).
+    * pairs of [[minhashSigRows]] documents whose set-size ratio exceeds
+    * `ratioCut` (and, when `hiRatio` bounds the stratum, is ≤ it) AND
+    * that agree on at least `minSigMatches` of the [[SigCount]]
+    * signatures. One aggregate over the (sig_idx, sig_val) collision
+    * pairs — the ≥-count gate is what keeps the channel's candidate
+    * volume sub-quadratic on boilerplate-heavy corpora (see the
+    * caller's scaladoc for the firing-rate arithmetic).
     */
   private[ext] def skewCandidates(sized: DataFrame, ratioCut: Double,
-      minSigMatches: Int): DataFrame =
+      minSigMatches: Int, hiRatio: Option[Double] = None): DataFrame = {
+    val big = greatest(col("a.n"), col("b.n"))
+    val small = least(col("a.n"), col("b.n"))
     sized.as("a")
       .join(sized.as("b"),
         col("a.sig_idx") === col("b.sig_idx") &&
           col("a.sig_val") === col("b.sig_val") &&
           col("a.doc_id") < col("b.doc_id") &&
-          (col("a.n") > col("b.n") * ratioCut || col("b.n") > col("a.n") * ratioCut))
+          big > small * ratioCut &&
+          hiRatio.fold(lit(true))(h => big <= small * h))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_sig_matches"))
       .where(col("n_sig_matches") >= minSigMatches)
       .select("doc_a", "doc_b")
+  }
 
   /** Shared verification core of the minhash family: banded candidate
     * generation + exact sorted-set intersection, leaving the similarity
@@ -609,11 +635,16 @@ object Dedup {
         .where(col("su") =!= col("sv")).distinct()
         .select(col("su").as("u"), col("sv").as("v"))
         .localCheckpoint()
-      // Fixpoint: the round changed nothing (set equality via two
-      // anti-joins over node-pair frames — edge-sized, not corpus-sized).
-      converged =
-        ss.join(e, Seq("u", "v"), "left_anti").isEmpty &&
-          e.join(ss, Seq("u", "v"), "left_anti").isEmpty
+      // Fixpoint: the round changed nothing. Set equality in ONE action:
+      // both frames are distinct, so tagging each side ±1 and summing
+      // per (u, v) leaves nonzero exactly on the symmetric difference —
+      // one aggregate over edge-sized frames instead of the previous two
+      // separate anti-join isEmpty jobs per round.
+      converged = ss.select(col("u"), col("v"), lit(1).as("side"))
+        .union(e.select(col("u"), col("v"), lit(-1).as("side")))
+        .groupBy("u", "v").agg(sum(col("side")).as("d"))
+        .where(col("d") =!= 0)
+        .isEmpty
       e = ss
       rounds += 1
     }

@@ -330,6 +330,37 @@ class DedupPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("3-stratum mode recovers extreme-ratio contained docs the 2-stratum gate forfeits") {
+    // Planted contained docs at shingle-size ratio ≈ 8.4 — the EXTREME
+    // stratum (> ratioCut² = 4), where a contained pair's J ≈ 0.12 puts
+    // the expected signature-match count near 1: these two fixtures have
+    // EXACTLY 1 of 16 matching (md5-deterministic, validated at
+    // authoring time), so the default ≥2 gate and the 2-row bands both
+    // miss them, and only the 3-stratum any-single-signature channel can
+    // surface them. That is the ensemble trade the `strata` knob buys.
+    val plantedOf = Seq(2, 4) // indices whose prefix slice matches on 1 sig
+    val larges = (0 until 6).map { i =>
+      (i.toLong, (1 to 110).map(w => s"v${i}q$w").mkString(" "), "en")
+    }
+    val contained = plantedOf.zipWithIndex.map { case (i, j) =>
+      (200L + j, (1 to 14).map(w => s"v${i}q$w").mkString(" "), "en")
+    }
+    val df = (larges ++ contained).toDF("doc_id", "text", "lang")
+    val two = Dedup.containmentNearDupStratified(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val three = Dedup.containmentNearDupStratified(df, strata = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    plantedOf.zipWithIndex.foreach { case (i, j) =>
+      assert(!two.contains((i.toLong, 200L + j, 1.0)),
+        s"fixture invalid: 2-stratum gate unexpectedly caught ($i, ${200 + j})")
+      assert(three.contains((i.toLong, 200L + j, 1.0)),
+        s"3-stratum extreme channel must surface ($i, ${200 + j}); got $three")
+    }
+    // More strata only widen candidate generation; verification is
+    // shared, so the result can only grow.
+    assert(two.subsetOf(three))
+  }
+
   test("nearDupMinhash default (shuffle) path survives a duplicate-saturated corpus") {
     // Every document is a near-copy of the same text — the web-crawl
     // worst case where candidate pairs are O(n²), corpus-scale rather
