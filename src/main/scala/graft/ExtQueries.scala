@@ -490,6 +490,18 @@ object ExtQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // X3 — multi-probe IVF: each probe searches its 2 nearest trained
+    // cells (the standard IVF recall knob), probing the persisted
+    // assignment + centroid stores.
+    "ann_topk_ivf_multiprobe" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val asg = store(s, dir, "ivf_cells")(Similarity.kmeansCells(emb))
+      val cent = store(s, dir, "ivf_centroids")(Similarity.trainedCentroids(emb, asg))
+      castLongs(Similarity.topKIvfMultiProbe(emb, nprobe = 2,
+        assignments = Some(asg), centroids = Some(cent)), "rank")
+        .orderBy("probe_id", "rank")
+    }),
+
     // X3 — IVF-PQ-lite: trained-cell-restricted search over the int8
     // quantized store (both stores probed — the composed 100 TB shape).
     "ann_topk_ivf_quantized" -> ((s, dir) => {
@@ -1037,6 +1049,40 @@ object ExtQueries {
          |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
          |SELECT probe_id, rank, neighbor_id, cosine FROM r
          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // Trained cells + final-assignment centroids; each probe searches
+    // its 2 nearest cells — Similarity.topKIvfMultiProbe.
+    "ann_topk_ivf_multiprobe" -> {
+      val r = Similarity.IvfTrainRounds
+      s"""WITH ${kmeansCtes(r)},
+         |cxf AS (SELECT a.cell, i - 1 AS dim, e.embedding[i]::DOUBLE AS x
+         |  FROM embeddings e JOIN a$r a USING (vec_id),
+         |       unnest(range(1, len(e.embedding) + 1)) AS u(i)),
+         |csf AS (SELECT cell, dim, sum(x::DECIMAL(30,10)) AS sx, count(*) AS n_vecs
+         |  FROM cxf GROUP BY 1, 2),
+         |centf AS (SELECT cell AS c_cell,
+         |    list((floor(sx::DOUBLE / n_vecs * 1000000) / 1000000)::FLOAT ORDER BY dim)
+         |      AS cen
+         |  FROM csf GROUP BY cell),
+         |pcos AS (SELECT e.vec_id, c_cell, $cosCenSql AS cos
+         |  FROM embeddings e CROSS JOIN centf
+         |  WHERE e.vec_id % 50 = 0 AND e.vec_id < ${50L * Similarity.MaxProbes}),
+         |pc AS (SELECT vec_id AS probe_id, c_cell AS cell FROM (
+         |    SELECT vec_id, c_cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_cell) AS rn
+         |    FROM pcos) WHERE rn <= 2),
+         |e2 AS (SELECT e.vec_id, e.embedding, a.cell
+         |  FROM embeddings e JOIN a$r a USING (vec_id)),
+         |pairs AS (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
+         |  FROM embeddings a
+         |  JOIN pc ON pc.probe_id = a.vec_id
+         |  JOIN e2 b ON b.cell = pc.cell AND b.vec_id != a.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
+         |SELECT probe_id, rank, neighbor_id, cosine FROM r
+         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+    },
 
     // Trained cells (kmeansCtes over the FULL-PRECISION embeddings, the
     // offline IVF build) restricting a search over the dequantized int8

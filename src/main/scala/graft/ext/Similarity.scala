@@ -432,6 +432,52 @@ object Similarity {
     topKBruteForce(deq, probeEvery, k)
   }
 
+  /** X3 — MULTI-PROBE IVF: search the `nprobe` cells whose trained
+    * centroids are most cosine-similar to each probe, instead of exactly
+    * the probe's own cell — the standard IVF recall knob. Single-cell
+    * search loses exactly the neighbors that sit across a cell boundary
+    * from the probe; widening to the nprobe nearest cells recovers them
+    * at a linear cost multiplier (work ≈ nprobe · |corpus|/|cells|),
+    * the recall-vs-cost dial every production IVF index exposes.
+    *
+    * Plan shape: cell ranking is a broadcast |cells|-row centroid table
+    * against the BOUNDED probe set (a bounded-width window picks the
+    * top nprobe — never a corpus shuffle); candidates come from joining
+    * the (probe, cell) list to the assignment store on cell. Each
+    * corpus vector lives in exactly one cell and the (probe, cell) list
+    * is distinct, so no candidate pair duplicates. `nprobe = |cells|`
+    * degenerates to exact brute force (spec-asserted); `nprobe = 1` is
+    * [[topKIvfTrained]] up to the final-round centroid refresh the
+    * ranking sees. Stores probed via the same optional params.
+    */
+  def topKIvfMultiProbe(embeddings: DataFrame, probeEvery: Int = 50, k: Int = 5,
+      nprobe: Int = 2, rounds: Int = IvfTrainRounds,
+      assignments: Option[DataFrame] = None,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val asg = assignments.getOrElse(kmeansCells(embeddings, rounds).localCheckpoint())
+    val cent = centroids.getOrElse(trainedCentroids(embeddings, asg))
+    val pr = probes(embeddings, probeEvery)
+    // Rank cells per probe by centroid cosine (deterministic smaller-cell
+    // tie-break, the kmeans convention), keep the nprobe best.
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cell"))
+    val probeCells = pr.crossJoin(broadcast(cent.select(col("cell"), col("centroid"))))
+      .select(col("vec_id"), col("cell"),
+        TextOps.trunc6(CosineSimilarity(col("embedding"), col("centroid"))).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= nprobe)
+      .select(col("vec_id").as("probe_id"), col("cell"))
+    val e = embeddings.join(asg.select(col("vec_id"), col("cell")), "vec_id")
+    topK(
+      broadcast(probeCells
+        .join(pr.select(col("vec_id").as("probe_id"), col("embedding")), "probe_id")
+        .as("a"))
+        .join(e.as("b"),
+          col("a.cell") === col("b.cell") && col("a.probe_id") =!= col("b.vec_id"))
+        .select(col("a.probe_id").as("probe_id"), col("b.vec_id").as("neighbor_id"),
+          cos6.as("cosine")),
+      k)
+  }
+
   /** X3 — IVF-PQ-lite: cell-restricted top-k over the int8 QUANTIZED
     * store — the composition that is the actual 100 TB ANN shape. The
     * index is [[kmeansCells]]' trained assignment (trained on the

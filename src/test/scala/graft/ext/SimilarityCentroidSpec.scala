@@ -200,6 +200,29 @@ class SimilarityCentroidSpec extends SparkSpec {
     assert(viaStores === quant)
   }
 
+  test("multi-probe IVF: nprobe = |cells| degenerates to brute force; recall is monotone in nprobe") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val nCells = Similarity.kmeansCells(d).select("cell").distinct().count().toInt
+    assert(nCells >= 2, s"fixture needs multiple cells, got $nCells")
+    val brute = hits(Similarity.topKBruteForce(d, probeEvery = 10, k = 5))
+    // Probing every cell searches every vector — identical result set
+    // (same cosine kernel, same tie-breaks) to the exact baseline.
+    val all = hits(Similarity.topKIvfMultiProbe(d, probeEvery = 10, k = 5,
+      nprobe = nCells))
+    assert(all === brute)
+    def recall(got: Set[(Long, Long)]): Double =
+      brute.count(got.contains).toDouble / brute.size
+    val r1 = recall(hits(Similarity.topKIvfMultiProbe(d, probeEvery = 10, k = 5,
+      nprobe = 1)))
+    val r2 = recall(hits(Similarity.topKIvfMultiProbe(d, probeEvery = 10, k = 5,
+      nprobe = 2)))
+    // Wider probing can only add candidates; at nprobe = |cells| recall
+    // is exactly 1 (asserted above), so the dial is monotone end-to-end.
+    assert(r2 >= r1, s"recall must be monotone in nprobe: r1=$r1 r2=$r2")
+  }
+
   test("kmeansCells is invariant to input partitioning (inherits exact decimal sums)") {
     val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def cells(df: org.apache.spark.sql.DataFrame) =
