@@ -353,6 +353,12 @@ object ExtQueries {
     "repetition_score" -> ((s, dir) =>
       Corpus.repetitionScore(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // Corpus — bigram-LM fluency proxy (corpus-conditional transition
+    // frequencies, KenLM-style filtering without an external model).
+    "bigram_lm_score" -> ((s, dir) =>
+      castLongs(Corpus.bigramLmScore(Tables.documents(s, dir)), "n_bigrams")
+        .orderBy("doc_id")),
+
     // Corpus — deterministic per-source stratified sampling
     // (src0 up-weighted to 50%, src1 dropped, 20% elsewhere).
     "stratified_sample" -> ((s, dir) =>
@@ -767,6 +773,23 @@ object ExtQueries {
          |  floor((sum(c) - count(*))::DOUBLE / sum(c) * 10000) / 10000 AS dup_bigram_frac,
          |  floor(max(c)::DOUBLE / sum(c) * 10000) / 10000 AS top_bigram_frac
          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "bigram_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bi AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         |       FROM t, unnest(range(1, len(toks))) AS u(i)
+         |       WHERE len(toks) > 1),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+         |m AS (SELECT doc_id, w1, w2, count(*) AS m FROM bi GROUP BY 1, 2, 3),
+         |s AS (SELECT m.doc_id, m.m,
+         |        floor(c2.c2::DOUBLE / c1.c1 * 1000000) / 1000000 AS cond6
+         |      FROM m JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+         |  floor(sum(cond6::DECIMAL(20,10) * m)::DOUBLE / sum(m) * 1000000) / 1000000
+         |    AS avg_cond,
+         |  min(cond6) AS min_cond
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "stratified_sample" -> {
       val bucket = s"${hash60Sql("source || ':' || doc_id::VARCHAR")} % 100"

@@ -204,6 +204,52 @@ object Corpus {
         TextOps.trunc4(col("max_c") / col("n_bigrams").cast("double"))
           .as("top_bigram_frac"))
 
+  /** Corpus bigram-LM quality proxy — the KenLM-style fluency filter
+    * without an external model: score each document by the average
+    * corpus-wide CONDITIONAL frequency of its bigram instances,
+    * cond(w₁ w₂) = count(w₁ w₂) / count(w₁ ·) over the whole corpus.
+    * High = transitions the corpus has seen often (fluent, in-domain);
+    * low = rare transitions (gibberish, wrong language, OCR noise) —
+    * the per-doc `min_cond` additionally pinpoints the single weakest
+    * transition. Documents with fewer than two tokens are omitted.
+    * Output: doc_id, n_bigrams, avg_cond, min_cond (truncated 6dp).
+    *
+    * Determinism: each cond is ONE IEEE division of two exact longs
+    * (engine-identical), truncated to 6dp; the per-doc mean weights the
+    * per-(doc, bigram) distinct row by its instance count and sums in
+    * DECIMAL — associative, so partitioning/run/engine invariant (the
+    * [[Similarity.labelCentroids]] discipline).
+    *
+    * Scale: the count tables are the standard distributed LM-count job
+    * — two hash aggregates whose key spaces grow with the vocabulary,
+    * map-side combined; the instance table aggregates to per-(doc,
+    * bigram) rows BEFORE joining the counts, so the join shuffles the
+    * compressed form. Nothing quadratic, nothing interpreted.
+    */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    // (doc_id, w1, w2) instance rows via the shared tokenize window —
+    // consumed by three aggregates, so materialize once.
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val bi = docs
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w1")))
+      .withColumn("w2", lead("w1", 1).over(byDoc))
+      .where(col("w2").isNotNull)
+      .select("doc_id", "w1", "w2")
+      .localCheckpoint()
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val m = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+    m.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("cond6", TextOps.trunc6(col("c2").cast("double") / col("c1")))
+      .groupBy("doc_id")
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("cond6").cast("decimal(20,10)") * col("m")).as("sc"),
+        min(col("cond6")).as("min_cond"))
+      .select(col("doc_id"), col("n_bigrams"),
+        TextOps.trunc6(col("sc").cast("double") / col("n_bigrams")).as("avg_cond"),
+        col("min_cond"))
+  }
+
   /** Deterministic stratified sampling by `source`: per-document hash
     * bucket (salted with the stratum so buckets are independent across
     * strata), kept when bucket < the stratum's percentage — `overrides`

@@ -11,6 +11,22 @@ class CorpusFilterSpec extends SparkSpec {
   private def docs(rows: (Long, String)*) =
     rows.map { case (id, t) => (id, t, "en") }.toDF("doc_id", "text", "lang")
 
+  // ---------------------------------------------------------- bigramLmScore
+
+  test("bigramLmScore: hand-computed conditional frequencies, weighted mean, weakest link") {
+    // Corpus: doc 0 = "a b a b" → instances (a,b)×2, (b,a)×1;
+    //         doc 1 = "a b c"  → (a,b), (b,c).
+    // Counts: c2(a,b)=3, c2(b,a)=1, c2(b,c)=1; c1(a)=3, c1(b)=2.
+    // cond: (a,b)=1.0, (b,a)=0.5, (b,c)=0.5.
+    val out = Corpus.bigramLmScore(docs((0L, "a b a b"), (1L, "a b c")))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out(0) === ((0L, 3L, 0.833333, 0.5))) // (2·1.0 + 0.5)/3 truncated
+    assert(out(1) === ((1L, 2L, 0.75, 0.5)))
+    // A doc with one token has no bigrams and is omitted.
+    assert(Corpus.bigramLmScore(docs((0L, "solo"))).isEmpty)
+  }
+
   // ---------------------------------------------------------- qualityFilter
 
   test("qualityFilter keeps a clean doc, names the failed rules otherwise") {
