@@ -359,6 +359,11 @@ object ExtQueries {
       castLongs(Corpus.bigramLmScore(Tables.documents(s, dir)), "n_bigrams")
         .orderBy("doc_id")),
 
+    // Corpus — top-20 collocations by lift (rational PMI ranking).
+    "collocations" -> ((s, dir) =>
+      castLongs(Corpus.collocations(Tables.documents(s, dir)), "n_pair")
+        .orderBy("rank")),
+
     // Corpus — deterministic per-source stratified sampling
     // (src0 up-weighted to 50%, src1 dropped, 20% elsewhere).
     "stratified_sample" -> ((s, dir) =>
@@ -790,6 +795,28 @@ object ExtQueries {
          |    AS avg_cond,
          |  min(cond6) AS min_cond
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "collocations" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |uni AS (SELECT unnest(toks) AS w FROM tok),
+         |u AS (SELECT w, count(*) AS u FROM uni GROUP BY 1),
+         |nt AS (SELECT count(*) AS nt FROM uni),
+         |bi AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+         |       FROM tok, unnest(range(1, len(toks))) AS x(i)
+         |       WHERE len(toks) > 1),
+         |c2 AS (SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY 1, 2
+         |       HAVING count(*) >= 5),
+         |nb AS (SELECT count(*) AS nb FROM bi),
+         |s AS (SELECT w1, w2, n_pair,
+         |        floor(n_pair::DOUBLE * nt / ua.u * nt / ub.u / nb * 1000000) / 1000000
+         |          AS lift
+         |      FROM c2
+         |      JOIN u ua ON ua.w = c2.w1
+         |      JOIN u ub ON ub.w = c2.w2, nt, nb),
+         |r AS (SELECT *, row_number() OVER (ORDER BY lift DESC, w1, w2) AS rank
+         |      FROM s)
+         |SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair, lift, rank
+         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     "stratified_sample" -> {
       val bucket = s"${hash60Sql("source || ':' || doc_id::VARCHAR")} % 100"

@@ -250,6 +250,54 @@ object Corpus {
         col("min_cond"))
   }
 
+  /** Corpus collocation extraction: the top-`k` bigrams by LIFT —
+    * `lift(w₁, w₂) = P(w₁ w₂) / (P(w₁)·P(w₂))` with probabilities as
+    * instance frequencies — the "fixed phrases" of a corpus (named
+    * entities, idioms, templated boilerplate), the standard PMI
+    * collocation ranking: PMI = log lift and log is monotone, so
+    * ranking by the RATIONAL lift avoids cross-engine transcendental
+    * drift entirely (the [[tfIdf]] linear-IDF precedent). Pairs seen
+    * fewer than `minCount` times are gated out — a hapax pair's lift
+    * is degenerate (maximal by construction). Output: w1, w2, n_pair,
+    * lift (truncated 6dp), rank.
+    *
+    * One tokenize pass feeds everything: the posexplode+lead rows yield
+    * unigram counts, bigram counts and both totals. The final ranking
+    * runs on the `minCount`-gated pair table via TakeOrdered (top-k per
+    * partition, never a global sort), and the rank window sees only the
+    * k survivors. Count joins are plain equi-joins AQE sizes at
+    * runtime; nothing is pinned broadcast.
+    */
+  def collocations(docs: DataFrame, k: Int = 20, minCount: Long = 5): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val rows = docs
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w")))
+      .withColumn("nxt", lead("w", 1).over(byDoc))
+      .localCheckpoint()
+    val u = rows.groupBy("w").agg(count(lit(1)).as("u"))
+    val nt = rows.agg(count(lit(1)).as("nt"))
+    val bi = rows.where(col("nxt").isNotNull)
+    val c2 = bi.groupBy(col("w").as("w1"), col("nxt").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minCount)
+    val nb = bi.agg(count(lit(1)).as("nb"))
+    // Left-associated multiply/divide chain, mirrored textually in the
+    // oracle so the IEEE rounding sequence is identical.
+    val lift = TextOps.trunc6(col("n_pair").cast("double") *
+      col("nt") / col("u1") * col("nt") / col("u2") / col("nb"))
+    val top = c2
+      .join(u.select(col("w").as("w1"), col("u").as("u1")), "w1")
+      .join(u.select(col("w").as("w2"), col("u").as("u2")), "w2")
+      .crossJoin(nt).crossJoin(nb)
+      .withColumn("lift", lift)
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
+    top
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("lift").desc, col("w1"), col("w2"))).cast("long"))
+      .select("w1", "w2", "n_pair", "lift", "rank")
+  }
+
   /** Deterministic stratified sampling by `source`: per-document hash
     * bucket (salted with the stratum so buckets are independent across
     * strata), kept when bucket < the stratum's percentage — `overrides`

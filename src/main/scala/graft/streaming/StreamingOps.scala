@@ -307,6 +307,25 @@ object StreamingOps {
         sink(graft.ext.Similarity.quantizeEmbeddings(batch), batchId)
       }
 
+  /** Streaming K5 — the discrepancy alert gate run CONTINUOUSLY: per
+    * arriving micro-batch of reconciliation rows, build the alert with
+    * the batch operator ([[graft.etl.Alerts.build]] — in-plan count +
+    * examples + reference-format body) and publish through the injected
+    * [[graft.etl.Alerts.AlertSink]] iff discrepancies exist, exactly
+    * the batch job's conditional. `foreachBatch` because the publish is
+    * a SIDE EFFECT — it stays outside the streaming plan, so retries of
+    * the plan can never double-publish beyond the sink's own
+    * idempotency, the same contract as the batch [[graft.etl.Alerts]].
+    */
+  def alertStream(recon: DataFrame, sink: graft.etl.Alerts.AlertSink,
+      k: Int = 5, subject: String = "Inventory discrepancies found"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    recon.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.etl.Alerts.notify(graft.etl.Alerts.build(batch, k), sink, subject)
+        ()
+      }
+
   /** Per-user state transition; also invoked on event-time timeout with
     * an empty iterator.
     */

@@ -27,6 +27,27 @@ class CorpusFilterSpec extends SparkSpec {
     assert(Corpus.bigramLmScore(docs((0L, "solo"))).isEmpty)
   }
 
+  // ---------------------------------------------------------- collocations
+
+  test("collocations ranks pairs by exact rational lift, gating rare pairs") {
+    // doc 0 "x y x y x y": uni x:3 y:3, bigrams (x,y)×3 (y,x)×2;
+    // doc 1 "a b a b":     uni a:2 b:2, bigrams (a,b)×2 (b,a)×1.
+    // nt = 10 tokens, nb = 8 bigrams. minCount 2 gates (b,a).
+    // lift = ((((n_pair·nt)/u1)·nt)/u2)/nb, truncated 6dp:
+    //   (a,b): ((2·10/2)·10/2)/8 = 6.25
+    //   (x,y): ((3·10/3)·10/3)/8 = 4.166666…
+    //   (y,x): ((2·10/3)·10/3)/8 = 2.777777…
+    val out = Corpus.collocations(
+      docs((0L, "x y x y x y"), (1L, "a b a b")), k = 5, minCount = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(out.toSeq === Seq(
+      ("a", "b", 2L, 6.25, 1L),
+      ("x", "y", 3L, 4.166666, 2L),
+      ("y", "x", 2L, 2.777777, 3L)))
+  }
+
   // ---------------------------------------------------------- qualityFilter
 
   test("qualityFilter keeps a clean doc, names the failed rules otherwise") {

@@ -16,6 +16,11 @@ case class Doc(doc_id: Long, text: String, lang: String)
 /** Embedding row for the streaming LSH-ingest spec. */
 case class Emb(vec_id: Long, embedding: Array[Float], label: Int)
 
+/** Reconciliation row for the streaming alert spec. */
+case class ReconRow(date_key: java.sql.Date, sku: String, product_name: String,
+    opening_stock: Long, quantity_sold: Long, expected_closing_stock: Long,
+    actual_closing_stock: Long, discrepancy_amount: Long)
+
 /** Streaming operators driven end-to-end through MemoryStream →
   * streaming query → memory sink.
   */
@@ -260,6 +265,32 @@ class StreamingOpsSpec extends SparkSpec {
       // exactly the one-pass store, row for row.
       assert(gotRows.toSet === batchStore)
       assert(gotRows.size === all.size)
+    } finally q.stop()
+  }
+
+  test("streaming alert gate publishes iff a batch carries discrepancies") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = java.sql.Date.valueOf("2024-01-02")
+    def row(sku: String, disc: Long) =
+      ReconRow(d, sku, s"name-$sku", 10L, 5L, 5L, 5L + disc, disc)
+    val seen = scala.collection.mutable.ListBuffer.empty[(String, graft.etl.Alerts.AlertReport)]
+    val sink = new graft.etl.Alerts.AlertSink {
+      override def publish(subject: String, report: graft.etl.Alerts.AlertReport): Unit =
+        seen += ((subject, report))
+    }
+    val mem = MemoryStream[ReconRow]
+    val q = StreamingOps.alertStream(mem.toDF(), sink).start()
+    try {
+      mem.addData(row("A1", 0L), row("B2", 0L)) // clean batch → silence
+      q.processAllAvailable()
+      assert(seen.isEmpty)
+      mem.addData(row("C3", 0L), row("D4", -7L)) // one mismatch → publish
+      q.processAllAvailable()
+      assert(seen.size === 1)
+      val (_, report) = seen.head
+      assert(report.count === 1L)
+      assert(report.examples === Seq("- SKU: D4, Product: name-D4, Discrepancy: -7"))
+      assert(report.message.contains("Total items with discrepancies: 1"))
     } finally q.stop()
   }
 
