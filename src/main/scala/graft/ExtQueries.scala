@@ -364,6 +364,13 @@ object ExtQueries {
       castLongs(Corpus.collocations(Tables.documents(s, dir)), "n_pair")
         .orderBy("rank")),
 
+    // Corpus — token-mixture rebalancing: 4 sources down-sampled to a
+    // 40/30/20/10 token recipe, the rest dropped.
+    "corpus_mix" -> ((s, dir) =>
+      Corpus.mixCorpus(Tables.documents(s, dir),
+        Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1))
+        .orderBy("doc_id")),
+
     // Corpus — deterministic per-source stratified sampling
     // (src0 up-weighted to 50%, src1 dropped, 20% elsewhere).
     "stratified_sample" -> ((s, dir) =>
@@ -817,6 +824,23 @@ object ExtQueries {
          |      FROM s)
          |SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair, lift, rank
          |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "corpus_mix" ->
+      s"""WITH wt(source, wt) AS (VALUES
+         |    ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1)),
+         |base AS (SELECT doc_id, source,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         |tot AS (SELECT source, wt, CAST(sum(n_tokens) AS BIGINT) AS tok
+         |        FROM base JOIN wt USING (source) GROUP BY 1, 2),
+         |k AS (SELECT min(tok::DOUBLE / wt) AS kfac FROM tot),
+         |rates AS (SELECT source, least(1.0, wt * kfac / tok::DOUBLE) AS rate
+         |          FROM tot, k)
+         |SELECT doc_id, source, n_tokens,
+         |  ${hash60Sql("source || ':' || doc_id::VARCHAR")} % 1000000 AS bucket,
+         |  ${hash60Sql("source || ':' || doc_id::VARCHAR")} % 1000000
+         |    < floor(rate * 1000000) AS keep
+         |FROM base JOIN rates USING (source)
+         |ORDER BY doc_id""".stripMargin,
 
     "stratified_sample" -> {
       val bucket = s"${hash60Sql("source || ':' || doc_id::VARCHAR")} % 100"

@@ -298,6 +298,54 @@ object Corpus {
       .select("w1", "w2", "n_pair", "lift", "rank")
   }
 
+  /** Pre-training data MIXING: down-sample each source to hit a target
+    * TOKEN mixture — the "data recipe" step that turns raw per-source
+    * availability into the proportions a training run actually wants.
+    * Given target weights w_s, the op computes the LARGEST corpus
+    * consistent with the mixture without repeating data: scale
+    * K = min_s(tokens_s / w_s) (the binding source keeps everything),
+    * per-source keep rate = w_s·K / tokens_s, and a deterministic
+    * per-document hash gate at 10⁻⁶ resolution (the [[stratifiedSample]]
+    * recipe, finer-grained) applies it. Sources absent from `weights`
+    * are dropped (weight 0). Upsampling beyond availability is epoch
+    * repetition — the trainer's job, not the corpus op's. Output:
+    * doc_id, source, n_tokens, bucket, keep.
+    *
+    * Determinism: rates are two IEEE divisions and a multiply of exact
+    * long counts, mirrored textually in the oracle; the gate compares
+    * an integer hash bucket to floor(rate·10⁶), so the kept SET is a
+    * pure function of the corpus and the weights — reproducible,
+    * stable under re-runs, joinable back to any per-doc table. The
+    * binding source's rate may floor to 999999/10⁶ (one-in-a-million
+    * shave) — both engines compute the identical gate.
+    *
+    * Scale: one token-count scan, a |sources|-row aggregate + broadcast
+    * back, zero shuffles of the corpus itself.
+    */
+  def mixCorpus(docs: DataFrame, weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive; omit a source to drop it")
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val wDf = weights.toSeq.toDF("source", "wt")
+    val base = docs.select(col("doc_id"), col("source"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val tot = base.join(broadcast(wDf), "source")
+      .groupBy("source", "wt").agg(sum("n_tokens").as("tok"))
+    val kfac = tot.agg(min(col("tok").cast("double") / col("wt")).as("kfac"))
+    val rates = tot.crossJoin(kfac)
+      .select(col("source"),
+        least(lit(1.0), col("wt") * col("kfac") / col("tok").cast("double"))
+          .as("rate"))
+    base.join(broadcast(rates), "source")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (Dedup.hash60(concat(col("source"), lit(":"), col("doc_id").cast("string")))
+          % 1000000L).as("bucket"),
+        col("rate"))
+      .withColumn("keep", col("bucket") < floor(col("rate") * 1000000L))
+      .select("doc_id", "source", "n_tokens", "bucket", "keep")
+  }
+
   /** Deterministic stratified sampling by `source`: per-document hash
     * bucket (salted with the stratum so buckets are independent across
     * strata), kept when bucket < the stratum's percentage — `overrides`

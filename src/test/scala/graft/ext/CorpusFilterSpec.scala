@@ -27,6 +27,33 @@ class CorpusFilterSpec extends SparkSpec {
     assert(Corpus.bigramLmScore(docs((0L, "solo"))).isEmpty)
   }
 
+  // ---------------------------------------------------------- mixCorpus
+
+  test("mixCorpus: binding source keeps everything, others down-sample to the token recipe") {
+    // srcA: 2×10 = 20 tokens at weight 0.5; srcB: 1×40 = 40 tokens at
+    // weight 0.5 → K = min(20/0.5, 40/0.5) = 40: srcA is binding
+    // (rate exactly 1.0 — powers of two, no fp shave), srcB rate 0.5.
+    // srcC carries no weight and must vanish.
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    val forty = (1 to 40).map(i => s"f$i").mkString(" ")
+    val df = Seq(
+      (0L, ten, "en", "srcA"), (1L, ten, "en", "srcA"),
+      (2L, forty, "en", "srcB"),
+      (3L, ten, "en", "srcC"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Corpus.mixCorpus(df, Map("srcA" -> 0.5, "srcB" -> 0.5))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(out.map(_._1).toSeq === Seq(0L, 1L, 2L), "unweighted srcC must be dropped")
+    out.filter(_._2 == "srcA").foreach { case (id, _, n, bucket, keep) =>
+      assert(n === 10L && keep, s"binding-source doc $id (bucket $bucket) must be kept")
+    }
+    val (_, _, nB, bucketB, keepB) = out.find(_._2 == "srcB").get
+    assert(nB === 40L)
+    assert(keepB === (bucketB < 500000L), "srcB gate must be exactly rate 0.5")
+  }
+
   // ---------------------------------------------------------- collocations
 
   test("collocations ranks pairs by exact rational lift, gating rare pairs") {
