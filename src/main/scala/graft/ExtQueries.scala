@@ -531,6 +531,20 @@ object ExtQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // X3 — embedding-space decontamination: corpus vectors (vec_id % 20
+    // != 0) too cosine-similar to the benchmark slice (% 20 == 0) —
+    // the shingle-decontaminate convention on the embedding table.
+    // Threshold 0.35 exercises the op on the synthetic vectors (real
+    // embedding spaces run ~0.9).
+    "embedding_decontaminate" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      castLongs(Similarity.decontaminateEmbeddings(
+        emb.where(pmod(col("vec_id"), lit(20)) =!= 0),
+        emb.where(pmod(col("vec_id"), lit(20)) === 0),
+        threshold = 0.35), "n_hits")
+        .orderBy("vec_id")
+    }),
+
     // X3 — embedding-cosine near-dup pairs, cell-blocked candidates.
     "embedding_near_dup" -> ((s, dir) =>
       Similarity.nearDupCosine(Tables.embeddings(s, dir)).orderBy("vec_a", "vec_b")),
@@ -1205,6 +1219,20 @@ object ExtQueries {
          |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
          |SELECT probe_id, rank, neighbor_id, cosine FROM r
          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "embedding_decontaminate" ->
+      s"""WITH hits AS (
+         |  SELECT a.vec_id, b.vec_id AS bench_id, $cosSql AS cos
+         |  FROM (SELECT * FROM embeddings WHERE vec_id % 20 != 0) a,
+         |       (SELECT * FROM embeddings WHERE vec_id % 20 = 0) b
+         |  WHERE cos >= 0.35),
+         |r AS (SELECT vec_id, bench_id, cos,
+         |        count(*) OVER (PARTITION BY vec_id) AS n_hits,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cos DESC, bench_id) AS rn
+         |      FROM hits)
+         |SELECT vec_id, n_hits, cos AS max_cos, bench_id AS nearest_bench
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "embedding_near_dup" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cosSql AS cosine

@@ -513,6 +513,40 @@ object Similarity {
       k)
   }
 
+  /** Embedding-space DECONTAMINATION — the X3 twin of
+    * [[Corpus.decontaminate]]'s shingle overlap: flag corpus vectors
+    * whose cosine to ANY benchmark vector reaches `threshold`, catching
+    * paraphrased or reformatted eval leakage that exact n-gram overlap
+    * misses. Output (contaminated vectors only): vec_id, n_hits,
+    * max_cos, nearest_bench (argmax benchmark id, smaller id on ties).
+    *
+    * Scale: the benchmark side is BOUNDED by contract (eval sets are
+    * thousands of rows, the same bound [[Corpus.decontaminate]] leans
+    * on), so it broadcasts and the corpus contributes ONE map-side
+    * scan — no shuffle, no blocking, and therefore no recall loss from
+    * a blocking scheme: for decontamination a false negative is the
+    * expensive error, so exhaustive-vs-benchmark is the right plan
+    * shape, O(N·B) with B fixed. Per-vector verdicts aggregate through
+    * a bounded window keyed on vec_id (≤ B rows per key).
+    */
+  def decontaminateEmbeddings(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double = 0.9): DataFrame = {
+    val hits = corpus.as("a")
+      .crossJoin(broadcast(benchmark.select(col("vec_id").as("bench_id"),
+        col("embedding").as("b_emb"))))
+      .select(col("a.vec_id").as("vec_id"), col("bench_id"),
+        TextOps.trunc6(CosineSimilarity(col("a.embedding"), col("b_emb"))).as("cos"))
+      .where(col("cos") >= threshold)
+    val w = Window.partitionBy("vec_id")
+    hits
+      .withColumn("n_hits", count(lit(1)).over(w))
+      .withColumn("rn",
+        row_number().over(w.orderBy(col("cos").desc, col("bench_id"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("n_hits"), col("cos").as("max_cos"),
+        col("bench_id").as("nearest_bench"))
+  }
+
   /** Embedding-cosine near-dup pairs: all pairs with cosine ≥ threshold,
     * candidates blocked on the cell id. Output: vec_a, vec_b, cosine.
     *

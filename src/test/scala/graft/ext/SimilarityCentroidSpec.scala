@@ -223,6 +223,29 @@ class SimilarityCentroidSpec extends SparkSpec {
     assert(r2 >= r1, s"recall must be monotone in nprobe: r1=$r1 r2=$r2")
   }
 
+  test("decontaminateEmbeddings flags corpus vectors near any benchmark vector") {
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val corpus = Seq(
+      (1L, v(1, 0, 0, 0), 0),   // identical direction to bench 100 AND 102 → tie
+      (2L, v(0, 1, 0, 0), 0),   // orthogonal to every bench vector → clean
+      (3L, v(0.6, 0, 0.8, 0), 0)) // cos 0.6 to bench 100/102 only
+      .toDF("vec_id", "embedding", "label")
+    val bench = Seq(
+      (100L, v(1, 0, 0, 0), 0),
+      (101L, v(0, 0, 0, 1), 0),
+      (102L, v(2, 0, 0, 0), 0)) // same direction as 100, different norm
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.decontaminateEmbeddings(corpus, bench, threshold = 0.5)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // vec 1 hits both same-direction bench vectors (cos 1.0 each); the
+    // tie breaks to the smaller bench id. vec 2 is clean. vec 3 clears
+    // the threshold on the two axis vectors at cos 0.6.
+    assert(out.toSeq === Seq(
+      (1L, 2L, 1.0, 100L),
+      (3L, 2L, 0.6, 100L)))
+  }
+
   test("kmeansCells is invariant to input partitioning (inherits exact decimal sums)") {
     val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def cells(df: org.apache.spark.sql.DataFrame) =
