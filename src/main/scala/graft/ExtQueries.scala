@@ -78,11 +78,15 @@ object ExtQueries {
 
   /** DuckDB mirror of Similarity's random-hyperplane LSH bucket: the same
     * integer-derived ±1 signs, the same per-plane sequential double sum.
+    * `table` selects the independent hyperplane family (plane index
+    * offset by table·LshBits), mirroring the Scala side's multi-table
+    * form.
     */
-  private def rpBucketSql(c: String): String =
+  private def rpBucketSql(c: String, table: Int = 0): String =
     (0 until Similarity.LshBits).map { i =>
+      val p = table * Similarity.LshBits + i
       s"""CASE WHEN list_sum(list_transform(range(1, 65),
-         |  j -> $c[j]::DOUBLE * (CASE WHEN ((($i * 2654435761) + (j * 40503)) & 16) <> 0
+         |  j -> $c[j]::DOUBLE * (CASE WHEN ((($p * 2654435761) + (j * 40503)) & 16) <> 0
          |    THEN 1.0 ELSE -1.0 END))) > 0 THEN ${1 << i} ELSE 0 END""".stripMargin
     }.mkString("(", " + ", ")")
 
@@ -543,6 +547,16 @@ object ExtQueries {
         emb.where(pmod(col("vec_id"), lit(20)) === 0),
         threshold = 0.35), "n_hits")
         .orderBy("vec_id")
+    }),
+
+    // X3 — multi-table LSH top-k: candidates share a bucket in either
+    // of 2 independent hyperplane families (the LSH recall knob),
+    // probing the multi-table signature store.
+    "ann_topk_lsh_multi" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val sigs = store(s, dir, "lsh_sigs_multi")(Similarity.lshSignaturesMulti(emb))
+      castLongs(Similarity.topKLshMulti(emb, signatures = Some(sigs)), "rank")
+        .orderBy("probe_id", "rank")
     }),
 
     // X3 — embedding-cosine near-dup pairs, cell-blocked candidates.
@@ -1203,6 +1217,21 @@ object ExtQueries {
          |pairs AS (
          |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
          |  FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id != b.vec_id
+         |  WHERE a.vec_id % 50 = 0 AND a.vec_id < ${50L * Similarity.MaxProbes}),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
+         |SELECT probe_id, rank, neighbor_id, cosine FROM r
+         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "ann_topk_lsh_multi" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    ${rpBucketSql("embedding", 0)} AS b0,
+         |    ${rpBucketSql("embedding", 1)} AS b1
+         |    FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
+         |  FROM e a JOIN e b
+         |    ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.vec_id != b.vec_id
          |  WHERE a.vec_id % 50 = 0 AND a.vec_id < ${50L * Similarity.MaxProbes}),
          |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
          |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)

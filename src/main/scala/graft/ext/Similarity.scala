@@ -99,12 +99,15 @@ object Similarity {
     * for signature computation at INGEST, which is where this belongs:
     * [[lshSignatures]] computes it once per vector into the persisted
     * store, exactly like the IVF cell id, and [[topKLsh]] probes the
-    * store instead of recomputing per query).
+    * store instead of recomputing per query). `table` selects an
+    * independent hyperplane family (planes table·[[LshBits]] …) — the
+    * multi-table recall knob of [[topKLshMulti]]; table 0 is the
+    * single-table family.
     */
   private def rpBucket(vec: org.apache.spark.sql.Column,
-      dim: Int): org.apache.spark.sql.Column =
+      dim: Int, table: Int = 0): org.apache.spark.sql.Column =
     (0 until LshBits).map { i =>
-      val signs = array((1 to dim).map(j => lit(lshSign(i, j))): _*)
+      val signs = array((1 to dim).map(j => lit(lshSign(table * LshBits + i, j))): _*)
       when(aggregate(zip_with(vec, signs, (x, s) => x * s),
         lit(0.0d), (acc, x) => acc + x) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
@@ -120,6 +123,53 @@ object Similarity {
   def lshSignatures(embeddings: DataFrame, dim: Int = EmbDim): DataFrame =
     embeddings.select(col("vec_id"),
       rpBucket(col("embedding"), dim).as("bkt"))
+
+  /** The MULTI-TABLE form of the LSH signature store: `tables`
+    * independent hyperplane families, one `(vec_id, tbl, bkt)` row per
+    * (vector, table). Table 0's buckets are exactly [[lshSignatures]]'.
+    * Still a pure per-vector function (batch-by-batch ≡ one-pass), so
+    * the ingest/streaming maintenance story is unchanged; at rest the
+    * layout partitions by (tbl, bkt).
+    */
+  def lshSignaturesMulti(embeddings: DataFrame, tables: Int = 2,
+      dim: Int = EmbDim): DataFrame =
+    embeddings.select(col("vec_id"),
+      posexplode(array((0 until tables).map(t =>
+        rpBucket(col("embedding"), dim, t)): _*)).as(Seq("tbl", "bkt")))
+
+  /** X3 — MULTI-TABLE LSH top-k: candidates share a bucket in ANY of
+    * `tables` independent hyperplane families — the standard LSH recall
+    * knob (the [[topKIvfMultiProbe]] of the data-independent path). A
+    * single table misses a true neighbor whenever one of the 6
+    * hyperplanes separates the pair; with L tables the miss probability
+    * is pₘᵢₛₛᴸ, at a cost multiplier ≤ L on candidates. Pairs colliding
+    * in several tables are deduped BEFORE the cosine, so verification
+    * pays each candidate once. The candidate list is bounded by the
+    * [[MaxProbes]] contract (probe-side), so its broadcast cannot grow
+    * with the corpus. `signatures` probes a persisted
+    * [[lshSignaturesMulti]] store; `tables = 1` reproduces [[topKLsh]]
+    * exactly (spec-asserted).
+    */
+  def topKLshMulti(embeddings: DataFrame, probeEvery: Int = 50, k: Int = 5,
+      tables: Int = 2, signatures: Option[DataFrame] = None): DataFrame = {
+    val sigs = signatures.getOrElse(lshSignaturesMulti(embeddings, tables))
+    val pr = probes(embeddings, probeEvery)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val cand = broadcast(pr.select("probe_id")
+        .join(sigs.select(col("vec_id").as("probe_id"), col("tbl"), col("bkt")),
+          "probe_id"))
+      .join(sigs, Seq("tbl", "bkt"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    topK(
+      broadcast(cand.join(pr, "probe_id"))
+        .join(embeddings.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("n_emb")), "neighbor_id")
+        .select(col("probe_id"), col("neighbor_id"),
+          TextOps.trunc6(CosineSimilarity(col("p_emb"), col("n_emb"))).as("cosine")),
+      k)
+  }
 
   /** X3 — LSH-bucketed top-k (the second scale path, complementing IVF):
     * candidates are vectors in the probe's random-hyperplane bucket, so a

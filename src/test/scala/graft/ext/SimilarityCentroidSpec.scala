@@ -223,6 +223,29 @@ class SimilarityCentroidSpec extends SparkSpec {
     assert(r2 >= r1, s"recall must be monotone in nprobe: r1=$r1 r2=$r2")
   }
 
+  test("multi-table LSH: tables = 1 ≡ single-table topKLsh; recall monotone in tables") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // Table 0's family IS the single-table family: identical output.
+    assert(res(Similarity.topKLshMulti(d, tables = 1)) ===
+      res(Similarity.topKLsh(d)))
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = hits(Similarity.topKBruteForce(d, probeEvery = 10, k = 5))
+    def recall(got: Set[(Long, Long)]): Double =
+      brute.count(got.contains).toDouble / brute.size
+    val r1 = recall(hits(Similarity.topKLshMulti(d, probeEvery = 10, k = 5, tables = 1)))
+    val r2 = recall(hits(Similarity.topKLshMulti(d, probeEvery = 10, k = 5, tables = 2)))
+    assert(r2 >= r1, s"recall must be monotone in tables: r1=$r1 r2=$r2")
+    // And the parquet-persisted multi-table store probes identically.
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshmulti").toString
+    Similarity.lshSignaturesMulti(d).write.partitionBy("tbl", "bkt").parquet(s"$dir/s")
+    assert(res(Similarity.topKLshMulti(d,
+      signatures = Some(spark.read.parquet(s"$dir/s")))) ===
+      res(Similarity.topKLshMulti(d)))
+  }
+
   test("decontaminateEmbeddings flags corpus vectors near any benchmark vector") {
     def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
     val corpus = Seq(
