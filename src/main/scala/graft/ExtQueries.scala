@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsOfJoin, Corpus, Dedup, Events, Multimodal, SaltedJoin, Similarity, TextOps}
+import graft.ext.{AsOfJoin, Corpus, Dedup, Events, Multimodal, Privacy, SaltedJoin, Similarity, TextOps}
 
 /** Extension-surface queries (SURVEY.md §2.11 X1–X6 + the LLM-data-
   * pipeline north star): dedup, text analysis, similarity search, JSON /
@@ -592,6 +592,16 @@ object ExtQueries {
     "kmeans_assign" -> ((s, dir) =>
       Similarity.kmeansAssign(Tables.embeddings(s, dir)).orderBy("vec_id")),
 
+    // Privacy — per-class PII counts over the planted corpus.
+    "pii_stats" -> ((s, dir) =>
+      castLongs(Privacy.piiStats(plantPii(Tables.documents(s, dir))),
+        "n_email", "n_phone", "n_ssn", "n_ipv4", "n_pii").orderBy("doc_id")),
+
+    // Privacy — sentinel-token redaction, all classes in one projection.
+    "pii_redact" -> ((s, dir) =>
+      castLongs(Privacy.redactPii(plantPii(Tables.documents(s, dir))),
+        "n_redacted").orderBy("doc_id")),
+
     // Multimodal — binary payload + stubbed decode, expression variant.
     "multimodal_features" -> ((s, dir) =>
       castLongs(Multimodal.featurizeExpr(Tables.documents(s, dir)), "n_bytes")
@@ -609,6 +619,49 @@ object ExtQueries {
     */
   private def castLongs(df: DataFrame, cols: String*): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("long")))
+
+  /** Deterministic PII planting for the privacy queries: the synthetic
+    * documents are lowercase word soup with NO pii, so the declared
+    * queries append one instance per class on a doc_id residue — in-plan,
+    * mirrored verbatim by [[plantPiiSql]] — giving the scrub a
+    * non-trivial hash-checkable workload on driver data (doc_id 0 carries
+    * all four classes at once).
+    */
+  private def plantPii(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      when(col("doc_id") % 5 === 0, concat(lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail.example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, concat(lit(" call 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-0199")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, concat(lit(" ssn 123-45-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 13 === 0, concat(lit(" host 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".25")))
+        .otherwise(lit(""))))
+
+  /** DuckDB mirror of [[plantPii]]. Embedded in oracle strings that call
+    * `.stripMargin` AGAIN, so no rendered line may start with `|` — keep
+    * every `||` at end-of-line.
+    */
+  private val plantPiiSql =
+    """text ||
+      |  CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id::VARCHAR ||
+      |    '@mail.example.com' ELSE '' END ||
+      |  CASE WHEN doc_id % 7 = 0 THEN ' call 555-' ||
+      |    lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-0199' ELSE '' END ||
+      |  CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-' ||
+      |    lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END ||
+      |  CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.' ||
+      |    (doc_id % 256)::VARCHAR || '.25' ELSE '' END""".stripMargin
+
+  /** The [[Privacy.Patterns]] regex for a class — interpolated into the
+    * oracle SQL so both engines compile the identical pattern.
+    */
+  private def piiRe(name: String): String =
+    Privacy.Patterns.find(_._1 == name).get._2
 
   // oracles ----------------------------------------------------------------
 
@@ -1305,6 +1358,33 @@ object ExtQueries {
          |  CAST(octet_length(encode(text)) // (1 + ascii(substr(md5(text), 3, 1)) % 8) AS INTEGER)
          |    AS frame_stride
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pii_stats" ->
+      s"""WITH p AS (SELECT doc_id, $plantPiiSql AS text FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '${piiRe("email")}')) AS n_email,
+         |  len(regexp_extract_all(text, '${piiRe("phone")}')) AS n_phone,
+         |  len(regexp_extract_all(text, '${piiRe("ssn")}')) AS n_ssn,
+         |  len(regexp_extract_all(text, '${piiRe("ipv4")}')) AS n_ipv4,
+         |  len(regexp_extract_all(text, '${piiRe("email")}'))
+         |    + len(regexp_extract_all(text, '${piiRe("phone")}'))
+         |    + len(regexp_extract_all(text, '${piiRe("ssn")}'))
+         |    + len(regexp_extract_all(text, '${piiRe("ipv4")}')) AS n_pii
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "pii_redact" ->
+      s"""WITH p AS (SELECT doc_id, $plantPiiSql AS text FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${piiRe("email")}', '<EMAIL>', 'g'),
+         |    '${piiRe("phone")}', '<PHONE>', 'g'),
+         |    '${piiRe("ssn")}', '<SSN>', 'g'),
+         |    '${piiRe("ipv4")}', '<IP>', 'g') AS redacted,
+         |  len(regexp_extract_all(text, '${piiRe("email")}'))
+         |    + len(regexp_extract_all(text, '${piiRe("phone")}'))
+         |    + len(regexp_extract_all(text, '${piiRe("ssn")}'))
+         |    + len(regexp_extract_all(text, '${piiRe("ipv4")}')) AS n_redacted
+         |FROM p ORDER BY doc_id""".stripMargin,
 
     "frame_sample" ->
       s"""WITH f AS (SELECT doc_id,
