@@ -616,6 +616,59 @@ object Corpus {
           org.apache.spark.sql.types.LongType, nullable = true)))
       .json(path)
 
+  /** RefinedWeb-style line-level dedup — remove LINES (not documents)
+    * that repeat across more than `maxDocs` distinct documents: nav
+    * bars, cookie banners, license footers — boilerplate that exact and
+    * near-dup DOC dedup both miss because the host document differs.
+    * The corpus's text carries no newlines, so a "line" is a
+    * non-overlapping window of `lineTokens` normalized tokens (the
+    * [[docChunks]] windowing with stride = size); a pipeline over real
+    * crawl text would split on '\n' first and feed the same
+    * frequency/filter/reassemble core. Output: doc_id, clean_text (kept
+    * lines rejoined in order, '' when everything was boilerplate),
+    * n_lines, n_removed.
+    *
+    * Scale: line construction is a pure map + Generate (zero shuffle);
+    * the doc-frequency table is one hash aggregate on the line string
+    * whose key space is the DISTINCT line set (boilerplate compresses:
+    * the more a line repeats, the fewer rows per instance it costs);
+    * the flag join is line-keyed and unhinted — AQE broadcasts the
+    * frequency table while it is small, SMJ at scale; reassembly is one
+    * per-doc aggregate sorting each doc's own lines in memory (bounded
+    * by doc length). Nothing corpus-quadratic anywhere.
+    */
+  val LineTokens = 2
+  val LineMaxDocs = 20
+
+  def lineDedup(docs: DataFrame, lineTokens: Int = LineTokens,
+      maxDocs: Int = LineMaxDocs): DataFrame = {
+    val k = lineTokens
+    val lines = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("n_lines",
+        greatest(expr(s"(size(toks) + $k - 1) div $k"), lit(1L)))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0L), col("n_lines") - 1L))
+          .as(Seq("ord", "line_no")))
+      .select(col("doc_id"), col("line_no"),
+        concat_ws(" ",
+          slice(col("toks"), (col("line_no") * k + 1).cast("int"), lit(k)))
+          .as("line"))
+    val lineDf = lines.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+    lines
+      .join(lineDf, "line")
+      .withColumn("kept", col("line_df") <= maxDocs)
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("line_no"), col("line"))))),
+          s => s.getField("line"))).as("clean_text"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"))
+  }
+
   def corpusProfile(docs: DataFrame): DataFrame = {
     val base = docs.select(
       col("doc_id"), col("lang"),

@@ -175,4 +175,42 @@ class CorpusSpec extends SparkSpec {
       assert(members.forall(_._3 === members.length.toLong)) // group_size
     }
   }
+
+  // -------------------------------------------------------------- lineDedup
+
+  test("lineDedup removes lines shared by more than maxDocs docs, keeps order") {
+    // "nav bar" is a complete 2-token line in docs 1-3 (boilerplate at
+    // maxDocs=2); each doc keeps its own distinct content lines in order.
+    val d = docs(
+      (1L, "nav bar alpha beta gamma delta", "en"),
+      (2L, "nav bar epsilon zeta", "en"),
+      (3L, "nav bar eta theta", "en"))
+    val out = Corpus.lineDedup(d, lineTokens = 2, maxDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, "alpha beta gamma delta", 3L, 1L),
+      (2L, "epsilon zeta", 2L, 1L),
+      (3L, "eta theta", 2L, 1L)))
+  }
+
+  test("lineDedup: fully-boilerplate doc survives with empty clean_text") {
+    val d = docs(
+      (1L, "cookie banner", "en"),
+      (2L, "cookie banner", "en"),
+      (3L, "cookie banner real content", "en"))
+    val out = Corpus.lineDedup(d, lineTokens = 2, maxDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, "", 1L), (2L, "", 1L), (3L, "real content", 1L)))
+  }
+
+  test("lineDedup: ragged tail line is its own (shorter) line") {
+    // 5 tokens -> lines "a b", "c d", "e"; nothing repeated, all kept.
+    val out = Corpus.lineDedup(docs((1L, "a b c d e", "en")),
+      lineTokens = 2, maxDocs = 1).collect().head
+    assert(out.getString(1) === "a b c d e")
+    assert(out.getLong(2) === 3L && out.getLong(3) === 0L)
+  }
 }
