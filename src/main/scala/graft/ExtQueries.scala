@@ -592,6 +592,19 @@ object ExtQueries {
     "kmeans_assign" -> ((s, dir) =>
       Similarity.kmeansAssign(Tables.embeddings(s, dir)).orderBy("vec_id")),
 
+    // X4 — SemDeDup: cluster-scoped semantic dedup over the trained
+    // cell store (threshold tuned to this corpus's cosine scale).
+    "semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val asg = store(s, dir, "ivf_cells")(Similarity.kmeansCells(emb))
+      Similarity.semDedup(emb, threshold = 0.3, assignments = Some(asg))
+        .orderBy("vec_id")
+    }),
+
+    // Corpus — RefinedWeb-style boilerplate line removal.
+    "line_dedup" -> ((s, dir) =>
+      Corpus.lineDedup(Tables.documents(s, dir)).orderBy("doc_id")),
+
     // Privacy — per-class PII counts over the planted corpus.
     "pii_stats" -> ((s, dir) =>
       castLongs(Privacy.piiStats(plantPii(Tables.documents(s, dir))),
@@ -1358,6 +1371,40 @@ object ExtQueries {
          |  CAST(octet_length(encode(text)) // (1 + ascii(substr(md5(text), 3, 1)) % 8) AS INTEGER)
          |    AS frame_stride
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "semantic_dedup" -> {
+      val r = Similarity.IvfTrainRounds
+      s"""WITH ${kmeansCtes(r)},
+         |e2 AS (SELECT e.vec_id, e.embedding, a.cell
+         |  FROM embeddings e JOIN a$r a USING (vec_id)),
+         |d AS (SELECT DISTINCT b.vec_id FROM e2 a JOIN e2 b
+         |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE $cosSql >= 0.3)
+         |SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
+         |FROM a$r a LEFT JOIN d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin
+    },
+
+    "line_dedup" -> {
+      val k = Corpus.LineTokens
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |l AS (SELECT doc_id, u.line_no,
+         |    array_to_string(list_slice(toks, u.line_no * $k + 1,
+         |      u.line_no * $k + $k), ' ') AS line
+         |  FROM t, unnest(range(0, greatest((len(toks) + $k - 1) // $k, 1)))
+         |    AS u(line_no)),
+         |df AS (SELECT line, count(DISTINCT doc_id) AS line_df
+         |  FROM l GROUP BY 1),
+         |f AS (SELECT doc_id, line_no, line,
+         |    line_df <= ${Corpus.LineMaxDocs} AS kept
+         |  FROM l JOIN df USING (line))
+         |SELECT doc_id,
+         |  coalesce(string_agg(line, ' ' ORDER BY line_no)
+         |    FILTER (WHERE kept), '') AS clean_text,
+         |  count(*) AS n_lines,
+         |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "pii_stats" ->
       s"""WITH p AS (SELECT doc_id, $plantPiiSql AS text FROM documents)

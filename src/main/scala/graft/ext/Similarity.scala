@@ -368,6 +368,41 @@ object Similarity {
     assign
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * drop every vector whose cosine to some LOWER-id vector in the SAME
+    * trained k-means cell reaches `threshold` — near-duplicate MEANING
+    * (paraphrases, templated rewrites, translations embedded nearby)
+    * that shingle-based near-dup cannot see. The greedy lowest-id
+    * survivor inside each duplicate neighborhood is the paper's
+    * random-keeper policy made deterministic. Output: vec_id, cell,
+    * kept — the full per-vector verdict table (survivors AND drops), the
+    * manifest a downstream corpus filter joins against.
+    *
+    * Scale: clustering is what makes SemDeDup tractable — the pairwise
+    * cosine join is scoped WITHIN cells (`a.cell = b.cell`), so the cost
+    * is Σ|cell|² instead of corpus², and Lloyd-trained cells keep sizes
+    * near corpus/k (the paper's design point; a skew-guard on a
+    * pathological cell would salt the same join). Training reuses
+    * [[kmeansCells]] or probes a persisted `assignments` store exactly
+    * like [[topKIvfTrained]]; the verdict join is a distinct on the
+    * dropped ids (bounded by the corpus) followed by one narrow left
+    * join — nothing embedding-wide is ever broadcast.
+    */
+  def semDedup(embeddings: DataFrame, threshold: Double = 0.97,
+      rounds: Int = IvfTrainRounds,
+      assignments: Option[DataFrame] = None): DataFrame = {
+    val asg = assignments.getOrElse(kmeansCells(embeddings, rounds))
+    val e = embeddings.join(asg.select(col("vec_id"), col("cell")), "vec_id")
+    val dropped = e.as("a")
+      .join(e.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          cos6 >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    asg.join(dropped.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup").isNull.as("kept"))
+  }
+
   /** X3 — IVF top-k over TRAINED cells: the [[topKIvf]] search pattern
     * with the cell id coming from [[kmeansCells]] (centroids actually
     * fitted to the data) instead of the pre-assigned label. This closes
