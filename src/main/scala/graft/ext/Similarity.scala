@@ -403,6 +403,56 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("dup").isNull.as("kept"))
   }
 
+  /** Incremental [[semDedup]]: verdicts for an arriving batch against a
+    * persisted vector store, with the [[graft.streaming.StreamingOps
+    * .corpusIngestStream]] batch-cut-invariant survivor contract. Cells
+    * come from a FROZEN [[trainedCentroids]] table (training is the
+    * offline job; routing via [[assignCells]] is a pure per-vector
+    * function of it), so the drop rule — "a vector is a duplicate iff a
+    * similar SMALLER-id vector shares its cell anywhere in the stream"
+    * — is a pure function of the vector SET and any batch cut converges
+    * to the same verdicts. Emits one (vec_id, cell, kept) row per batch
+    * vector, plus DEMOTION rows (kept = false) for store vectors a
+    * smaller-id arrival undercuts, so the sink re-elects the min-id
+    * canonical it had previously admitted. The sink must commit EVERY
+    * batch vector's embedding to the store, dropped included — a
+    * dropped vector can still be the smaller-id witness that drops a
+    * later arrival.
+    *
+    * Scale: the batch routes via one broadcast centroid join; the pair
+    * join is batch × (store ∪ batch) scoped to shared cells — O(batch ·
+    * cell-density), never store²; nothing store-wide is broadcast.
+    */
+  def semDedupIncremental(existing: DataFrame, incoming: DataFrame,
+      centroids: DataFrame, threshold: Double = 0.97): DataFrame = {
+    val inc = incoming.join(assignCells(incoming, centroids), "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val all = existing.select(col("vec_id"), col("embedding"), col("cell"))
+      .withColumn("is_new", lit(false))
+      .unionByName(inc.withColumn("is_new", lit(true)))
+    // Both id orders, materialized once: the drop and demotion branches
+    // both read it (the corpusIngestStream exactPairs discipline).
+    val pairs = inc.as("a")
+      .join(all.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") =!= col("b.vec_id") &&
+          cos6 >= threshold)
+      .select(col("a.vec_id").as("vec_new"), col("a.cell").as("cell"),
+        col("b.vec_id").as("vec_match"), col("b.is_new"))
+      .localCheckpoint()
+    val droppedNew = pairs.where(col("vec_match") < col("vec_new"))
+      .select(col("vec_new").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    val demoted = pairs
+      .where(!col("is_new") && col("vec_match") > col("vec_new"))
+      .select(col("vec_match").as("vec_id"), col("cell")).distinct()
+      .withColumn("kept", lit(false))
+    inc.select(col("vec_id"), col("cell"))
+      .join(droppedNew, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup").isNull.as("kept"))
+      .unionByName(demoted)
+  }
+
   /** X3 — IVF top-k over TRAINED cells: the [[topKIvf]] search pattern
     * with the cell id coming from [[kmeansCells]] (centroids actually
     * fitted to the data) instead of the pre-assigned label. This closes

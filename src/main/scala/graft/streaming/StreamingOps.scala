@@ -307,6 +307,34 @@ object StreamingOps {
         sink(graft.ext.Similarity.quantizeEmbeddings(batch), batchId)
       }
 
+  /** Streaming SEMANTIC-dedup ingest — per arriving micro-batch of
+    * embeddings, verdicts from
+    * [[graft.ext.Similarity.semDedupIncremental]] against the growing
+    * vector store: route the batch to FROZEN trained cells, drop
+    * arrivals that a smaller-id similar vector (store or batch)
+    * undercuts, and emit demotion rows for store vectors the batch
+    * undercuts — the embedding-space twin of [[corpusIngestStream]]'s
+    * survivor election, batch-cut invariant for the same reason (the
+    * verdict is a pure function of the vector set once centroids are
+    * frozen; StreamingOpsSpec asserts permuted cuts converge). The
+    * caller's `sink` owns committing EVERY batch vector to the store
+    * (dropped included — a dropped vector can still witness-drop a
+    * later arrival) and folding demotions; `existingVectors`/`centroids`
+    * are the per-batch store re-reads, the [[incrementalDedupStream]]
+    * contract.
+    */
+  def semDedupIngestStream(incoming: DataFrame,
+      existingVectors: () => DataFrame,
+      centroids: () => DataFrame,
+      sink: (DataFrame, Long) => Unit,
+      threshold: Double = 0.97): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    incoming.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.ext.Similarity.semDedupIncremental(
+          existingVectors(), batch, centroids(), threshold), batchId)
+      }
+
   /** Streaming K5 — the discrepancy alert gate run CONTINUOUSLY: per
     * arriving micro-batch of reconciliation rows, build the alert with
     * the batch operator ([[graft.etl.Alerts.build]] — in-plan count +

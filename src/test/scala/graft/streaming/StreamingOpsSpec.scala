@@ -268,6 +268,39 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming semantic-dedup ingest demotes an undercut store vector") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val centroids = Seq((0, v(1, 0)), (1, v(0, 1))).toDF("cell", "centroid")
+    // Batch 1: vec 2 (admitted) + vec 5. Batch 2: vec 1 — a SMALLER-id
+    // near-dup of 2 — must be kept while 2 gets a demotion row.
+    val b1 = Seq(Emb(2L, v(0.999, 0.01), 0), Emb(5L, v(0, 1), 0))
+    val b2 = Seq(Emb(1L, v(1, 0), 0))
+    var store = Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "cell")
+    val verdicts = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val mem = MemoryStream[Emb]
+    val writer = StreamingOps.semDedupIngestStream(
+      mem.toDF().select("vec_id", "embedding"),
+      () => store, () => centroids,
+      (out, _) => verdicts ++= out.collect().map(r => (r.getLong(0), r.getBoolean(2))))
+    val q = writer.start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      // Sink contract: every batch vector joins the store.
+      store = store.unionByName(
+        graft.ext.Similarity.assignCells(b1.toDF().select("vec_id", "embedding"), centroids)
+          .join(b1.toDF().select("vec_id", "embedding"), "vec_id")
+          .select("vec_id", "embedding", "cell")).localCheckpoint()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val folded = verdicts.groupBy(_._1).view
+        .mapValues(_.forall(_._2)).toMap
+      assert(folded === Map(1L -> true, 2L -> false, 5L -> true))
+      // The demotion arrived as an explicit second row for vec 2.
+      assert(verdicts.count(_._1 == 2L) === 2)
+    } finally q.stop()
+  }
+
   test("streaming alert gate publishes iff a batch carries discrepancies") {
     implicit val sqlCtx = spark.sqlContext
     val d = java.sql.Date.valueOf("2024-01-02")
