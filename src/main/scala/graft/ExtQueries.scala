@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsOfJoin, Corpus, Dedup, Events, Multimodal, Privacy, SaltedJoin, Similarity, TextOps}
+import graft.ext.{AsOfJoin, Corpus, Dedup, Events, Multimodal, Privacy, RangeJoin, SaltedJoin, Similarity, TextOps}
+import graft.etl.ZOrder
 
 /** Extension-surface queries (SURVEY.md §2.11 X1–X6 + the LLM-data-
   * pipeline north star): dedup, text analysis, similarity search, JSON /
@@ -103,6 +104,22 @@ object ExtQueries {
        |    THEN 1 ELSE 0 END AS is_new FROM o),
        |s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
        |    AS session_no FROM f)""".stripMargin
+
+  /** CTE chain mirroring ZOrder.zValue's shift-and-mask spread ladder:
+    * z0 holds the two 32-bit keys, each z_i applies one
+    * `ZOrder.SpreadSteps` step to both, z_last's (a, b) interleave with
+    * `a | (b << 1)` — the same integer ops, literal-for-literal.
+    */
+  private val zorderCtes: String = {
+    val z0 = "z0 AS (SELECT l_orderkey, l_linenumber, " +
+      "l_partkey::BIGINT & 4294967295 AS a, " +
+      "l_suppkey::BIGINT & 4294967295 AS b FROM lineitem)"
+    val steps = ZOrder.SpreadSteps.zipWithIndex.map { case ((mask, sh), i) =>
+      s"z${i + 1} AS (SELECT l_orderkey, l_linenumber, " +
+        s"(a | (a << $sh)) & $mask AS a, (b | (b << $sh)) & $mask AS b FROM z$i)"
+    }
+    (z0 +: steps).mkString(",\n")
+  }
 
   /** Shared centroid-sum CTEs `cx` (per-(label, dim) components) and
     * `cs` (exact DECIMAL(30,10) sums + counts) — the oracle twin of
@@ -445,6 +462,40 @@ object ExtQueries {
     "retention_cohorts" -> ((s, dir) =>
       Events.retentionCohorts(Tables.events(s, dir))
         .orderBy("cohort_day", "day_offset")),
+
+    // X6 — point-in-time rolling features at purchase (label) time:
+    // preceding-hour user activity via ONE range-frame window pass.
+    "rolling_features" -> ((s, dir) =>
+      Events.rollingFeatures(Tables.events(s, dir)).orderBy("event_id")),
+
+    // X6 — per-type outlier flags, z² cleared of denominators so the
+    // comparison is exact integer arithmetic on both engines.
+    "event_anomalies" -> ((s, dir) =>
+      Events.anomalies(Tables.events(s, dir)).orderBy("event_id")),
+
+    // X7 — bucket-blocked NON-EQUI interval join: per session interval,
+    // the count of ALL events (any user) falling inside it — the
+    // concurrency-load query no equi key can express. The blocking
+    // turns the would-be BroadcastNestedLoopJoin into a shuffled
+    // equi-join on the time bucket (see RangeJoin scaladoc).
+    "interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val sessions = Events.sessionize(ev).select(col("user_id"),
+        col("session_no"), col("session_start"), col("session_end"))
+      RangeJoin.pointInInterval(ev.select(col("ts"), col("event_id")), "ts",
+          sessions, "session_start", "session_end")
+        .groupBy("user_id", "session_no")
+        .agg(count(lit(1)).as("n_concurrent"))
+        .orderBy("user_id", "session_no")
+    }),
+
+    // Layout — z-order clustering keys: the Morton code zorderWrite
+    // range-partitions files on, so footer min/max prune on EITHER key.
+    "zorder_keys" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          ZOrder.zValue(col("l_partkey"), col("l_suppkey")).as("z"))
+        .orderBy("z", "l_orderkey", "l_linenumber").limit(1000)),
 
     // X7 — distributed as-of join: attribute each purchase to the user's
     // most recent view at or before it (union + one window pass — never
@@ -1177,6 +1228,45 @@ object ExtQueries {
          |  count(*) AS n_users
          |FROM act JOIN coh USING (user_id)
          |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+
+    // Integer-cents frame sum → bit-identical despite DuckDB's
+    // segment-tree vs Spark's running-sum accumulation order.
+    "rolling_features" ->
+      s"""WITH w AS (SELECT event_id, user_id, ts, event_type,
+         |    count(*) OVER win AS n_1h,
+         |    sum(CAST(round(value * 100) AS BIGINT)) OVER win AS c_1h
+         |  FROM events
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+         |SELECT event_id, user_id, ts, n_1h, c_1h / 100.0 AS sum_1h
+         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    // (n·v − S)² > 9·(n·SQ − S²) over integer cents — z² > 9 cleared of
+    // denominators; HUGEINT keeps the squares exact past int64.
+    "event_anomalies" ->
+      s"""WITH vc AS (SELECT event_id, event_type, value,
+         |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+         |m AS (SELECT event_type, count(*) AS n, sum(v) AS s,
+         |    sum(v::HUGEINT * v) AS sq FROM vc GROUP BY 1)
+         |SELECT event_id, event_type, value
+         |FROM vc JOIN m USING (event_type)
+         |WHERE (n::HUGEINT * v - s) * (n::HUGEINT * v - s)
+         |    > 9 * (n::HUGEINT * sq - s::HUGEINT * s)
+         |ORDER BY event_id""".stripMargin,
+
+    "interval_join" ->
+      s"""WITH $sessionCtes,
+         |iv AS (SELECT user_id, session_no, min(ts) AS st, max(ts) AS en
+         |  FROM s GROUP BY 1, 2)
+         |SELECT iv.user_id, iv.session_no, count(*) AS n_concurrent
+         |FROM iv JOIN events e ON e.ts >= iv.st AND e.ts <= iv.en
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "zorder_keys" ->
+      s"""WITH $zorderCtes
+         |SELECT l_orderkey, l_linenumber, (a | (b << 1)) AS z
+         |FROM z${ZOrder.SpreadSteps.size}
+         |ORDER BY z, l_orderkey, l_linenumber LIMIT 1000""".stripMargin,
 
     "event_attribution" ->
       s"""WITH v AS (SELECT user_id, ts AS vts, max(event_id) AS view_id

@@ -133,4 +133,72 @@ object Events {
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
+
+  /** The `value` column recovered as EXACT integer cents. The data is on
+    * a 2-decimal grid, so `round(value * 100)` lands on the true integer
+    * on every engine (the product's FP error is ≪ 0.5 and positives
+    * round half-up identically) — the integer-cents trick that makes
+    * windowed/grouped sums bit-identical cross-engine where a sliding
+    * double sum would drift with accumulation order (DuckDB's
+    * segment-tree windowed sum vs Spark's running sum).
+    */
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  /** X6 — point-in-time ROLLING features: per purchase event, the
+    * user's activity over the PRECEDING hour (count + exact sum of
+    * value), the feature-backfill shape of a training pipeline — "user
+    * state as of label time", computed for every label without a
+    * per-label scan. Output: event_id, user_id, ts, n_1h, sum_1h.
+    *
+    * Plan shape: ONE user_id exchange; the range-frame window (integer
+    * microseconds, `rangeBetween` on the event-time axis) runs over the
+    * user's full event stream, and the purchase filter applies AFTER the
+    * window so features see non-purchase activity. The frame sums
+    * integer cents (exact — see [[cents]]); `sum_1h` is cents / 100.0,
+    * an IEEE-exact-deterministic division both engines reproduce
+    * bit-identically. At 100 TB this is the standard windowed
+    * feature job: shuffle by user, sort by time within user, stream the
+    * sliding frame — no self-join, no per-label re-scan.
+    */
+  def rollingFeatures(events: DataFrame, windowSeconds: Long = 3600L): DataFrame = {
+    val frame = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-windowSeconds * 1000000L, 0L)
+    events
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        unix_micros(col("ts")).as("us"), cents(col("value")).as("vc"))
+      .withColumn("n_1h", count(lit(1)).over(frame))
+      .withColumn("sum_1h", (sum("vc").over(frame) / 100.0))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("n_1h"), col("sum_1h"))
+  }
+
+  /** X6 — per-type outlier flags with EXACT arithmetic: an event is
+    * anomalous when its squared z-score vs its event_type's population
+    * exceeds `zSq` (default 9 = |z| > 3). The test is evaluated as the
+    * integer inequality (n·v − S)² > zSq·(n·SQ − S²) over integer cents
+    * (v = cents, S = Σv, SQ = Σv²), which is the z² definition cleared
+    * of denominators — no division, no sqrt, no FP comparison to drift
+    * cross-engine; DECIMAL(38,0) keeps the squares exact past int64.
+    * Output: the anomalous events (event_id, event_type, value).
+    *
+    * Plan shape: one hash aggregate to the per-type moment table (5
+    * rows), broadcast back onto the stream, pure-projection flag — at
+    * 100 TB the moments are a map-side-partial aggregate and the flag
+    * pass is a second scan with zero shuffle of the events themselves.
+    */
+  def anomalies(events: DataFrame, zSq: Int = 9): DataFrame = {
+    val vc = events.select(col("event_id"), col("event_type"), col("value"),
+      cents(col("value")).as("vc"))
+    val moments = vc.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum("vc").as("s"),
+      sum(col("vc").cast("decimal(38,0)") * col("vc")).as("sq"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val lhs = (dec(col("n")) * col("vc") - col("s")) *
+      (dec(col("n")) * col("vc") - col("s"))
+    val rhs = lit(zSq) * (dec(col("n")) * col("sq") - dec(col("s")) * col("s"))
+    vc.join(broadcast(moments), "event_type")
+      .where(lhs > rhs)
+      .select(col("event_id"), col("event_type"), col("value"))
+  }
 }

@@ -1,0 +1,94 @@
+package graft.ext
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[Events.rollingFeatures]] (range-frame point-in-time features) and
+  * [[Events.anomalies]] (exact-arithmetic z² outlier flags).
+  */
+class EventsFeatureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ev(id: Long, user: Long, t: String, typ: String, v: Double) =
+    (id, ts(t), user, typ, v)
+
+  test("rollingFeatures: preceding-hour frame is inclusive at both ends, per user") {
+    val events = Seq(
+      // user 1: events at 10:00, 10:30, 11:00 (exactly 1h after first),
+      // purchase at 11:00 → frame [10:00, 11:00] includes all three.
+      ev(1, 1, "2024-01-01 10:00:00", "view", 10.00),
+      ev(2, 1, "2024-01-01 10:30:00", "click", 20.00),
+      ev(3, 1, "2024-01-01 11:00:00", "purchase", 30.00),
+      // purchase at 11:00:01 for user 2: the 10:00:00 view is now
+      // OUTSIDE the 1h frame (10:00:00 < 10:00:01).
+      ev(4, 2, "2024-01-01 10:00:00", "view", 5.00),
+      ev(5, 2, "2024-01-01 11:00:01", "purchase", 7.50),
+      // user 1's events must not leak into user 2's frame and vice versa.
+      ev(6, 3, "2024-01-01 10:59:00", "purchase", 1.25))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.rollingFeatures(events)
+      .orderBy("event_id")
+      .select("event_id", "n_1h", "sum_1h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((3L, 3L, 60.00), (5L, 1L, 7.50), (6L, 1L, 1.25)))
+  }
+
+  test("rollingFeatures: only purchases emit rows, but all events feed frames") {
+    val events = Seq(
+      ev(1, 1, "2024-01-01 10:00:00", "view", 1.00),
+      ev(2, 1, "2024-01-01 10:10:00", "error", 2.00),
+      ev(3, 1, "2024-01-01 10:20:00", "signup", 4.00))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Events.rollingFeatures(events).count() === 0)
+    val withPurchase = events.unionByName(
+      Seq(ev(4, 1, "2024-01-01 10:30:00", "purchase", 8.00))
+        .toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val out = Events.rollingFeatures(withPurchase).collect()
+    assert(out.map(r => (r.getAs[Long]("n_1h"), r.getAs[Double]("sum_1h"))).toSeq
+      === Seq((4L, 15.00)))
+  }
+
+  test("anomalies: flags exactly the |z| > 3 rows of each type, per-type moments") {
+    // Mirror-image populations: A = {40×10.00, one 1000.00}, B =
+    // {40×1000.00, one 10.00}. Per type, exactly the lone value is a
+    // > 3σ outlier; under POOLED moments (a cross-type leak) the mean
+    // sits mid-way and the sd is so wide that NOTHING would flag — so
+    // the expected set discriminates per-type scoping, not just outlier
+    // detection.
+    val a = (1L to 40L).map(i => ev(i, i, "2024-01-01 00:00:00", "A", 10.00)) ++
+      Seq(ev(99, 99, "2024-01-01 00:00:00", "A", 1000.00))
+    val b = (101L to 140L).map(i => ev(i, i, "2024-01-01 00:00:00", "B", 1000.00)) ++
+      Seq(ev(199, 199, "2024-01-01 00:00:00", "B", 10.00))
+    val events = (a ++ b)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.anomalies(events).select("event_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(99L, 199L))
+  }
+
+  test("anomalies: agrees with the naive double z-score away from the boundary") {
+    // Deterministic pseudo-random 2dp values with a few planted spikes.
+    val events = (1L to 400L).map { i =>
+      val v = ((i * 37 % 100) + 1) / 4.0 // 0.25 .. 25.0, on the 2dp grid
+      ev(i, i % 7, "2024-01-01 00:00:00", if (i % 3 == 0) "A" else "B", v)
+    } ++ Seq(ev(901, 1, "2024-01-01 00:00:00", "A", 500.00),
+      ev(902, 2, "2024-01-01 00:00:00", "B", 777.25))
+    val df = events.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.anomalies(df).select("event_id").as[Long].collect().toSet
+    // naive: per-type mean/sd in doubles
+    val byType = events.groupBy(_._4)
+    val expected = byType.flatMap { case (_, rows) =>
+      val vs = rows.map(_._5)
+      val n = vs.size.toDouble
+      val m = vs.sum / n
+      val sd = math.sqrt(vs.map(v => (v - m) * (v - m)).sum / n)
+      rows.filter(r => math.abs(r._5 - m) > 3 * sd).map(_._1)
+    }.toSet
+    assert(got === expected)
+    assert(got.contains(901L) && got.contains(902L))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ext
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[RangeJoin.pointInInterval]] — bucket-blocked non-equi containment
+  * join: equivalence with the naive cross-join filter, exactly-once pair
+  * emission across bucket boundaries, inclusive endpoints.
+  */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("matches the naive cross-join filter, each pair exactly once") {
+    // Deterministic spread: 60 points across 3 days, 12 intervals of
+    // lengths 1 min .. 40 h (many spanning several 1h buckets).
+    val points = (1L to 60L)
+      .map(i => (i, ts(f"2024-01-0${1 + (i % 3)}%d ${(i * 7 % 24)}%02d:${i % 60}%02d:00")))
+      .toDF("pid", "pt")
+    val intervals = (1L to 12L).map { k =>
+      val st = ts(f"2024-01-0${1 + (k % 3)}%d ${(k * 5 % 23)}%02d:00:00")
+      val en = new Timestamp(st.getTime + k * k * 1000L * 60 * 17) // 17min..41h
+      (k, st, en)
+    }.toDF("iid", "st", "en")
+    val got = RangeJoin.pointInInterval(points, "pt", intervals, "st", "en")
+      .select("iid", "pid").as[(Long, Long)].collect().sorted
+    val naive = points.crossJoin(intervals)
+      .where(col("pt") >= col("st") && col("pt") <= col("en"))
+      .select("iid", "pid").as[(Long, Long)].collect().sorted
+    assert(naive.nonEmpty, "fixture must produce matches")
+    assert(got.toSeq === naive.toSeq)
+    assert(got.length === got.distinct.length, "no pair may be emitted twice")
+  }
+
+  test("endpoints are inclusive and bucket edges don't drop matches") {
+    val points = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // exactly interval start
+      (2L, ts("2024-01-01 12:00:00")), // exactly interval end, bucket edge
+      (3L, ts("2024-01-01 11:00:00")), // interior, on a bucket boundary
+      (4L, ts("2024-01-01 12:00:01"))) // one second past the end
+      .toDF("pid", "pt")
+    val intervals = Seq((7L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")))
+      .toDF("iid", "st", "en")
+    val got = RangeJoin.pointInInterval(points, "pt", intervals, "st", "en")
+      .select("pid").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("zero-length interval matches exactly its own instant") {
+    val points = Seq((1L, ts("2024-01-01 10:30:00")), (2L, ts("2024-01-01 10:30:01")))
+      .toDF("pid", "pt")
+    val intervals = Seq((1L, ts("2024-01-01 10:30:00"), ts("2024-01-01 10:30:00")))
+      .toDF("iid", "st", "en")
+    val got = RangeJoin.pointInInterval(points, "pt", intervals, "st", "en")
+      .select("pid").as[Long].collect()
+    assert(got.toSeq === Seq(1L))
+  }
+}
