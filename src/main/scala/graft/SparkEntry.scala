@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DateType, StructField}
 
-import graft.etl.{Alerts, MultiDayReconcile, RetailMapping, StageSales}
+import graft.etl.{Alerts, MultiDayReconcile, RetailMapping, Scd2, StageSales}
 import graft.schemas.Schemas
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -217,6 +217,25 @@ object SparkEntry {
       RetailMapping.stagedSales(s, dir, D)
         .unionByName(RetailMapping.stagedSales(s, dir, N))
         .orderBy("date_key", "sku")),
+
+    // SCD Type-2 dimension merge — the versioned-history twin of the
+    // reference's TRUNCATE-and-reload dim job: a day-2 delta (every
+    // 7th part's price bumped, every 97th respawned under a new key)
+    // merged into the day-1 initial load; changed keys close and
+    // reopen, new keys open, the rest pass through untouched.
+    "scd2_dim" -> ((s, dir) => {
+      val base = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_retailprice"))
+      val cur = Scd2.init(base, java.sql.Date.valueOf("2024-01-01"))
+      val upd = base.where(col("p_partkey") % 7 === 0)
+        .withColumn("p_retailprice", col("p_retailprice") + 10.0)
+        .unionByName(base.where(col("p_partkey") % 97 === 0)
+          .withColumn("p_partkey", col("p_partkey") + 1000000L))
+      Scd2.merge(cur, upd, "p_partkey",
+          Seq("p_name", "p_brand", "p_retailprice"),
+          java.sql.Date.valueOf("2024-02-01"))
+        .orderBy("p_partkey", "valid_from")
+    }),
   ) ++ ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -322,6 +341,41 @@ object SparkEntry {
     // Same observable result as daily_union: the partition-discovery CSV
     // round trip must reproduce the two staged days exactly.
     "csv_partitioned" -> twoDayUnionSql,
+
+    // SCD2 merge: the same still-open / closed / reopened / brand-new
+    // partition of the version space, derived from one LEFT JOIN of the
+    // open versions against the delta (IS DISTINCT FROM ≡ Spark's <=>
+    // negated). (p_partkey, valid_from) is unique → total order.
+    "scd2_dim" ->
+      s"""WITH base AS (SELECT p_partkey, p_name, p_brand, p_retailprice FROM part),
+         |cur AS (SELECT *, DATE '2024-01-01' AS valid_from,
+         |    CAST(NULL AS DATE) AS valid_to, true AS is_current FROM base),
+         |upd AS (SELECT p_partkey, p_name, p_brand, p_retailprice + 10.0 AS p_retailprice
+         |    FROM base WHERE p_partkey % 7 = 0
+         |  UNION ALL
+         |  SELECT p_partkey + 1000000, p_name, p_brand, p_retailprice
+         |    FROM base WHERE p_partkey % 97 = 0),
+         |j AS (SELECT c.*, u.p_partkey AS u_key, u.p_name AS u_name,
+         |    u.p_brand AS u_brand, u.p_retailprice AS u_price,
+         |    (c.p_name IS DISTINCT FROM u.p_name
+         |      OR c.p_brand IS DISTINCT FROM u.p_brand
+         |      OR c.p_retailprice IS DISTINCT FROM u.p_retailprice) AS chg
+         |  FROM cur c LEFT JOIN upd u ON c.p_partkey = u.p_partkey),
+         |still AS (SELECT p_partkey, p_name, p_brand, p_retailprice,
+         |    valid_from, valid_to, is_current FROM j WHERE u_key IS NULL OR NOT chg),
+         |closedv AS (SELECT p_partkey, p_name, p_brand, p_retailprice,
+         |    valid_from, DATE '2024-02-01' AS valid_to, false AS is_current
+         |  FROM j WHERE u_key IS NOT NULL AND chg),
+         |openk AS (SELECT u_key FROM j WHERE u_key IS NOT NULL AND chg
+         |  UNION SELECT u.p_partkey FROM upd u LEFT JOIN cur c
+         |    ON u.p_partkey = c.p_partkey WHERE c.p_partkey IS NULL),
+         |opened AS (SELECT u.p_partkey, u.p_name, u.p_brand, u.p_retailprice,
+         |    DATE '2024-02-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+         |    true AS is_current
+         |  FROM upd u JOIN openk ON u.p_partkey = openk.u_key)
+         |SELECT * FROM (SELECT * FROM still UNION ALL SELECT * FROM closedv
+         |  UNION ALL SELECT * FROM opened)
+         |ORDER BY p_partkey, valid_from""".stripMargin,
   ) ++ ExtQueries.oracleSql
 
   /** Two staged days (D, D+1) unioned — shared by daily_union and
