@@ -187,12 +187,27 @@ object Events {
     * 100 TB the moments are a map-side-partial aggregate and the flag
     * pass is a second scan with zero shuffle of the events themselves.
     */
-  def anomalies(events: DataFrame, zSq: Int = 9): DataFrame = {
+  def anomalies(events: DataFrame, zSq: Int = 9): DataFrame =
+    anomaliesAgainst(events, momentsOf(events), zSq)
+
+  /** The per-type moment table (n, Σcents, Σcents²) [[anomaliesAgainst]]
+    * scores against — at scale this is the offline "training" job whose
+    * output is persisted and FROZEN, the same discipline as trained
+    * centroids: scoring is then a pure function of the frozen store, so
+    * streaming verdicts are batch-cut invariant.
+    */
+  def momentsOf(events: DataFrame): DataFrame =
+    events.select(col("event_type"), cents(col("value")).as("vc"))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum("vc").as("s"),
+        sum(col("vc").cast("decimal(38,0)") * col("vc")).as("sq"))
+
+  /** Flag `events` rows anomalous under a (possibly frozen) `moments`
+    * table — the scoring half of [[anomalies]].
+    */
+  def anomaliesAgainst(events: DataFrame, moments: DataFrame, zSq: Int = 9): DataFrame = {
     val vc = events.select(col("event_id"), col("event_type"), col("value"),
       cents(col("value")).as("vc"))
-    val moments = vc.groupBy("event_type").agg(
-      count(lit(1)).as("n"), sum("vc").as("s"),
-      sum(col("vc").cast("decimal(38,0)") * col("vc")).as("sq"))
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     val lhs = (dec(col("n")) * col("vc") - col("s")) *
       (dec(col("n")) * col("vc") - col("s"))

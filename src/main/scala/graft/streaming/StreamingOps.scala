@@ -335,6 +335,45 @@ object StreamingOps {
           existingVectors(), batch, centroids(), threshold), batchId)
       }
 
+  /** Streaming anomaly gate — per arriving micro-batch of events, the
+    * exact-arithmetic z² flags of [[graft.ext.Events.anomaliesAgainst]]
+    * scored against a FROZEN per-type moment table (the offline
+    * training job's output, the same frozen-store discipline as trained
+    * centroids). Scoring is a pure per-row function of the frozen
+    * moments, so verdicts are batch-cut invariant by construction; a
+    * LIVE-moments variant would make early batches score against
+    * immature statistics — the documented trade, not offered here.
+    */
+  def anomalyStream(events: DataFrame, moments: () => DataFrame,
+      sink: (DataFrame, Long) => Unit,
+      zSq: Int = 9): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.ext.Events.anomaliesAgainst(batch, moments(), zSq), batchId)
+      }
+
+  /** Streaming SCD2 maintenance — each arriving micro-batch of
+    * dimension rows is a day-delta merged into the versioned store with
+    * the batch operator ([[graft.etl.Scd2.merge]]): changed keys close
+    * and reopen as of the batch's date, new keys open, history passes
+    * through. `current` re-reads the store per batch and `sink`
+    * replaces it — the [[incrementalDedupStream]] store contract;
+    * `asOfDate` maps the batch id to its business date (batch order IS
+    * meaningful here: SCD2 history is inherently sequential, unlike the
+    * set-pure dedup twins).
+    */
+  def scd2Stream(updates: DataFrame, current: () => DataFrame,
+      key: String, attrs: Seq[String],
+      asOfDate: Long => java.sql.Date,
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.etl.Scd2.merge(current(), batch, key, attrs,
+          asOfDate(batchId)), batchId)
+      }
+
   /** Streaming K5 — the discrepancy alert gate run CONTINUOUSLY: per
     * arriving micro-batch of reconciliation rows, build the alert with
     * the batch operator ([[graft.etl.Alerts.build]] — in-plan count +

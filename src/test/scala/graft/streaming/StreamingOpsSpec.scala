@@ -301,6 +301,64 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming anomaly gate against frozen moments ≡ batch flags, any cut") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // Frozen moments trained on a reference day: type A spread over
+    // 8/10/12 (sd ≈ 1.6), so 9.00 and 10.00 sit well inside 3σ and
+    // 500.00 far outside. The moments are FROZEN — the stream's own
+    // spike can't shift them.
+    val training = (1L to 42L).map(i =>
+      Ev(i, ts("2024-01-01 00:00:00"), i, "A", 8.00 + 2 * (i % 3))).toDF()
+    val moments = graft.ext.Events.momentsOf(training).localCheckpoint()
+    val arrivals = Seq(
+      Ev(201L, ts("2024-01-02 00:00:00"), 1L, "A", 10.00), // normal
+      Ev(202L, ts("2024-01-02 00:01:00"), 2L, "A", 500.00), // spike
+      Ev(203L, ts("2024-01-02 00:02:00"), 3L, "A", 9.00)) // normal
+    val expected = graft.ext.Events
+      .anomaliesAgainst(arrivals.toDF(), moments)
+      .select("event_id").as[Long].collect().toSet
+    assert(expected === Set(202L))
+    for (cut <- Seq(Seq(arrivals), arrivals.grouped(1).toSeq)) {
+      val flagged = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val mem = MemoryStream[Ev]
+      val q = StreamingOps.anomalyStream(mem.toDF(), () => moments,
+        (out, _) => flagged ++= out.select("event_id").as[Long].collect()).start()
+      try {
+        cut.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        assert(flagged.toSet === expected, s"cut of ${cut.size} batches")
+      } finally q.stop()
+    }
+  }
+
+  test("streaming SCD2 maintenance replays the sequential day merges") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    val dim = Seq((1L, "widget", 10.0), (2L, "gadget", 20.0))
+      .toDF("k", "name", "price")
+    var store = graft.etl.Scd2.init(dim, d("2024-01-01")).localCheckpoint()
+    val dates = Map(0L -> d("2024-02-01"), 1L -> d("2024-03-01"))
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = StreamingOps.scd2Stream(
+      mem.toDF().toDF("k", "name", "price"), () => store,
+      "k", Seq("name", "price"), dates,
+      (out, _) => store = out.localCheckpoint()).start()
+    try {
+      mem.addData((1L, "widget", 15.0)); q.processAllAvailable()
+      mem.addData((1L, "widget", 17.0), (9L, "newone", 99.0))
+      q.processAllAvailable()
+      val versionsOf1 = store.where(col("k") === 1L)
+        .collect().map(r => (r.getDouble(2), r.getDate(3), r.getDate(4))).toSet
+      assert(versionsOf1 === Set(
+        (10.0, d("2024-01-01"), d("2024-02-01")),
+        (15.0, d("2024-02-01"), d("2024-03-01")),
+        (17.0, d("2024-03-01"), null)))
+      assert(store.where(col("k") === 9L).count() === 1)
+      assert(store.where(col("k") === 2L && col("is_current")).count() === 1)
+    } finally q.stop()
+  }
+
   test("streaming alert gate publishes iff a batch carries discrepancies") {
     implicit val sqlCtx = spark.sqlContext
     val d = java.sql.Date.valueOf("2024-01-02")
