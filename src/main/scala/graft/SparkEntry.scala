@@ -218,6 +218,23 @@ object SparkEntry {
         .unionByName(RetailMapping.stagedSales(s, dir, N))
         .orderBy("date_key", "sku")),
 
+    // Declarative data-quality gate: per-rule violation counts in one
+    // aggregate pass (row rules) + one key groupBy + one anti-join FK
+    // probe. Thresholds chosen so range/unique rules fire non-trivially
+    // while not-null/accepted/FK prove clean — both verdict polarities
+    // exercised against the oracle.
+    "dq_checks" -> ((s, dir) => {
+      import graft.etl.DataQuality._
+      check(Tables.lineitem(s, dir), Seq(
+        NotNull("l_orderkey"),
+        InRange("l_quantity", 1, 40),
+        InRange("l_discount", 0.0, 0.08),
+        Accepted("l_returnflag", Seq("A", "N", "R")),
+        UniqueKey(Seq("l_orderkey", "l_linenumber")),
+        ForeignKey("l_orderkey",
+          Tables.orders(s, dir).select(col("o_orderkey")), "o_orderkey")))
+    }),
+
     // SCD Type-2 dimension merge — the versioned-history twin of the
     // reference's TRUNCATE-and-reload dim job: a day-2 delta (every
     // 7th part's price bumped, every 97th respawned under a new key)
@@ -341,6 +358,31 @@ object SparkEntry {
     // Same observable result as daily_union: the partition-discovery CSV
     // round trip must reproduce the two staged days exactly.
     "csv_partitioned" -> twoDayUnionSql,
+
+    "dq_checks" ->
+      s"""SELECT * FROM (
+         |  SELECT 'not_null:l_orderkey' AS rule,
+         |    CAST(count(*) FILTER (l_orderkey IS NULL) AS BIGINT) AS violations
+         |  FROM lineitem
+         |  UNION ALL SELECT 'range:l_quantity',
+         |    CAST(count(*) FILTER (l_quantity < 1 OR l_quantity > 40) AS BIGINT)
+         |  FROM lineitem
+         |  UNION ALL SELECT 'range:l_discount',
+         |    CAST(count(*) FILTER (l_discount < 0.0 OR l_discount > 0.08) AS BIGINT)
+         |  FROM lineitem
+         |  UNION ALL SELECT 'accepted:l_returnflag',
+         |    CAST(count(*) FILTER (l_returnflag IS NOT NULL
+         |      AND l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT)
+         |  FROM lineitem
+         |  UNION ALL SELECT 'unique:l_orderkey+l_linenumber',
+         |    COALESCE((SELECT CAST(sum(n - 1) AS BIGINT) FROM
+         |      (SELECT count(*) AS n FROM lineitem
+         |       GROUP BY l_orderkey, l_linenumber) WHERE n > 1), 0)
+         |  UNION ALL SELECT 'fk:l_orderkey',
+         |    CAST(count(*) FILTER (l_orderkey IS NOT NULL AND NOT EXISTS
+         |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l_orderkey)) AS BIGINT)
+         |  FROM lineitem
+         |) ORDER BY rule""".stripMargin,
 
     // SCD2 merge: the same still-open / closed / reopened / brand-new
     // partition of the version space, derived from one LEFT JOIN of the

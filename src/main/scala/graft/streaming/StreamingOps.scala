@@ -374,6 +374,24 @@ object StreamingOps {
           asOfDate(batchId)), batchId)
       }
 
+  /** Streaming data-quality gate — each arriving micro-batch is checked
+    * against the declared [[graft.etl.DataQuality]] rules BEFORE the
+    * caller commits it: `sink` receives the per-rule verdict frame plus
+    * the boolean gate (true = clean), and owns the commit/quarantine
+    * decision — the pre-load guardrail run continuously. The verdict
+    * frame is localCheckpoint'd so the gate boolean and the sink's own
+    * reads share one evaluation of the batch.
+    */
+  def dqGateStream(rows: DataFrame,
+      rules: Seq[graft.etl.DataQuality.Rule],
+      sink: (DataFrame, Boolean, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val verdicts = graft.etl.DataQuality.check(batch, rules).localCheckpoint()
+        sink(verdicts, graft.etl.DataQuality.passes(verdicts), batchId)
+      }
+
   /** Streaming K5 — the discrepancy alert gate run CONTINUOUSLY: per
     * arriving micro-batch of reconciliation rows, build the alert with
     * the batch operator ([[graft.etl.Alerts.build]] — in-plan count +

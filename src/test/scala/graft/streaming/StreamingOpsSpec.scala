@@ -359,6 +359,28 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DQ gate passes clean batches and fails dirty ones") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rules = Seq(
+      graft.etl.DataQuality.InRange("value", 0.0, 100.0),
+      graft.etl.DataQuality.Accepted("event_type", Seq("view", "purchase")))
+    val gates = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean, Long)]
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.dqGateStream(mem.toDF(), rules,
+      (verdicts, ok, id) => gates += ((id,
+        ok, verdicts.agg(sum("violations")).as[Long].collect().head))).start()
+    try {
+      mem.addData(Ev(1L, ts("2024-01-01 10:00:00"), 1L, "view", 5.0))
+      q.processAllAvailable()
+      mem.addData(
+        Ev(2L, ts("2024-01-01 10:01:00"), 1L, "view", 500.0), // range
+        Ev(3L, ts("2024-01-01 10:02:00"), 1L, "error", 5.0)) // accepted
+      q.processAllAvailable()
+      assert(gates.map(g => (g._2, g._3)).toSeq === Seq((true, 0L), (false, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming alert gate publishes iff a batch carries discrepancies") {
     implicit val sqlCtx = spark.sqlContext
     val d = java.sql.Date.valueOf("2024-01-02")
