@@ -240,18 +240,25 @@ object SparkEntry {
     // 7th part's price bumped, every 97th respawned under a new key)
     // merged into the day-1 initial load; changed keys close and
     // reopen, new keys open, the rest pass through untouched.
-    "scd2_dim" -> ((s, dir) => {
-      val base = Tables.part(s, dir)
-        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_retailprice"))
-      val cur = Scd2.init(base, java.sql.Date.valueOf("2024-01-01"))
-      val upd = base.where(col("p_partkey") % 7 === 0)
-        .withColumn("p_retailprice", col("p_retailprice") + 10.0)
-        .unionByName(base.where(col("p_partkey") % 97 === 0)
-          .withColumn("p_partkey", col("p_partkey") + 1000000L))
-      Scd2.merge(cur, upd, "p_partkey",
-          Seq("p_name", "p_brand", "p_retailprice"),
-          java.sql.Date.valueOf("2024-02-01"))
-        .orderBy("p_partkey", "valid_from")
+    "scd2_dim" -> ((s, dir) =>
+      scd2Versioned(s, dir, "2024-01-01", "2024-02-01")
+        .orderBy("p_partkey", "valid_from")),
+
+    // Fact-side temporal dim join: every lineitem priced against the
+    // part version valid on its OWN ship date (history built with the
+    // change mid-way through the 1995–2001 fact range, so both versions
+    // collect facts); rolled up per (version, returnflag).
+    "scd2_temporal" -> ((s, dir) => {
+      val versioned = scd2Versioned(s, dir, "1995-01-01", "1998-01-01")
+      val facts = Tables.lineitem(s, dir).select(
+        col("l_partkey").as("p_partkey"),
+        col("l_shipdate").cast("date").as("d"),
+        col("l_returnflag"), col("l_quantity"))
+      Scd2.temporalJoin(facts, "d", versioned, "p_partkey")
+        .groupBy("version_from", "l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("int")).cast("long").as("sum_qty"))
+        .orderBy(asc_nulls_first("version_from"), col("l_returnflag"))
     }),
   ) ++ ExtQueries.queries
 
@@ -389,36 +396,71 @@ object SparkEntry {
     // open versions against the delta (IS DISTINCT FROM ≡ Spark's <=>
     // negated). (p_partkey, valid_from) is unique → total order.
     "scd2_dim" ->
-      s"""WITH base AS (SELECT p_partkey, p_name, p_brand, p_retailprice FROM part),
-         |cur AS (SELECT *, DATE '2024-01-01' AS valid_from,
-         |    CAST(NULL AS DATE) AS valid_to, true AS is_current FROM base),
-         |upd AS (SELECT p_partkey, p_name, p_brand, p_retailprice + 10.0 AS p_retailprice
-         |    FROM base WHERE p_partkey % 7 = 0
-         |  UNION ALL
-         |  SELECT p_partkey + 1000000, p_name, p_brand, p_retailprice
-         |    FROM base WHERE p_partkey % 97 = 0),
-         |j AS (SELECT c.*, u.p_partkey AS u_key, u.p_name AS u_name,
-         |    u.p_brand AS u_brand, u.p_retailprice AS u_price,
-         |    (c.p_name IS DISTINCT FROM u.p_name
-         |      OR c.p_brand IS DISTINCT FROM u.p_brand
-         |      OR c.p_retailprice IS DISTINCT FROM u.p_retailprice) AS chg
-         |  FROM cur c LEFT JOIN upd u ON c.p_partkey = u.p_partkey),
-         |still AS (SELECT p_partkey, p_name, p_brand, p_retailprice,
-         |    valid_from, valid_to, is_current FROM j WHERE u_key IS NULL OR NOT chg),
-         |closedv AS (SELECT p_partkey, p_name, p_brand, p_retailprice,
-         |    valid_from, DATE '2024-02-01' AS valid_to, false AS is_current
-         |  FROM j WHERE u_key IS NOT NULL AND chg),
-         |openk AS (SELECT u_key FROM j WHERE u_key IS NOT NULL AND chg
-         |  UNION SELECT u.p_partkey FROM upd u LEFT JOIN cur c
-         |    ON u.p_partkey = c.p_partkey WHERE c.p_partkey IS NULL),
-         |opened AS (SELECT u.p_partkey, u.p_name, u.p_brand, u.p_retailprice,
-         |    DATE '2024-02-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
-         |    true AS is_current
-         |  FROM upd u JOIN openk ON u.p_partkey = openk.u_key)
-         |SELECT * FROM (SELECT * FROM still UNION ALL SELECT * FROM closedv
-         |  UNION ALL SELECT * FROM opened)
-         |ORDER BY p_partkey, valid_from""".stripMargin,
+      s"""WITH ${scd2Ctes("2024-01-01", "2024-02-01")}
+         |SELECT * FROM versioned ORDER BY p_partkey, valid_from""".stripMargin,
+
+    // Temporal consumption of the same history: DuckDB's ASOF JOIN is
+    // the interval lookup because SCD2 versions tile time contiguously.
+    "scd2_temporal" ->
+      s"""WITH ${scd2Ctes("1995-01-01", "1998-01-01")},
+         |f AS (SELECT l_partkey AS p_partkey, CAST(l_shipdate AS DATE) AS d,
+         |    l_returnflag, CAST(l_quantity AS INTEGER) AS q FROM lineitem)
+         |SELECT v.valid_from AS version_from, f.l_returnflag,
+         |  count(*) AS n_items, CAST(sum(q) AS BIGINT) AS sum_qty
+         |FROM f ASOF LEFT JOIN versioned v
+         |  ON f.p_partkey = v.p_partkey AND f.d >= v.valid_from
+         |GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2""".stripMargin,
   ) ++ ExtQueries.oracleSql
+
+  /** The SCD2 fixture history shared by `scd2_dim` and `scd2_temporal`:
+    * day-1 initial load of the part dim at `d1`, one delta at `d2`
+    * (every 7th part's price +10, every 97th respawned under key +1e6)
+    * merged with [[graft.etl.Scd2.merge]].
+    */
+  private def scd2Versioned(s: SparkSession, dir: String,
+      d1: String, d2: String): DataFrame = {
+    val base = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_retailprice"))
+    val upd = base.where(col("p_partkey") % 7 === 0)
+      .withColumn("p_retailprice", col("p_retailprice") + 10.0)
+      .unionByName(base.where(col("p_partkey") % 97 === 0)
+        .withColumn("p_partkey", col("p_partkey") + 1000000L))
+    Scd2.merge(Scd2.init(base, java.sql.Date.valueOf(d1)), upd, "p_partkey",
+      Seq("p_name", "p_brand", "p_retailprice"), java.sql.Date.valueOf(d2))
+  }
+
+  /** DuckDB CTE chain ending in `versioned` — [[scd2Versioned]]'s oracle
+    * twin, parametrized on the same two dates.
+    */
+  private def scd2Ctes(d1: String, d2: String): String =
+    s"""base AS (SELECT p_partkey, p_name, p_brand, p_retailprice FROM part),
+       |cur AS (SELECT *, DATE '$d1' AS valid_from,
+       |    CAST(NULL AS DATE) AS valid_to, true AS is_current FROM base),
+       |upd AS (SELECT p_partkey, p_name, p_brand, p_retailprice + 10.0 AS p_retailprice
+       |    FROM base WHERE p_partkey % 7 = 0
+       |  UNION ALL
+       |  SELECT p_partkey + 1000000, p_name, p_brand, p_retailprice
+       |    FROM base WHERE p_partkey % 97 = 0),
+       |j AS (SELECT c.*, u.p_partkey AS u_key, u.p_name AS u_name,
+       |    u.p_brand AS u_brand, u.p_retailprice AS u_price,
+       |    (c.p_name IS DISTINCT FROM u.p_name
+       |      OR c.p_brand IS DISTINCT FROM u.p_brand
+       |      OR c.p_retailprice IS DISTINCT FROM u.p_retailprice) AS chg
+       |  FROM cur c LEFT JOIN upd u ON c.p_partkey = u.p_partkey),
+       |still AS (SELECT p_partkey, p_name, p_brand, p_retailprice,
+       |    valid_from, valid_to, is_current FROM j WHERE u_key IS NULL OR NOT chg),
+       |closedv AS (SELECT p_partkey, p_name, p_brand, p_retailprice,
+       |    valid_from, DATE '$d2' AS valid_to, false AS is_current
+       |  FROM j WHERE u_key IS NOT NULL AND chg),
+       |openk AS (SELECT u_key FROM j WHERE u_key IS NOT NULL AND chg
+       |  UNION SELECT u.p_partkey FROM upd u LEFT JOIN cur c
+       |    ON u.p_partkey = c.p_partkey WHERE c.p_partkey IS NULL),
+       |opened AS (SELECT u.p_partkey, u.p_name, u.p_brand, u.p_retailprice,
+       |    DATE '$d2' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+       |    true AS is_current
+       |  FROM upd u JOIN openk ON u.p_partkey = openk.u_key),
+       |versioned AS (SELECT * FROM still UNION ALL SELECT * FROM closedv
+       |  UNION ALL SELECT * FROM opened)""".stripMargin
 
   /** Two staged days (D, D+1) unioned — shared by daily_union and
     * csv_partitioned.

@@ -80,4 +80,26 @@ object Scd2 {
   def asOf(versioned: DataFrame, date: Date): DataFrame =
     versioned.where(col("valid_from") <= lit(date) &&
       (col("valid_to").isNull || col("valid_to") > lit(date)))
+
+  /** Fact-side TEMPORAL dimension join — each fact row picks up the
+    * dimension version valid on ITS OWN date (`version_from` + the
+    * requested `payload` attributes; facts dated before the key's first
+    * version keep nulls). This is the consumption pattern SCD2 history
+    * exists for: "price the order at the price of its day", at fact
+    * scale.
+    *
+    * Because [[merge]] keeps each key's versions TILING time
+    * contiguously (a version closes exactly where the next opens), the
+    * interval-containment lookup reduces to an as-of join on
+    * `valid_from` — so this delegates to [[graft.ext.AsOfJoin]]'s
+    * union + one-window-pass plan: one key shuffle of facts + versions,
+    * linear on hot keys, never the key-equal cross product a range
+    * predicate would plan.
+    */
+  def temporalJoin(fact: DataFrame, dateCol: String, versioned: DataFrame,
+      key: String, payload: Seq[String] = Nil): DataFrame =
+    graft.ext.AsOfJoin.asOf(fact,
+      versioned.select((col(key) +: col("valid_from") +: payload.map(col)): _*)
+        .withColumn("version_from", col("valid_from")),
+      key, dateCol, "valid_from", "version_from" +: payload)
 }

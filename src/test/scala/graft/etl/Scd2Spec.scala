@@ -58,6 +58,25 @@ class Scd2Spec extends SparkSpec {
     assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty)
   }
 
+  test("temporalJoin prices each fact at its own date's version") {
+    val v = Scd2.merge(Scd2.init(dim, d1),
+      Seq((1L, "widget", 15.0)).toDF("k", "name", "price"),
+      "k", Seq("name", "price"), d2)
+    val facts = Seq(
+      (100L, 1L, Date.valueOf("2024-01-15")), // v1 window → 10.0
+      (101L, 1L, d2), // change day → NEW version owns it
+      (102L, 1L, Date.valueOf("2024-05-01")), // open version → 15.0
+      (103L, 2L, Date.valueOf("2024-05-01")), // unchanged key → 20.0
+      (104L, 1L, Date.valueOf("2023-06-01"))) // before first load → null
+      .toDF("fact_id", "k", "d")
+    val out = Scd2.temporalJoin(facts, "d", v, "k", Seq("price"))
+      .orderBy("fact_id")
+      .collect().map(r => (r.getLong(0), r.getDate(3), Option(r.getAs[Any]("price"))))
+    assert(out.toSeq === Seq(
+      (100L, d1, Some(10.0)), (101L, d2, Some(15.0)), (102L, d2, Some(15.0)),
+      (103L, d1, Some(20.0)), (104L, null, None)))
+  }
+
   test("asOf reads the version covering the date, half-open intervals") {
     val v = Scd2.merge(Scd2.init(dim, d1),
       Seq((1L, "widget", 15.0)).toDF("k", "name", "price"),
