@@ -25,6 +25,17 @@ case class AsOfBuf(views: Seq[AsOfView], pending: Seq[AsOfPending])
 case class Attribution(event_id: Long, user_id: Long, ts: Timestamp,
     purchase_value: Double, view_id: Option[Long], view_ts: Option[Timestamp])
 
+/** Input / state / output rows of [[StreamingOps.rollingFeaturesStream]]
+  * (top-level for Encoder derivation, like the AsOf* family).
+  */
+case class RollEvent(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, cents: Long)
+case class RollEv(ts: Timestamp, cents: Long)
+case class RollPending(event_id: Long, ts: Timestamp)
+case class RollBuf(events: Seq[RollEv], pending: Seq[RollPending])
+case class RollFeature(event_id: Long, user_id: Long, ts: Timestamp,
+    n_1h: Long, sum_1h: Double)
+
 /** Structured Streaming forms of the event operators (SURVEY.md §2.11
   * X6 + the north-star streaming surface). The reference is batch-only —
   * its freshness model is per-date re-runs (dags/retail_pipeline_dag
@@ -114,6 +125,40 @@ object StreamingOps {
       .as[AsOfEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(attributeUser)
+  }
+
+  /** Streaming POINT-IN-TIME rolling features — the stateful twin of
+    * [[graft.ext.Events.rollingFeatures]]: per purchase (label) event,
+    * the user's preceding-hour activity (count + exact integer-cents
+    * sum), emitted exactly once when the WATERMARK passes the purchase —
+    * at which point every in-order event of its frame has arrived, so
+    * the streamed features equal the batch window's (asserted in
+    * StreamingOpsSpec over out-of-order arrivals).
+    *
+    * State per user is the [[attributionStream]] discipline: buffered
+    * events evict once `ts + window < watermark` (they can no longer
+    * fall in any unfinalized purchase's frame, since pending purchases
+    * all sit at-or-after the watermark) — O(window × rate), never
+    * O(history); the event-time timeout re-arms while purchases are
+    * pending so finalization rides the watermark, with or without new
+    * data for the user. Frame arithmetic is integer MICROseconds
+    * (timestamps carry sub-millisecond components; `getTime` alone
+    * would misplace frame-boundary events), matching the batch
+    * `rangeBetween` frame exactly.
+    */
+  def rollingFeaturesStream(events: DataFrame,
+      lateness: String = "30 minutes",
+      windowSeconds: Long = 3600L): Dataset[RollFeature] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[RollEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        rollUser(windowSeconds * 1000000L))
   }
 
   /** Streaming incremental near-dup dedup: every micro-batch of arriving
@@ -410,6 +455,47 @@ object StreamingOps {
         graft.etl.Alerts.notify(graft.etl.Alerts.build(batch, k), sink, subject)
         ()
       }
+
+  /** Exact event-time micros — `getTime` truncates the sub-millisecond
+    * part `Timestamp` carries in nanos; the batch frame is defined in
+    * micros, so the streaming frame must be too.
+    */
+  private def micros(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+  /** Per-user state transition of [[rollingFeaturesStream]]; also
+    * invoked on event-time timeout with an empty iterator.
+    */
+  private def rollUser(frameUs: Long)(userId: Long, rows: Iterator[RollEvent],
+      state: GroupState[RollBuf]): Iterator[RollFeature] = {
+    val prev = state.getOption.getOrElse(RollBuf(Nil, Nil))
+    val in = rows.toVector
+    val evs = prev.events ++ in.map(e => RollEv(e.ts, e.cents))
+    val pending = prev.pending ++
+      in.filter(_.event_type == "purchase").map(e => RollPending(e.event_id, e.ts))
+    val wm = state.getCurrentWatermarkMs()
+    // Strictly-before-watermark purchases are final: every non-late
+    // frame member (ts ≤ p.ts < wm) has arrived.
+    val (ready, stillPending) = pending.partition(_.ts.getTime < wm)
+    val out = ready.sortBy(p => (p.ts.getTime, p.event_id)).map { p =>
+      val pUs = micros(p.ts)
+      val frame = evs.filter { e =>
+        val t = micros(e.ts); t >= pUs - frameUs && t <= pUs
+      }
+      RollFeature(p.event_id, userId, p.ts,
+        frame.size.toLong, frame.map(_.cents).sum / 100.0)
+    }
+    // An event can still serve any purchase with p.ts ∈ [t, t + frame];
+    // unfinalized purchases sit at-or-after the watermark.
+    val keep = evs.filter(e => micros(e.ts) + frameUs >= wm * 1000L)
+    if (keep.isEmpty && stillPending.isEmpty) state.remove()
+    else {
+      state.update(RollBuf(keep, stillPending))
+      if (stillPending.nonEmpty)
+        state.setTimeoutTimestamp(math.max(wm + 1, stillPending.map(_.ts.getTime).min + 1))
+    }
+    out.iterator
+  }
 
   /** Per-user state transition; also invoked on event-time timeout with
     * an empty iterator.

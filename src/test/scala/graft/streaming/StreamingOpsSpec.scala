@@ -435,6 +435,39 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rolling features match the batch window once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.rollingFeaturesStream(mem.toDF())
+      .writeStream.format("memory").queryName("roll_out")
+      .outputMode("append").start()
+    try {
+      val evs = Seq(
+        Ev(1L, ts("2024-01-01 10:00:00"), 1L, "view", 10.00),
+        Ev(2L, ts("2024-01-01 10:30:00"), 1L, "click", 20.00),
+        Ev(3L, ts("2024-01-01 11:00:00"), 1L, "purchase", 30.00), // frame = 1,2,3
+        Ev(4L, ts("2024-01-01 11:30:01"), 1L, "purchase", 5.00), // 10:30:01+ → 2,3,4
+        Ev(5L, ts("2024-01-01 10:59:00"), 2L, "purchase", 1.25)) // own frame only
+      // Batch 1 keeps the watermark low; batch 2 arrives OUT OF ORDER;
+      // sentinels push the watermark past every purchase and fire the
+      // re-armed timeout.
+      mem.addData(evs(0), evs(4)); q.processAllAvailable()
+      mem.addData(evs(3), evs(1), evs(2)); q.processAllAvailable()
+      mem.addData(Ev(99L, ts("2024-01-02 12:00:00"), 999L, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Ev(100L, ts("2024-01-02 13:00:00"), 999L, "view", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("roll_out")
+        .select("event_id", "user_id", "ts", "n_1h", "sum_1h")
+        .orderBy("event_id").collect()
+      val batched = graft.ext.Events.rollingFeatures(evs.toDF())
+        .orderBy("event_id").collect()
+      assert(streamed.toSeq === batched.toSeq)
+      assert(streamed.length === 3)
+    } finally q.stop()
+  }
+
   test("streaming attribution matches the batch as-of join once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
