@@ -463,6 +463,11 @@ object ExtQueries {
       Events.retentionCohorts(Tables.events(s, dir))
         .orderBy("cohort_day", "day_offset")),
 
+    // X6 — session behavior-flow transition matrix (adjacent event-type
+    // pairs within sessions).
+    "session_transitions" -> ((s, dir) =>
+      Events.transitions(Tables.events(s, dir)).orderBy("from_type", "to_type")),
+
     // X6 — point-in-time rolling features at purchase (label) time:
     // preceding-hour user activity via ONE range-frame window pass.
     "rolling_features" -> ((s, dir) =>
@@ -1228,6 +1233,15 @@ object ExtQueries {
          |  count(*) AS n_users
          |FROM act JOIN coh USING (user_id)
          |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "session_transitions" ->
+      s"""WITH $sessionCtes,
+         |t AS (SELECT event_type AS from_type,
+         |    lead(event_type) OVER (PARTITION BY user_id, session_no
+         |      ORDER BY ts, event_id) AS to_type FROM s)
+         |SELECT from_type, to_type, count(*) AS n_transitions
+         |FROM t WHERE to_type IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Integer-cents frame sum → bit-identical despite DuckDB's
     // segment-tree vs Spark's running-sum accumulation order.

@@ -218,6 +218,23 @@ object SparkEntry {
         .unionByName(RetailMapping.stagedSales(s, dir, N))
         .orderBy("date_key", "sku")),
 
+    // Pivot — the wide-format aggregate (§2.5 family): per-day event
+    // counts spread across one column per event type. Values pinned
+    // explicitly so the output schema is static (the scale rule: an
+    // unpinned pivot pays a distinct-values job and risks column
+    // explosion); empty cells filled 0 to match the oracle's FILTER
+    // counts.
+    "daily_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, dir)
+        .select(col("ts").cast("date").as("d"), col("event_type"))
+        .groupBy("d")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+        .orderBy("d")
+    }),
+
     // Declarative data-quality gate: per-rule violation counts in one
     // aggregate pass (row rules) + one key groupBy + one anti-join FK
     // probe. Thresholds chosen so range/unique rules fire non-trivially
@@ -365,6 +382,15 @@ object SparkEntry {
     // Same observable result as daily_union: the partition-discovery CSV
     // round trip must reproduce the two staged days exactly.
     "csv_partitioned" -> twoDayUnionSql,
+
+    "daily_pivot" ->
+      s"""SELECT CAST(ts AS DATE) AS d,
+         |  count(*) FILTER (event_type = 'click') AS click,
+         |  count(*) FILTER (event_type = 'error') AS error,
+         |  count(*) FILTER (event_type = 'purchase') AS purchase,
+         |  count(*) FILTER (event_type = 'signup') AS signup,
+         |  count(*) FILTER (event_type = 'view') AS view
+         |FROM events GROUP BY 1 ORDER BY d""".stripMargin,
 
     "dq_checks" ->
       s"""SELECT * FROM (

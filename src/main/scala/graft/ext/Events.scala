@@ -134,6 +134,25 @@ object Events {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** X6 — session BEHAVIOR-FLOW transition matrix: adjacent (from → to)
+    * event-type pairs within a session, counted corpus-wide — the
+    * product-analytics "where do users go next" aggregate (ClickHouse's
+    * behavior-flow / Markov-chain input). Output: from_type, to_type,
+    * n_transitions.
+    *
+    * Plan shape: [[withSessions]]' single user_id exchange also serves
+    * the (user_id, session_no) lead window — the partition keys nest,
+    * so the second window adds no shuffle; the final matrix is a
+    * |types|²-keyspace hash aggregate with map-side partials.
+    */
+  def transitions(events: DataFrame): DataFrame =
+    withSessions(events)
+      .withColumn("to_type", lead("event_type", 1).over(
+        Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+
   /** The `value` column recovered as EXACT integer cents. The data is on
     * a 2-decimal grid, so `round(value * 100)` lands on the true integer
     * on every engine (the product's FP error is ≪ 0.5 and positives

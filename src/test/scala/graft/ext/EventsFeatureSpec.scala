@@ -53,6 +53,25 @@ class EventsFeatureSpec extends SparkSpec {
       === Seq((4L, 15.00)))
   }
 
+  test("transitions: adjacent pairs within sessions only, never across the gap") {
+    val events = Seq(
+      // user 1 session 1: view → click → purchase.
+      ev(1, 1, "2024-01-01 10:00:00", "view", 0),
+      ev(2, 1, "2024-01-01 10:05:00", "click", 0),
+      ev(3, 1, "2024-01-01 10:10:00", "purchase", 0),
+      // > 6h gap → new session: purchase → view must NOT be counted
+      // across it; within session 2: view → view.
+      ev(4, 1, "2024-01-01 20:00:00", "view", 0),
+      ev(5, 1, "2024-01-01 20:01:00", "view", 0),
+      // user 2: single event → no transitions.
+      ev(6, 2, "2024-01-01 10:00:00", "click", 0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.transitions(events)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(
+      ("view", "click", 1L), ("click", "purchase", 1L), ("view", "view", 1L)))
+  }
+
   test("anomalies: flags exactly the |z| > 3 rows of each type, per-type moments") {
     // Mirror-image populations: A = {40×10.00, one 1000.00}, B =
     // {40×1000.00, one 10.00}. Per type, exactly the lone value is a
