@@ -468,6 +468,12 @@ object ExtQueries {
     "session_transitions" -> ((s, dir) =>
       Events.transitions(Tables.events(s, dir)).orderBy("from_type", "to_type")),
 
+    // X6 — 3-step ordered funnel (signup → view → purchase, 7-day
+    // completion window, first-touch anchoring).
+    "funnel_depth" -> ((s, dir) =>
+      Events.funnelDepth(Tables.events(s, dir),
+        Seq("signup", "view", "purchase")).orderBy("user_id")),
+
     // X6 — point-in-time rolling features at purchase (label) time:
     // preceding-hour user activity via ONE range-frame window pass.
     "rolling_features" -> ((s, dir) =>
@@ -1242,6 +1248,29 @@ object ExtQueries {
          |SELECT from_type, to_type, count(*) AS n_transitions
          |FROM t WHERE to_type IS NOT NULL
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The same conditional-min chain: each tᵢ₊₁ is a FILTER'd min
+    // anchored at t1's window; depth = non-null prefix length.
+    "funnel_depth" ->
+      s"""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+         |    WHERE event_type = 'signup' GROUP BY 1),
+         |s2 AS (SELECT s1.user_id, s1.t1,
+         |    min(e.ts) FILTER (e.ts >= s1.t1
+         |      AND epoch_us(e.ts) - epoch_us(s1.t1) <= 604800000000) AS t2
+         |  FROM s1 LEFT JOIN events e
+         |    ON e.user_id = s1.user_id AND e.event_type = 'view'
+         |  GROUP BY 1, 2),
+         |s3 AS (SELECT s2.user_id, s2.t1, s2.t2,
+         |    min(e.ts) FILTER (e.ts >= s2.t2
+         |      AND epoch_us(e.ts) - epoch_us(s2.t1) <= 604800000000) AS t3
+         |  FROM s2 LEFT JOIN events e
+         |    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+         |  GROUP BY 1, 2, 3)
+         |SELECT user_id,
+         |  (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+         |   + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+         |   + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS depth
+         |FROM s3 ORDER BY user_id""".stripMargin,
 
     // Integer-cents frame sum → bit-identical despite DuckDB's
     // segment-tree vs Spark's running-sum accumulation order.

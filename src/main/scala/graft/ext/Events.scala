@@ -153,6 +153,42 @@ object Events {
       .groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n_transitions"))
 
+  /** X6 — k-step ORDERED funnel with a completion window: per user, the
+    * depth of the FIRST-TOUCH chain through `steps` — t1 = the user's
+    * earliest step-1 event, each tᵢ₊₁ = the earliest stepᵢ₊₁ event
+    * at-or-after tᵢ and within `windowSeconds` of t1. Output: user_id,
+    * depth (1..k; users with no step-1 event are absent). The
+    * ClickHouse-windowFunnel shape with pinned deterministic semantics:
+    * anchoring at the FIRST step-1 touch (not best-of-any-chain) makes
+    * every tᵢ a conditional min — exact, portable, no per-user fold.
+    *
+    * Plan shape: one conditional-min aggregate per step, all keyed on
+    * user_id — the first aggregate's exchange serves every later join
+    * and aggregate (k − 1 user-keyed left joins, no new shuffles of the
+    * event stream beyond the per-step filtered projections). Depth is a
+    * pure projection: tᵢ₊₁ non-null implies tᵢ non-null by
+    * construction, so the non-null count IS the chain prefix length.
+    */
+  def funnelDepth(events: DataFrame, steps: Seq[String],
+      windowSeconds: Long = 7 * 86400L): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val wUs = windowSeconds * 1000000L
+    val base = events.select(col("user_id"), col("ts"), col("event_type"))
+    val first = base.where(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val chained = steps.drop(1).zipWithIndex.foldLeft(first) {
+      case (acc, (st, i)) =>
+        val ok = col("ts") >= col(s"t${i + 1}") &&
+          unix_micros(col("ts")) - unix_micros(col("t1")) <= wUs
+        acc.join(base.where(col("event_type") === st), Seq("user_id"), "left")
+          .groupBy(acc.columns.map(col): _*)
+          .agg(min(when(ok, col("ts"))).as(s"t${i + 2}"))
+    }
+    chained.select(col("user_id"),
+      steps.indices.map(i => when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L))
+        .reduce(_ + _).as("depth"))
+  }
+
   /** The `value` column recovered as EXACT integer cents. The data is on
     * a 2-decimal grid, so `round(value * 100)` lands on the true integer
     * on every engine (the product's FP error is ≪ 0.5 and positives

@@ -72,6 +72,34 @@ class EventsFeatureSpec extends SparkSpec {
       ("view", "click", 1L), ("click", "purchase", 1L), ("view", "view", 1L)))
   }
 
+  test("funnelDepth: ordered chain, window cap, first-touch anchoring") {
+    val events = Seq(
+      // A completes signup → view → purchase in order, inside 7 days.
+      ev(1, 1, "2024-01-01 10:00:00", "signup", 0),
+      ev(2, 1, "2024-01-02 10:00:00", "view", 0),
+      ev(3, 1, "2024-01-03 10:00:00", "purchase", 0),
+      // B: view BEFORE signup → that view can't count; no later view.
+      ev(4, 2, "2024-01-01 09:00:00", "view", 0),
+      ev(5, 2, "2024-01-01 10:00:00", "signup", 0),
+      // C: full chain but the purchase lands past the 7-day window.
+      ev(6, 3, "2024-01-01 10:00:00", "signup", 0),
+      ev(7, 3, "2024-01-02 10:00:00", "view", 0),
+      ev(8, 3, "2024-01-20 10:00:00", "purchase", 0),
+      // D: never signs up → absent from the funnel.
+      ev(9, 4, "2024-01-01 10:00:00", "purchase", 0),
+      // E: first-touch anchoring pinned — the window counts from the
+      // FIRST signup, so the view on day 8 (1 h after a second signup)
+      // is out of window and E stays at depth 1. Best-of-any-chain
+      // semantics would score 2 here.
+      ev(10, 5, "2024-01-01 10:00:00", "signup", 0),
+      ev(11, 5, "2024-01-09 10:00:00", "signup", 0),
+      ev(12, 5, "2024-01-09 11:00:00", "view", 0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.funnelDepth(events, Seq("signup", "view", "purchase"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 5L -> 1L))
+  }
+
   test("anomalies: flags exactly the |z| > 3 rows of each type, per-type moments") {
     // Mirror-image populations: A = {40×10.00, one 1000.00}, B =
     // {40×1000.00, one 10.00}. Per type, exactly the lone value is a
