@@ -91,6 +91,21 @@ object ExtQueries {
          |    THEN 1.0 ELSE -1.0 END))) > 0 THEN ${1 << i} ELSE 0 END""".stripMargin
     }.mkString("(", " + ", ")")
 
+  /** Quantize-then-dequantize CTE chain ending in `dq` — the oracle twin
+    * of Similarity.quantizeEmbeddings + the q·scale reconstruction,
+    * shared by `ann_topk_quantized` and `ann_topk_rerank`.
+    */
+  private val dequantCtes: String =
+    """s AS (SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+      |  FROM embeddings),
+      |dq AS (SELECT vec_id,
+      |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> CAST(0 AS FLOAT))
+      |         ELSE list_transform(embedding,
+      |                x -> CAST(CAST(floor(x::DOUBLE / scale + 0.5) AS INTEGER)::DOUBLE
+      |                          * scale AS FLOAT)) END AS embedding
+      |  FROM s)""".stripMargin
+
   /** Session-assignment CTE chain ending in `s` (events + session_no) —
     * Events.withSessions' oracle twin, shared by `sessionize` and
     * `session_funnel`.
@@ -642,6 +657,11 @@ object ExtQueries {
       castLongs(Similarity.topKQuantized(Tables.embeddings(s, dir)), "rank")
         .orderBy("probe_id", "rank")),
 
+    // X3 — two-stage retrieval: coarse int8 candidates, exact re-rank.
+    "ann_topk_rerank" -> ((s, dir) =>
+      castLongs(Similarity.topKRerank(Tables.embeddings(s, dir)), "rank")
+        .orderBy("probe_id", "rank")),
+
     // X3 — per-(label, dim) centroid components (exact-decimal mean).
     "label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Tables.embeddings(s, dir)).orderBy("label", "dim")),
@@ -830,21 +850,33 @@ object ExtQueries {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "ann_topk_quantized" ->
-      s"""WITH s AS (SELECT vec_id, embedding,
-         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
-         |  FROM embeddings),
-         |dq AS (SELECT vec_id,
-         |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> CAST(0 AS FLOAT))
-         |         ELSE list_transform(embedding,
-         |                x -> CAST(CAST(floor(x::DOUBLE / scale + 0.5) AS INTEGER)::DOUBLE
-         |                          * scale AS FLOAT)) END AS embedding
-         |  FROM s),
+      s"""WITH $dequantCtes,
          |pairs AS (
          |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
          |  FROM dq a JOIN dq b ON a.vec_id != b.vec_id
          |  WHERE a.vec_id % 50 = 0 AND a.vec_id < ${50L * Similarity.MaxProbes}),
          |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
          |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
+         |SELECT probe_id, rank, neighbor_id, cosine FROM r
+         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // Coarse-then-rerank: quantized-cosine candidate rank ≤ 25 from the
+    // dq store, exact float cosine re-rank of just those pairs.
+    "ann_topk_rerank" ->
+      s"""WITH $dequantCtes,
+         |cp AS (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
+         |  FROM dq a JOIN dq b ON a.vec_id != b.vec_id
+         |  WHERE a.vec_id % 50 = 0 AND a.vec_id < ${50L * Similarity.MaxProbes}),
+         |cr AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY cosine DESC, neighbor_id) AS crank FROM cp),
+         |ex AS (
+         |  SELECT c.probe_id, c.neighbor_id, $cosSql AS cosine
+         |  FROM (SELECT probe_id, neighbor_id FROM cr WHERE crank <= 25) c
+         |  JOIN embeddings a ON a.vec_id = c.probe_id
+         |  JOIN embeddings b ON b.vec_id = c.neighbor_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rank FROM ex)
          |SELECT probe_id, rank, neighbor_id, cosine FROM r
          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 

@@ -567,6 +567,37 @@ object Similarity {
     topKBruteForce(deq, probeEvery, k)
   }
 
+  /** X3 — TWO-STAGE retrieval (coarse-then-rerank, the production
+    * pattern every quantized index serves): stage 1 scans the int8
+    * store for each probe's `coarseK` quantized-cosine candidates
+    * ([[topKQuantized]] — the big scan touches only the 4×-smaller
+    * form); stage 2 re-scores JUST those P×coarseK candidates against
+    * the full-precision float embeddings and keeps the exact top-k. The
+    * reported cosines are exact (quantization error confined to
+    * candidate SELECTION, where only rank-boundary neighbors can be
+    * lost), and `coarseK = corpus` degenerates to exact brute force
+    * (spec-asserted).
+    *
+    * Plan shape: the candidate list is bounded (≤ MaxProbes · coarseK
+    * rows), so both re-rank joins broadcast the candidate/probe side;
+    * the float store is only ever probed pointwise — at 100 TB the
+    * floats can live in cold storage while the int8 form serves the
+    * scan.
+    */
+  def topKRerank(embeddings: DataFrame, probeEvery: Int = 50, k: Int = 5,
+      coarseK: Int = 25, store: Option[DataFrame] = None): DataFrame = {
+    val cand = topKQuantized(embeddings, probeEvery, coarseK, store)
+      .select(col("probe_id"), col("neighbor_id"))
+    val exact = cand
+      .join(embeddings.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb")), "neighbor_id")
+      .join(probes(embeddings, probeEvery).select(col("vec_id").as("probe_id"),
+        col("embedding").as("p_emb")), "probe_id")
+      .select(col("probe_id"), col("neighbor_id"),
+        TextOps.trunc6(CosineSimilarity(col("p_emb"), col("n_emb"))).as("cosine"))
+    topK(exact, k)
+  }
+
   /** X3 — MULTI-PROBE IVF: search the `nprobe` cells whose trained
     * centroids are most cosine-similar to each probe, instead of exactly
     * the probe's own cell — the standard IVF recall knob. Single-cell

@@ -141,6 +141,31 @@ class SimilarityCentroidSpec extends SparkSpec {
     assert(viaStore === quant)
   }
 
+  test("topKRerank: exact cosines, brute-force equivalence at full coarse width") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.topKBruteForce(d, probeEvery = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // coarseK ≥ corpus: the coarse stage keeps everything, the re-rank
+    // IS brute force — row-identical including the exact cosines.
+    val full = Similarity.topKRerank(d, probeEvery = 10, k = 5,
+      coarseK = d.count().toInt).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(full.sorted.toSeq === exact.sorted.toSeq)
+    // Default narrow coarse stage: scores are still EXACT cosines (the
+    // quantization error is confined to candidate selection), and
+    // recall stays high.
+    val exactScores = exact.map(t => (t._1, t._3) -> t._4).toMap
+    val narrow = Similarity.topKRerank(d, probeEvery = 10, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    narrow.foreach { case (p, n, c) =>
+      exactScores.get((p, n)).foreach(e => assert(e === c,
+        s"rerank must report the exact cosine for ($p, $n)"))
+    }
+    val hitSet = narrow.map(t => (t._1, t._2)).toSet
+    val recall = exact.count(t => hitSet.contains((t._1, t._3))).toDouble / exact.length
+    assert(recall >= 0.9, s"rerank recall $recall")
+  }
+
   test("topKIvfTrained against a parquet-round-tripped assignment store ≡ in-query training") {
     val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfstore").toString
