@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsOfJoin, Corpus, Dedup, Events, Multimodal, Privacy, RangeJoin, SaltedJoin, Similarity, TextOps}
+import graft.ext.{AsOfJoin, BloomJoin, Corpus, Dedup, Events, Multimodal, Privacy, RangeJoin, Retail, SaltedJoin, Similarity, Sketches, TextOps}
 import graft.etl.ZOrder
 
 /** Extension-surface queries (SURVEY.md §2.11 X1–X6 + the LLM-data-
@@ -543,6 +543,22 @@ object ExtQueries {
         .orderBy("event_id")
     }),
 
+    // X7 — Bloom-filter pruned equi-join: the probe side (lineitem) is
+    // semi-join-reduced by a broadcast 128 KiB bit array built from the
+    // filtered dim's keys BEFORE the join shuffle. Bloom filters have no
+    // false negatives, so the result ≡ the plain join — the oracle IS
+    // the unhinted SQL join (see BloomJoin scaladoc).
+    "bloom_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_quantity"))
+      val pt = Tables.part(s, dir).where(col("p_size") <= 5)
+        .select(col("p_partkey"), col("p_brand"))
+      BloomJoin.join(li, "l_partkey", pt, "p_partkey")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .orderBy("p_brand")
+    }),
+
     // X7 — skew-safe salted equi-join (lineitem ⋈ orders), rolled up per
     // priority. Output is identical to the plain join; the salting is
     // physical-plan insurance for hot keys (see SaltedJoin scaladoc).
@@ -557,6 +573,27 @@ object ExtQueries {
           sum(col("l_quantity")).cast("long").as("sum_qty"))
         .orderBy("o_orderpriority")
     }),
+
+    // Retail — ABC (Pareto) classification per brand: integer-exact
+    // cumulative revenue shares (cum·100 ≤ tot·80 cross-multiplication),
+    // brand-partitioned so the cumsum distributes.
+    "abc_class" -> ((s, dir) =>
+      Retail.abcClassification(Tables.lineitem(s, dir), Tables.part(s, dir))
+        .orderBy(col("p_brand"), col("rev_cents").desc, col("p_partkey"))),
+
+    // Retail — trailing 7-day demand per (brand, ship-day): RANGE frame
+    // over the integer day index on the tiny post-aggregate frame.
+    "demand_forecast" -> ((s, dir) =>
+      Retail.demandForecast(Tables.lineitem(s, dir), Tables.part(s, dir), 1995)
+        .orderBy("p_brand", "day")),
+
+    // Sketch — KMV distinct-count estimate: per event type, the
+    // estimated distinct-user cardinality from a 64-hash k-minimum-
+    // values sketch (bounded, mergeable; see Sketches scaladoc). The
+    // oracle replays the same order statistics + integer estimator.
+    "kmv_distinct" -> ((s, dir) =>
+      Sketches.kmvDistinct(Tables.events(s, dir), Seq("event_type"), "user_id", 64)
+        .orderBy("event_type")),
 
     // X3 — brute-force cosine top-k (custom codegen'd expression).
     "ann_topk" -> ((s, dir) =>
@@ -1354,11 +1391,69 @@ object ExtQueries {
          |  ON p.user_id = v.user_id AND p.ts >= v.vts
          |ORDER BY p.event_id""".stripMargin,
 
+    "bloom_join" ->
+      s"""SELECT p_brand, count(*) AS n_items,
+         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_size <= 5
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "salted_rollup" ->
       s"""SELECT o_orderpriority, count(*) AS n_items,
          |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "abc_class" ->
+      s"""WITH rev AS (
+         |  SELECT p_brand, p_partkey,
+         |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         |      AS rev_cents
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1, 2),
+         |w AS (
+         |  SELECT *,
+         |    row_number() OVER br AS rn,
+         |    sum(rev_cents) OVER (br ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(rev_cents) OVER (PARTITION BY p_brand) AS tot
+         |  FROM rev
+         |  WINDOW br AS (PARTITION BY p_brand
+         |    ORDER BY rev_cents DESC, p_partkey))
+         |SELECT p_brand, p_partkey, rev_cents,
+         |  CASE WHEN rn = 1 OR cum * 100 <= tot * 80 THEN 'A'
+         |       WHEN cum * 100 <= tot * 95 THEN 'B'
+         |       ELSE 'C' END AS abc_class
+         |FROM w ORDER BY p_brand, rev_cents DESC, p_partkey""".stripMargin,
+
+    "demand_forecast" ->
+      s"""WITH daily AS (
+         |  SELECT p_brand, CAST(l_shipdate AS DATE) AS day,
+         |    CAST(sum(l_quantity) AS BIGINT) AS qty
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= DATE '1995-01-01'
+         |    AND l_shipdate < DATE '1996-01-01'
+         |  GROUP BY 1, 2)
+         |SELECT p_brand, day, qty,
+         |  CAST(sum(qty) OVER w AS BIGINT) AS qty_7d,
+         |  count(*) OVER w AS days_observed
+         |FROM daily
+         |WINDOW w AS (PARTITION BY p_brand
+         |  ORDER BY datediff('day', DATE '1970-01-01', day)
+         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |ORDER BY p_brand, day""".stripMargin,
+
+    "kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |    ${hash60Sql("user_id::VARCHAR")} AS h FROM events),
+         |r AS (SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+         |s AS (SELECT event_type, count(*) AS cnt, max(h) AS kth
+         |    FROM r WHERE rn <= 64 GROUP BY 1)
+         |SELECT event_type,
+         |  CASE WHEN cnt < 64 THEN cnt
+         |       ELSE (63::HUGEINT * 1152921504606846976 // kth)::BIGINT
+         |  END AS est_distinct
+         |FROM s ORDER BY event_type""".stripMargin,
 
     "ann_topk" ->
       s"""WITH pairs AS (

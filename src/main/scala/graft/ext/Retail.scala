@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retail analytics on top of the reconciliation star schema — the
+  * queries the reference's warehouse exists to serve (its README pitches
+  * the Redshift layer for exactly this reporting tier). Both operators
+  * are window-function shapes over the fact table with EXACT integer
+  * arithmetic (the cents grid trick of `Events`), so the DuckDB oracle
+  * replays them bit-for-bit.
+  */
+object Retail {
+
+  /** Price recovered as exact integer cents: the data sits on a
+    * 2-decimal grid, `round(x·100)` lands on the true integer on both
+    * engines (see Events.cents).
+    */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** ABC (Pareto) classification of parts WITHIN each brand: rank by
+    * revenue descending, class A = the items making up the first 80% of
+    * cumulative brand revenue, B = to 95%, C = the tail. The top item of
+    * every brand is A by convention (a single dominant item can overshoot
+    * 80% alone). Share thresholds compare by integer cross-multiplication
+    * (cum·100 ≤ tot·80) — no division, no FP drift.
+    *
+    * Scale: the window partitions by brand, so the cumulative sum
+    * distributes (one key shuffle, per-brand sorted streams). A GLOBAL
+    * ABC over one giant partition would serialize — at 100 TB run the
+    * same plan per category/brand (this shape) or two-pass with a
+    * range-partitioned prefix sum.
+    */
+  def abcClassification(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val rev = lineitem
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev_cents"))
+    val byBrand = Window.partitionBy("p_brand")
+      .orderBy(col("rev_cents").desc, col("p_partkey"))
+    val cum = Window.partitionBy("p_brand")
+      .orderBy(col("rev_cents").desc, col("p_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("p_brand")
+    rev
+      .withColumn("rn", row_number().over(byBrand))
+      .withColumn("cum", sum("rev_cents").over(cum))
+      .withColumn("tot", sum("rev_cents").over(tot))
+      .select(col("p_brand"), col("p_partkey"), col("rev_cents"),
+        when(col("rn") === 1 || col("cum") * 100 <= col("tot") * 80, "A")
+          .when(col("cum") * 100 <= col("tot") * 95, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
+  /** Trailing 7-day demand per (brand, ship-day): daily quantities
+    * aggregated once, then a RANGE frame over the integer day index sums
+    * the last 7 calendar days (gaps included — a day with no sales still
+    * shortens the window's contribution, reported via `days_observed`).
+    * Quantities are integral in the data — `cast long` is exact.
+    *
+    * Scale: one brand-keyed aggregation (map-side partials collapse the
+    * fact), then a window over the TINY (brand × day) frame — the window
+    * never touches fact-table volume. The year filter prunes partitions
+    * when the fact is date-partitioned.
+    */
+  def demandForecast(lineitem: DataFrame, part: DataFrame, year: Int): DataFrame = {
+    val daily = lineitem
+      .where(col("l_shipdate") >= lit(s"$year-01-01").cast("date") &&
+        col("l_shipdate") < lit(s"${year + 1}-01-01").cast("date"))
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), to_date(col("l_shipdate")).as("day"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty"))
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("day_idx"))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .withColumn("day_idx", datediff(col("day"), lit("1970-01-01").cast("date")))
+      .withColumn("qty_7d", sum("qty").over(w))
+      .withColumn("days_observed", count(lit(1)).over(w))
+      .select("p_brand", "day", "qty", "qty_7d", "days_observed")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[Sketches]] — KMV distinct-count sketch: exactness below k, merge
+  * associativity (batch-cut invariance), estimator accuracy, duplicate
+  * insensitivity.
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("groups with fewer than k distinct values are counted exactly") {
+    val df = (1L to 1000L).map(i => (s"g${i % 4}", i % 40)).toDF("g", "v")
+    val got = Sketches.kmvDistinct(df, Seq("g"), "v", k = 64)
+      .as[(String, Long)].collect().toMap
+    // values i%40 split by group i%4: each group sees 10 distinct values
+    assert(got === Map("g0" -> 10L, "g1" -> 10L, "g2" -> 10L, "g3" -> 10L))
+  }
+
+  test("duplicate rows never change the sketch") {
+    val base = (1L to 500L).map(i => ("g", i)).toDF("g", "v")
+    val dups = base.union(base).union(base)
+    val a = Sketches.kmvSketch(base, Seq("g"), "v", k = 32)
+      .select("kmv_hash").as[Long].collect().sorted
+    val b = Sketches.kmvSketch(dups, Seq("g"), "v", k = 32)
+      .select("kmv_hash").as[Long].collect().sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("merge of arbitrary batch cuts equals the one-shot sketch") {
+    val all = (1L to 3000L).map(i => (s"g${i % 2}", i)).toDF("g", "v")
+    val oneShot = Sketches.kmvSketch(all, Seq("g"), "v", k = 64)
+    // three uneven, overlapping batches (overlap = re-delivered rows)
+    val cuts = Seq((1L, 1200L), (1000L, 2100L), (2000L, 3000L)).map { case (lo, hi) =>
+      Sketches.kmvSketch(all.where(col("v").between(lo, hi)), Seq("g"), "v", k = 64)
+    }
+    val merged = cuts.reduce(Sketches.kmvMerge(_, _, Seq("g"), k = 64))
+    val key = (d: org.apache.spark.sql.DataFrame) =>
+      d.select("g", "kmv_hash").as[(String, Long)].collect().sorted.toSeq
+    assert(key(merged) === key(oneShot))
+    // and the estimates agree too
+    val estA = Sketches.kmvEstimate(oneShot, Seq("g"), 64).as[(String, Long)].collect().toMap
+    val estB = Sketches.kmvEstimate(merged, Seq("g"), 64).as[(String, Long)].collect().toMap
+    assert(estA === estB)
+  }
+
+  test("estimator is within theoretical error on a saturated group") {
+    // 20,000 distinct values, k = 256 → relative error ~1/sqrt(254) ≈ 6.3%;
+    // assert within 3 sigma (19%). Deterministic (md5), so this is a
+    // pinned regression bound, not a flaky statistical test.
+    val df = (1L to 20000L).map(i => ("g", i)).toDF("g", "v")
+    val est = Sketches.kmvDistinct(df, Seq("g"), "v", k = 256)
+      .as[(String, Long)].head()._2
+    assert(math.abs(est - 20000L) < 3800, s"estimate $est too far from 20000")
+  }
+
+  test("estimate column is exact-cnt vs estimator branch per group") {
+    // one tiny group (exact) and one saturated group in the same frame
+    val df = ((1L to 5L).map(i => ("small", i)) ++ (1L to 5000L).map(i => ("big", i)))
+      .toDF("g", "v")
+    val got = Sketches.kmvDistinct(df, Seq("g"), "v", k = 64)
+      .as[(String, Long)].collect().toMap
+    assert(got("small") === 5L)
+    assert(got("big") > 3000L && got("big") < 8000L)
+  }
+}
