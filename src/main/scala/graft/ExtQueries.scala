@@ -587,6 +587,19 @@ object ExtQueries {
       Retail.demandForecast(Tables.lineitem(s, dir), Tables.part(s, dir), 1995)
         .orderBy("p_brand", "day")),
 
+    // Retail — market-basket co-purchase affinity: part pairs by lift,
+    // pair explosion bounded by basket width (see Retail scaladoc).
+    "copurchase_pairs" -> ((s, dir) =>
+      Retail.copurchasePairs(Tables.lineitem(s, dir), minCount = 3, k = 25)
+        .orderBy("rank")),
+
+    // Sketch — rolling 7-day distinct users via per-day KMV sketches
+    // merged across the trailing window (mergeability payoff: the
+    // rolling distinct never re-touches raw events).
+    "rolling_active_users" -> ((s, dir) =>
+      Sketches.rollingActiveUsers(Tables.events(s, dir), k = 64, windowDays = 7)
+        .orderBy("day")),
+
     // Sketch — KMV distinct-count estimate: per event type, the
     // estimated distinct-user cardinality from a 64-hash k-minimum-
     // values sketch (bounded, mergeable; see Sketches scaladoc). The
@@ -1441,6 +1454,46 @@ object ExtQueries {
          |  ORDER BY datediff('day', DATE '1970-01-01', day)
          |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
          |ORDER BY p_brand, day""".stripMargin,
+
+    "copurchase_pairs" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |nt AS (SELECT count(DISTINCT l_orderkey) AS n_total FROM items),
+         |pp AS (SELECT l_partkey, count(*) AS n_part FROM items GROUP BY 1),
+         |pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         |    count(*) AS n_ab
+         |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |l AS (SELECT part_a, part_b, n_ab,
+         |    floor(n_ab::DOUBLE * n_total / pa.n_part / pb.n_part * 1000000)
+         |      / 1000000 AS lift
+         |  FROM pr
+         |  CROSS JOIN nt
+         |  JOIN pp pa ON pr.part_a = pa.l_partkey
+         |  JOIN pp pb ON pr.part_b = pb.l_partkey),
+         |r AS (SELECT *, row_number() OVER
+         |    (ORDER BY lift DESC, part_a, part_b) AS rank FROM l)
+         |SELECT part_a, part_b, n_ab, lift, rank
+         |FROM r WHERE rank <= 25 ORDER BY rank""".stripMargin,
+
+    "rolling_active_users" ->
+      s"""WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
+         |    ${hash60Sql("user_id::VARCHAR")} AS h FROM events),
+         |d AS (SELECT day, h,
+         |    row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM e),
+         |sk AS (SELECT day, h FROM d WHERE rn <= 64),
+         |days AS (SELECT DISTINCT day FROM e),
+         |contrib AS (SELECT DISTINCT t.day AS day, sk.h
+         |  FROM sk JOIN days t ON t.day >= sk.day AND t.day <= sk.day + 6),
+         |r AS (SELECT day, h,
+         |    row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM contrib),
+         |s AS (SELECT day, count(*) AS cnt, max(h) AS kth
+         |    FROM r WHERE rn <= 64 GROUP BY 1)
+         |SELECT day,
+         |  CASE WHEN cnt < 64 THEN cnt
+         |       ELSE (63::HUGEINT * 1152921504606846976 // kth)::BIGINT
+         |  END AS users_roll
+         |FROM s ORDER BY day""".stripMargin,
 
     "kmv_distinct" ->
       s"""WITH h AS (SELECT DISTINCT event_type,

@@ -54,6 +54,45 @@ object Retail {
           .otherwise("C").as("abc_class"))
   }
 
+  /** Market-basket CO-PURCHASE affinity: part pairs ranked by lift
+    * n_ab·N / (n_a·n_b) (> 1 = bought together more than independence
+    * predicts), gated to pairs co-occurring in ≥ `minCount` orders so
+    * hapax pairs can't post degenerate lifts. The pair explosion is the
+    * self-join of each order's DISTINCT item set with `part_a <
+    * part_b` — quadratic only in BASKET WIDTH (Σ_orders w², bounded by
+    * the max basket size, ~7 here), never in catalog or fact size; the
+    * pair aggregate then shuffles on the pair key like any count. Lift
+    * is a left-associated double multiply/divide chain, floor-truncated
+    * to 6dp and mirrored textually in the oracle so the IEEE rounding
+    * sequence is identical cross-engine (the [[Corpus.collocations]]
+    * recipe).
+    */
+  def copurchasePairs(lineitem: DataFrame, minCount: Long = 3, k: Int = 25): DataFrame = {
+    val items = lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .distinct().localCheckpoint()
+    val nOrders = items.select("l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_total"))
+    val perPart = items.groupBy("l_partkey").agg(count(lit(1)).as("n_part"))
+    val pairs = items.as("a")
+      .join(items.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+    val lift = floor(col("n_ab").cast("double") * col("n_total") /
+      col("n_a") / col("n_b") * 1000000) / 1000000
+    pairs
+      .join(perPart.select(col("l_partkey").as("part_a"), col("n_part").as("n_a")), "part_a")
+      .join(perPart.select(col("l_partkey").as("part_b"), col("n_part").as("n_b")), "part_b")
+      .crossJoin(nOrders)
+      .withColumn("lift", lift)
+      .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+      .limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("lift").desc, col("part_a"), col("part_b"))).cast("long"))
+      .select("part_a", "part_b", "n_ab", "lift", "rank")
+  }
+
   /** Trailing 7-day demand per (brand, ship-day): daily quantities
     * aggregated once, then a RANGE frame over the integer day index sums
     * the last 7 calendar days (gaps included — a day with no sales still

@@ -83,4 +83,37 @@ object Sketches {
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
       k: Int): DataFrame =
     kmvEstimate(kmvSketch(df, groupCols, valueCol, k), groupCols, k)
+
+  /** Rolling distinct-user counts — the mergeability payoff. Exact
+    * rolling `count(distinct)` cannot use a windowed aggregate (distinct
+    * doesn't decompose); the standard warehouse answer is per-day
+    * sketches MERGED across the trailing window. Per day: the k-min
+    * sketch of that day's users; each day's sketch contributes to the
+    * `windowDays` target days it trails into (a bounded k×w explosion of
+    * the TINY sketch table, never of the events), re-min per target day,
+    * estimate. At 100 TB the daily sketches are the persisted store —
+    * any window (7/28/90-day) re-derives from the same ≤ k·days rows
+    * without touching raw events.
+    *
+    * Output: (day, users_roll) for every day present in the data.
+    */
+  def rollingActiveUsers(events: DataFrame, k: Int = 64,
+      windowDays: Int = 7): DataFrame = {
+    val byDay = events.select(to_date(col("ts")).as("day"), col("user_id"))
+    val daily = kmvSketch(byDay, Seq("day"), "user_id", k)
+    val days = byDay.select("day").distinct()
+    val contrib = daily
+      .withColumn("target_day",
+        explode(sequence(col("day"), date_add(col("day"), windowDays - 1))))
+      .join(days.select(col("day").as("target_day")), Seq("target_day"), "left_semi")
+      .select(col("target_day").as("day"), col("kmv_hash"))
+      .distinct()
+    val w = Window.partitionBy("day").orderBy("kmv_hash")
+    val merged = contrib
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .drop("rn")
+    kmvEstimate(merged, Seq("day"), k)
+      .withColumnRenamed("est_distinct", "users_roll")
+  }
 }

@@ -352,6 +352,26 @@ object StreamingOps {
         sink(graft.ext.Similarity.quantizeEmbeddings(batch), batchId)
       }
 
+  /** Streaming KMV-sketch maintenance — per arriving micro-batch, the
+    * batch's k-minimum-values distinct-count sketch
+    * ([[graft.ext.Sketches.kmvSketch]]) handed to the caller's `sink`,
+    * which folds it into the persisted sketch store with
+    * [[graft.ext.Sketches.kmvMerge]] (union, keep k smallest). Merge is
+    * associative + commutative, so ANY batch cut converges to the
+    * one-shot sketch of the union (StreamingOpsSpec asserts two-batch
+    * accumulation ≡ one pass) — the cardinality twin of the minhash /
+    * LSH / quantized ingest stores: estimates at any moment read the
+    * ≤ k-row-per-group store, never the stream's history.
+    */
+  def kmvIngestStream(incoming: DataFrame, groupCols: Seq[String],
+      valueCol: String, k: Int,
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    incoming.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.ext.Sketches.kmvSketch(batch, groupCols, valueCol, k), batchId)
+      }
+
   /** Streaming SEMANTIC-dedup ingest — per arriving micro-batch of
     * embeddings, verdicts from
     * [[graft.ext.Similarity.semDedupIncremental]] against the growing

@@ -52,6 +52,36 @@ class RetailSpec extends SparkSpec {
     assert(got === Map(1L -> "A", 2L -> "C", 3L -> "A"))
   }
 
+  test("co-purchase pairs: hand-computed lifts, distinct items, minCount gate") {
+    // orders: o1 {1,2,3}, o2 {1,2}, o3 {1,2}, o4 {1,3}; part 2 duplicated
+    // in o2 to prove the distinct. n_total=4, n_1=4, n_2=3, n_3=2.
+    // (1,2): 3 orders, lift 3·4/(4·3)=1.0; (1,3): 2 orders, lift
+    // 2·4/(4·2)=1.0; (2,3): 1 order — gated at minCount=2.
+    val lineitem = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 2L),
+      (3L, 1L), (3L, 2L),
+      (4L, 1L), (4L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Retail.copurchasePairs(lineitem, minCount = 2, k = 10)
+      .select("part_a", "part_b", "n_ab", "lift", "rank")
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 3L, 1.0, 1L), (1L, 3L, 2L, 1.0, 2L)))
+  }
+
+  test("co-purchase lift ranks dependent pairs above independent ones") {
+    // parts 10/11 always together (3 of 6 orders); parts 20/21 together
+    // once but each in 3 orders → lift 6·1/(3·3) < 10/11's 6·3/(3·3).
+    val lineitem = Seq(
+      (1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L), (3L, 11L),
+      (4L, 20L), (4L, 21L), (5L, 20L), (5L, 22L), (6L, 21L), (6L, 22L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Retail.copurchasePairs(lineitem, minCount = 1, k = 10)
+      .select("part_a", "part_b", "rank").as[(Long, Long, Long)].collect()
+      .sortBy(_._3)
+    assert(got.head._1 === 10L && got.head._2 === 11L)
+  }
+
   test("demand window sums the last 7 calendar days, gaps included") {
     val lineitem = Seq(
       li(1, 1.0, 10, "1995-03-01"), li(1, 1.0, 5, "1995-03-02"),

@@ -56,6 +56,35 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - 20000L) < 3800, s"estimate $est too far from 20000")
   }
 
+  test("rolling active users merges trailing-day sketches exactly") {
+    // k far above the cardinalities → every estimate is exact, so the
+    // rolling merge must equal the true rolling distinct.
+    val ev = Seq(
+      ("2024-01-01", 1L), ("2024-01-01", 2L),
+      ("2024-01-02", 2L), ("2024-01-02", 3L),
+      ("2024-01-03", 5L))
+      .map { case (d, u) => (java.sql.Timestamp.valueOf(s"$d 10:00:00"), u) }
+      .toDF("ts", "user_id")
+    val got = Sketches.rollingActiveUsers(ev, k = 64, windowDays = 2)
+      .as[(java.sql.Date, Long)].collect()
+      .map(r => (r._1.toString, r._2)).sortBy(_._1)
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 2L),  // {1,2}
+      ("2024-01-02", 3L),  // {1,2,3}
+      ("2024-01-03", 3L))) // {2,3,5}
+  }
+
+  test("rolling window skips gap days and emits only observed days") {
+    val ev = Seq(("2024-01-01", 1L), ("2024-01-04", 2L))
+      .map { case (d, u) => (java.sql.Timestamp.valueOf(s"$d 10:00:00"), u) }
+      .toDF("ts", "user_id")
+    val got = Sketches.rollingActiveUsers(ev, k = 64, windowDays = 2)
+      .as[(java.sql.Date, Long)].collect()
+      .map(r => (r._1.toString, r._2)).sortBy(_._1)
+    // no row for 01-02 (unobserved), and 01-04 sees only its own user
+    assert(got.toSeq === Seq(("2024-01-01", 1L), ("2024-01-04", 1L)))
+  }
+
   test("estimate column is exact-cnt vs estimator branch per group") {
     // one tiny group (exact) and one saturated group in the same frame
     val df = ((1L to 5L).map(i => ("small", i)) ++ (1L to 5000L).map(i => ("big", i)))

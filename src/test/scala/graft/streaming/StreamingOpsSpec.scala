@@ -16,6 +16,9 @@ case class Doc(doc_id: Long, text: String, lang: String)
 /** Embedding row for the streaming LSH-ingest spec. */
 case class Emb(vec_id: Long, embedding: Array[Float], label: Int)
 
+/** Grouped-value row for the streaming KMV-sketch spec. */
+case class GV(g: String, v: Long)
+
 /** Reconciliation row for the streaming alert spec. */
 case class ReconRow(date_key: java.sql.Date, sku: String, product_name: String,
     opening_stock: Long, quantity_sold: Long, expected_closing_stock: Long,
@@ -265,6 +268,27 @@ class StreamingOpsSpec extends SparkSpec {
       // exactly the one-pass store, row for row.
       assert(gotRows.toSet === batchStore)
       assert(gotRows.size === all.size)
+    } finally q.stop()
+  }
+
+  test("streaming KMV ingest: merged batch sketches equal the one-shot sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val all = (1L to 800L).map(i => GV(s"g${i % 2}", i % 300))
+    var store = Seq.empty[(String, Long)].toDF("g", "kmv_hash")
+    val mem = MemoryStream[GV]
+    val writer = StreamingOps.kmvIngestStream(
+      mem.toDF(), Seq("g"), "v", 32,
+      (batchSketch, _) => store = graft.ext.Sketches
+        .kmvMerge(store, batchSketch, Seq("g"), 32).localCheckpoint())
+    val q = writer.start()
+    try {
+      mem.addData(all.take(500): _*); q.processAllAvailable()
+      mem.addData(all.drop(500): _*); q.processAllAvailable()
+      val oneShot = graft.ext.Sketches.kmvSketch(all.toDF(), Seq("g"), "v", 32)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      // Merge is associative/commutative: batch-cut invariant store.
+      assert(store.collect().map(r => (r.getString(0), r.getLong(1))).toSet === oneShot)
     } finally q.stop()
   }
 
