@@ -44,8 +44,24 @@ object BloomJoin {
     */
   private def bitPos(h: Column, i: Int, mBits: Int): Column = {
     val (a, b) = Dedup.Perms(i)
-    (((h % Dedup.Prime) * a + b) % Dedup.Prime) % mBits
+    // The outer coalesce exists for NULLABILITY, not values: Spark marks
+    // `%` always-nullable (divisor-zero → null), and a nullable computed
+    // column under a null-intolerant predicate triggers trap 5 —
+    // Catalyst infers `isnotnull(<whole md5 chain>)` and inlines it as a
+    // scan filter, evaluating the hash h extra times per probe row.
+    coalesce((((h % Dedup.Prime) * a + b) % Dedup.Prime) % mBits, lit(0L))
   }
+
+  /** The key's base hash, made NON-NULLABLE (null keys hash to 0).
+    * Two reasons: `map_from_entries` rejects the null word a null build
+    * key would produce, and — the PLANS.md trap-5 rule — a nullable
+    * computed column in a null-intolerant predicate makes Catalyst infer
+    * `isnotnull(<whole md5 chain>)` and inline it below the scan, paying
+    * the hash repeatedly. Null probe keys may now pass the prefilter;
+    * the inner join drops them regardless (null never equi-matches).
+    */
+  private def keyHash(key: String): Column =
+    coalesce(Dedup.hash60(col(key).cast("string")), lit(0L))
 
   /** Build the filter: ONE row, `bloom: array<long>` of length m/64.
     * Cost: one partial-aggregated pass over the (deduplicated) build
@@ -56,7 +72,7 @@ object BloomJoin {
     requirePow2(mBits)
     require(hashes >= 1 && hashes <= Dedup.SigCount, s"hashes must be in [1, ${Dedup.SigCount}]")
     val nWords = mBits / 64
-    val h = Dedup.hash60(col(key).cast("string"))
+    val h = keyHash(key)
     build
       .select(explode(array((0 until hashes).map(i => bitPos(h, i, mBits)): _*)).as("pos"))
       .groupBy((col("pos") / 64).cast("int").as("w"))
@@ -74,7 +90,7 @@ object BloomJoin {
   def prune(probe: DataFrame, key: String, filter: DataFrame, mBits: Int = DefaultBits,
       hashes: Int = DefaultHashes): DataFrame = {
     requirePow2(mBits)
-    val h = Dedup.hash60(col(key).cast("string"))
+    val h = keyHash(key)
     val posCols = (0 until hashes).map(i => bitPos(h, i, mBits).as(s"__pos_$i"))
     val hit = (0 until hashes).map { i =>
       expr(s"(bloom[int(__pos_$i / 64)] & shiftleft(1L, int(__pos_$i % 64))) != 0")
