@@ -25,6 +25,31 @@ object QProbe {
       case "ngram_shuffle" => (s, dir) =>
         graft.ext.Dedup.ngramJaccardBlocked(Tables.documents(s, dir),
           broadcastBlocked = false).orderBy("doc_a", "doc_b")
+      case "bloom_plain" => (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_quantity"))
+        val pt = Tables.part(s, dir).where(col("p_size") <= 5)
+          .select(col("p_partkey"), col("p_brand"))
+        li.join(pt, col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity")).cast("long").as("sum_qty"))
+          .orderBy("p_brand")
+      }
+      case "bloom_build" => (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val pt = Tables.part(s, dir).where(col("p_size") <= 5)
+          .select(col("p_partkey"), col("p_brand"))
+        graft.ext.BloomJoin.buildFilter(pt, "p_partkey")
+      }
+      case "bloom_prune" => (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_quantity"))
+        val pt = Tables.part(s, dir).where(col("p_size") <= 5)
+          .select(col("p_partkey"), col("p_brand"))
+        val f = graft.ext.BloomJoin.buildFilter(pt, "p_partkey")
+        graft.ext.BloomJoin.prune(li, "l_partkey", f)
+      }
       case _ => SparkEntry.queries(name)
     }
     val times = (1 to reps).map { i =>

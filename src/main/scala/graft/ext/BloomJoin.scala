@@ -37,35 +37,43 @@ object BloomJoin {
   private def requirePow2(m: Int): Unit =
     require(m > 64 && (m & (m - 1)) == 0, s"mBits must be a power of two > 64, got $m")
 
-  /** The i-th bit position for a key's 60-bit base hash:
+  /** The i-th bit position for a key's base hash:
     * `((a·(H mod p) + b) mod p) mod m` — independent-enough universal
-    * hashes from one md5 ([[Dedup.Perms]] constants, shared with
-    * MinHash so the DuckDB mirror already exists).
+    * hashes ([[Dedup.Perms]] constants, shared with MinHash).
     */
   private def bitPos(h: Column, i: Int, mBits: Int): Column = {
     val (a, b) = Dedup.Perms(i)
     // The outer coalesce exists for NULLABILITY, not values: Spark marks
-    // `%` always-nullable (divisor-zero → null), and a nullable computed
-    // column under a null-intolerant predicate triggers trap 5 —
-    // Catalyst infers `isnotnull(<whole md5 chain>)` and inlines it as a
-    // scan filter, evaluating the hash h extra times per probe row.
-    coalesce((((h % Dedup.Prime) * a + b) % Dedup.Prime) % mBits, lit(0L))
+    // `%`/`pmod` always-nullable (divisor-zero → null), and a nullable
+    // computed column under a null-intolerant predicate triggers trap
+    // 5 — Catalyst infers `isnotnull(<whole hash chain>)` and inlines it
+    // as a scan filter, evaluating the hash h extra times per probe row.
+    coalesce((pmod(h, lit(Dedup.Prime)) * a + b) % Dedup.Prime % mBits, lit(0L))
   }
 
-  /** The key's base hash, made NON-NULLABLE (null keys hash to 0).
-    * Two reasons: `map_from_entries` rejects the null word a null build
-    * key would produce, and — the PLANS.md trap-5 rule — a nullable
-    * computed column in a null-intolerant predicate makes Catalyst infer
-    * `isnotnull(<whole md5 chain>)` and inline it below the scan, paying
-    * the hash repeatedly. Null probe keys may now pass the prefilter;
-    * the inner join drops them regardless (null never equi-matches).
+  /** The key's base hash: `xxhash64` over the key's STRING form — a
+    * single codegen'd hash per row. md5 (the MinHash base used
+    * elsewhere for DuckDB-mirrorability) is NOT needed here: bloom
+    * membership has no false negatives under ANY fixed hash, so the
+    * declared oracle is the plain SQL join and the hash never has to be
+    * reproduced outside Spark; xxhash64 is ~10× cheaper per probe row.
+    * The string cast makes equal-printing key types (int vs bigint)
+    * hash identically on the two sides. Non-nullable by construction
+    * (xxhash64 of a null input returns the seed hash), which keeps the
+    * PLANS.md trap-5 `isnotnull(<chain>)` scan-filter inference away.
+    * Null probe keys may pass the prefilter; the inner join drops them
+    * regardless (null never equi-matches).
     */
   private def keyHash(key: String): Column =
-    coalesce(Dedup.hash60(col(key).cast("string")), lit(0L))
+    xxhash64(col(key).cast("string"))
 
   /** Build the filter: ONE row, `bloom: array<long>` of length m/64.
     * Cost: one partial-aggregated pass over the (deduplicated) build
-    * keys — the m/64-word table is tiny at any scale.
+    * keys — the m/64-word table is tiny at any scale. Densification
+    * unions an all-zero word per index and sorts the collected structs
+    * (O(words·log words)); the tempting `map_from_entries` +
+    * per-index `element_at` form is O(words²) because Spark map lookup
+    * is a linear scan — 8 s of single-row work at the 2²⁰-bit default.
     */
   def buildFilter(build: DataFrame, key: String, mBits: Int = DefaultBits,
       hashes: Int = DefaultHashes): DataFrame = {
@@ -73,13 +81,16 @@ object BloomJoin {
     require(hashes >= 1 && hashes <= Dedup.SigCount, s"hashes must be in [1, ${Dedup.SigCount}]")
     val nWords = mBits / 64
     val h = keyHash(key)
+    val zeros = build.sparkSession.range(nWords)
+      .select(col("id").cast("int").as("w"), lit(0L).as("bits"))
     build
       .select(explode(array((0 until hashes).map(i => bitPos(h, i, mBits)): _*)).as("pos"))
       .groupBy((col("pos") / 64).cast("int").as("w"))
       .agg(bit_or(expr("shiftleft(1L, int(pos % 64))")).as("bits"))
-      .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("wm"))
-      .select(transform(sequence(lit(0), lit(nWords - 1)),
-        w => coalesce(element_at(col("wm"), w), lit(0L))).as("bloom"))
+      .unionByName(zeros)
+      .groupBy("w").agg(bit_or(col("bits")).as("bits"))
+      .agg(transform(array_sort(collect_list(struct(col("w"), col("bits")))),
+        _.getField("bits")).as("bloom"))
   }
 
   /** Drop probe rows whose key cannot be in the filter. The one-row
