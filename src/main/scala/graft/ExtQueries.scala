@@ -64,6 +64,17 @@ object ExtQueries {
     s"list_min(list_transform(hs, h -> ($a * (h % ${Dedup.Prime}) + $b) % ${Dedup.Prime}))"
   }
 
+  /** DuckDB mirror of Sketches.cmsBucket for the default depth-4,
+    * width-4096 count-min sketch: one UNION ALL arm per hash row over a
+    * CTE exposing the base hash as `h`; `extra` prefixes pass-through
+    * columns ("token, n, ").
+    */
+  private def cmsArmsSql(src: String, extra: String): String =
+    Dedup.Perms.take(4).zipWithIndex.map { case ((a, b), i) =>
+      s"  SELECT $extra$i AS cms_row, " +
+        s"(h % ${Dedup.Prime} * $a + $b) % ${Dedup.Prime} % 4096 AS cms_bucket FROM $src"
+    }.mkString("\n  UNION ALL\n")
+
   /** DuckDB mirror of the per-probe cosine (double accumulation, index
     * order, floor-truncated 6dp) — matches graft.functions
     * .CosineSimilarity wrapped in TextOps.trunc6.
@@ -607,6 +618,33 @@ object ExtQueries {
     "kmv_distinct" -> ((s, dir) =>
       Sketches.kmvDistinct(Tables.events(s, dir), Seq("event_type"), "user_id", 64)
         .orderBy("event_type")),
+
+    // Sketch — count-min frequency estimates for the exact top-20
+    // tokens: the d×w counter table is built once over all token
+    // occurrences (mergeable by addition), then point-queried for the
+    // heavy hitters; est ≥ exact always, overshoot bounded by εN. The
+    // oracle replays the same md5-based bucket chain and min.
+    "cms_freq" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
+      Sketches.cmsEstimate(Sketches.cmsSketch(toks, "token"),
+          TextOps.wordFreq(docs, 20), "token")
+        .orderBy(col("n").desc, col("token"))
+    }),
+
+    // Stats — exact per-priority discrete order-value quantiles
+    // (type-1: value at rank ceil(p·n/100), pure integer rank
+    // arithmetic — no interpolation, no FP).
+    "order_quantiles" -> ((s, dir) =>
+      ext.Stats.groupQuantiles(Tables.orders(s, dir), Seq("o_orderpriority"),
+          "o_totalprice", Seq(50, 90, 99))
+        .orderBy("o_orderpriority")),
+
+    // Retail — calendar gap-fill: each brand's daily demand densified
+    // over its own sale span with explicit zero days.
+    "demand_gapfill" -> ((s, dir) =>
+      Retail.demandGapFill(Tables.lineitem(s, dir), Tables.part(s, dir), 1995)
+        .orderBy("p_brand", "day")),
 
     // X3 — brute-force cosine top-k (custom codegen'd expression).
     "ann_topk" -> ((s, dir) =>
@@ -1507,6 +1545,53 @@ object ExtQueries {
          |       ELSE (63::HUGEINT * 1152921504606846976 // kth)::BIGINT
          |  END AS est_distinct
          |FROM s ORDER BY event_type""".stripMargin,
+
+    "cms_freq" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
+         |top AS (SELECT token, count(*) AS n FROM tok
+         |  GROUP BY 1 ORDER BY n DESC, token LIMIT 20),
+         |th AS (SELECT ${hash60Sql("token")} AS h FROM tok),
+         |sk AS (SELECT cms_row, cms_bucket, count(*) AS cms_cnt FROM (
+         |${cmsArmsSql("th", "")}) GROUP BY 1, 2),
+         |ph AS (SELECT token, n, ${hash60Sql("token")} AS h FROM top),
+         |pb AS (
+         |${cmsArmsSql("ph", "token, n, ")}),
+         |est AS (SELECT token, n,
+         |    min(coalesce(sk.cms_cnt, 0)) AS cms_est
+         |  FROM pb LEFT JOIN sk USING (cms_row, cms_bucket)
+         |  GROUP BY 1, 2)
+         |SELECT token, n, cms_est FROM est
+         |ORDER BY n DESC, token""".stripMargin,
+
+    "order_quantiles" ->
+      s"""WITH r AS (SELECT o_orderpriority, o_totalprice AS v,
+         |    row_number() OVER (PARTITION BY o_orderpriority
+         |      ORDER BY o_totalprice) AS rn,
+         |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+         |  FROM orders WHERE o_totalprice IS NOT NULL)
+         |SELECT o_orderpriority,
+         |  max(CASE WHEN rn = (n * 50 + 99) // 100 THEN v END) AS p50,
+         |  max(CASE WHEN rn = (n * 90 + 99) // 100 THEN v END) AS p90,
+         |  max(CASE WHEN rn = (n * 99 + 99) // 100 THEN v END) AS p99
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "demand_gapfill" ->
+      s"""WITH daily AS (
+         |  SELECT p_brand, CAST(l_shipdate AS DATE) AS day,
+         |    CAST(sum(l_quantity) AS BIGINT) AS qty
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= DATE '1995-01-01'
+         |    AND l_shipdate < DATE '1996-01-01'
+         |  GROUP BY 1, 2),
+         |b AS (SELECT p_brand, min(day) AS d0, max(day) AS d1
+         |  FROM daily GROUP BY 1),
+         |cal AS (SELECT p_brand,
+         |    unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+         |  FROM b)
+         |SELECT cal.p_brand, cal.day, coalesce(d.qty, 0) AS qty
+         |FROM cal LEFT JOIN daily d
+         |  ON cal.p_brand = d.p_brand AND cal.day = d.day
+         |ORDER BY 1, 2""".stripMargin,
 
     "ann_topk" ->
       s"""WITH pairs AS (

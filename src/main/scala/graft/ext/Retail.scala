@@ -121,4 +121,43 @@ object Retail {
       .withColumn("days_observed", count(lit(1)).over(w))
       .select("p_brand", "day", "qty", "qty_7d", "days_observed")
   }
+
+  /** Calendar gap-fill (time-series densification): one row per key per
+    * day across the key's own [first, last] sale span, zero-filled where
+    * nothing sold — the preprocessing every forecast/seasonality model
+    * needs, and the explicit-zero twin of [[demandForecast]]'s
+    * gaps-honored frame.
+    *
+    * Scale: the calendar explodes from the per-key BOUNDS table (one
+    * tiny aggregate of the already-aggregated daily frame) — |keys| ×
+    * span rows, never fact-volume; the fill join is keys×days against
+    * keys×observed-days on the same (key, day) shuffle key. Nothing
+    * here rescans the fact.
+    */
+  def gapFillDaily(daily: DataFrame, keyCols: Seq[String], dayCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val bounds = daily
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(col(dayCol)).as("__d0"), max(col(dayCol)).as("__d1"))
+    val cal = bounds
+      .select(keyCols.map(col) :+
+        explode(sequence(col("__d0"), col("__d1"))).as(dayCol): _*)
+    cal
+      .join(daily, keyCols :+ dayCol, "left")
+      .na.fill(0, valueCols)
+  }
+
+  /** Gap-filled daily brand demand — [[demandForecast]]'s daily
+    * aggregate densified over each brand's sale span.
+    */
+  def demandGapFill(lineitem: DataFrame, part: DataFrame, year: Int): DataFrame = {
+    val daily = lineitem
+      .where(col("l_shipdate") >= lit(s"$year-01-01").cast("date") &&
+        col("l_shipdate") < lit(s"${year + 1}-01-01").cast("date"))
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), to_date(col("l_shipdate")).as("day"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty"))
+    gapFillDaily(daily, Seq("p_brand"), "day", Seq("qty"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -115,5 +115,82 @@ object Sketches {
       .drop("rn")
     kmvEstimate(merged, Seq("day"), k)
       .withColumnRenamed("est_distinct", "users_roll")
+  }
+
+  // ------------------------------------------------------------ count-min
+
+  /** The depth hash-row bucket columns for one value: row i buckets by
+    * `((a_i·(h mod p) + b_i) mod p) mod width` over the 60-bit md5 base
+    * hash — [[Dedup.Perms]] constants, so the DuckDB mirror is the same
+    * integer chain (all intermediates < 2⁶², BIGINT-safe on both
+    * engines). md5 (not xxhash) is deliberate here, unlike
+    * [[graft.ext.BloomJoin]]: CMS ESTIMATES are hash-dependent values
+    * the oracle must reproduce, not a membership prefilter whose output
+    * is hash-independent.
+    */
+  private def cmsBucket(h: Column, i: Int, width: Int): Column = {
+    val (a, b) = Dedup.Perms(i)
+    (h % Dedup.Prime * a + b) % Dedup.Prime % width
+  }
+
+  /** COUNT-MIN sketch (Cormode & Muthukrishnan 2005) — the mergeable
+    * FREQUENCY summary beside [[kmvSketch]]'s cardinality one. A d×w
+    * counter table: each occurrence of a value increments one counter
+    * per hash row; `est(v) = min_i counter[i][bucket_i(v)]` never
+    * underestimates and overestimates by ≤ εN with probability 1−δ at
+    * w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉. Because the counters are SUMS, the sketch
+    * is order-independent and merges by addition — shards, days, and
+    * micro-batches combine without re-reading data, the same
+    * frozen-store discipline as the KMV and signature stores.
+    *
+    * Scale shape: building is one map-side-combined aggregate over the
+    * occurrence rows into ≤ d·w counters (a few KiB at any corpus
+    * size); estimating joins the probe set's d buckets against the
+    * broadcast-sized counter table. The classic use at 100 TB: token /
+    * URL / key frequency for heavy-hitter gating without a full groupBy
+    * over the long tail.
+    *
+    * Output: (cms_row, cms_bucket, cms_cnt) — occupied counters only
+    * (absent bucket ≡ 0, restored by [[cmsEstimate]]'s left join).
+    */
+  def cmsSketch(df: DataFrame, valueCol: String, depth: Int = 4,
+      width: Int = 4096): DataFrame = {
+    require(depth >= 1 && depth <= Dedup.SigCount,
+      s"depth must be in [1, ${Dedup.SigCount}], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    val h = Dedup.hash60(col(valueCol).cast("string"))
+    df.where(col(valueCol).isNotNull)
+      .select(explode(array((0 until depth).map(i =>
+        struct(lit(i).as("cms_row"), cmsBucket(h, i, width).as("cms_bucket"))): _*)).as("rb"))
+      .groupBy(col("rb.cms_row").as("cms_row"), col("rb.cms_bucket").as("cms_bucket"))
+      .agg(count(lit(1)).as("cms_cnt"))
+  }
+
+  /** Merge counter tables by addition — associative and commutative, so
+    * any batch cut converges to the one-shot sketch bit-for-bit.
+    */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("cms_row", "cms_bucket")
+      .agg(sum(col("cms_cnt")).as("cms_cnt"))
+
+  /** Point-query the sketch for every row of `probes` (distinct on
+    * `valueCol`; other columns pass through): min over the value's
+    * depth counters, 0 for a value with an untouched bucket. The
+    * counter table arrives broadcast — it is ≤ d·w rows by
+    * construction.
+    */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, valueCol: String,
+      depth: Int = 4, width: Int = 4096): DataFrame = {
+    val h = Dedup.hash60(col(valueCol).cast("string"))
+    val passCols = probes.columns.toSeq
+    probes
+      .select(passCols.map(col) :+ explode(array((0 until depth).map(i =>
+        struct(lit(i).as("cms_row"), cmsBucket(h, i, width).as("cms_bucket"))): _*)).as("rb"): _*)
+      .select(passCols.map(col) :+ col("rb.cms_row").as("cms_row") :+
+        col("rb.cms_bucket").as("cms_bucket"): _*)
+      .join(broadcast(sketch), Seq("cms_row", "cms_bucket"), "left")
+      .groupBy(passCols.map(col): _*)
+      .agg(min(coalesce(col("cms_cnt"), lit(0L))).as("cms_est"))
   }
 }

@@ -1,0 +1,51 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Order statistics — exact per-group quantiles.
+  *
+  * Engines disagree on interpolating percentiles (Spark's `percentile`
+  * and DuckDB's `quantile_cont` both interpolate in FP, with
+  * accumulation-order drift), so the portable form is the DISCRETE
+  * type-1 quantile: the value at rank ⌈p·n/100⌉ in the group's sorted
+  * order — pure integer rank arithmetic plus a comparison-only sort,
+  * no arithmetic ever performed ON the values. Reference behavior
+  * covered: the reference's reporting tier (README "analytics on the
+  * warehouse") has no quantile job; this is part of the additive
+  * analytics surface.
+  */
+object Stats {
+
+  /** Per-group discrete quantiles of `valueCol` at integer percentiles
+    * `ps` (e.g. Seq(50, 90, 99) → columns p50, p90, p99). Rank
+    * ⌈p·n/100⌉ computes as `(p·n + 99) div 100` — exact on both
+    * engines, no FP. Ties share a value, so which tied row the
+    * row_number lands on cannot change the answer.
+    *
+    * Scale: ONE key exchange — the window sort partitions by the group
+    * key, and the final aggregate reuses that partitioning (no second
+    * exchange before the per-group collapse). A single giant group
+    * serializes its sort — quantiles over a global key should go
+    * through a pre-aggregated value histogram instead (the
+    * [[graft.ext.Corpus]] percentile-threshold recipe).
+    */
+  def groupQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be integers in [1, 100], got $ps")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val ranked = df
+      .where(col(valueCol).isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val aggs = ps.map(p => max(when(
+      col("rn") === expr(s"(n * $p + 99) div 100"),
+      col(valueCol))).as(s"p$p"))
+    ranked
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

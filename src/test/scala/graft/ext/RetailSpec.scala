@@ -107,4 +107,21 @@ class RetailSpec extends SparkSpec {
       .select("day", "qty").as[(Date, Long)].collect()
     assert(got.map(r => (r._1.toString, r._2)).toSeq === Seq(("1995-01-01", 5L)))
   }
+
+  test("gap-fill emits explicit zero days across each brand's own span") {
+    val lineitem = Seq(
+      li(1, 1.0, 10, "1995-03-01"), li(1, 1.0, 2, "1995-03-04"),
+      li(2, 1.0, 7, "1995-06-10"))
+      .toDF("l_partkey", "l_extendedprice", "l_quantity", "l_shipdate")
+    val part = Seq((1L, "B1"), (2L, "B2")).toDF("p_partkey", "p_brand")
+    val got = Retail.demandGapFill(lineitem, part, 1995)
+      .as[(String, Date, Long)].collect()
+      .map(r => (r._1, r._2.toString, r._3)).sortBy(r => (r._1, r._2))
+    // B1 densifies 03-01..03-04 (two zero days); B2's span is one day —
+    // no bleed across brands, no global calendar.
+    assert(got.toSeq === Seq(
+      ("B1", "1995-03-01", 10L), ("B1", "1995-03-02", 0L),
+      ("B1", "1995-03-03", 0L), ("B1", "1995-03-04", 2L),
+      ("B2", "1995-06-10", 7L)))
+  }
 }

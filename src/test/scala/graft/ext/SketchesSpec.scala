@@ -94,4 +94,55 @@ class SketchesSpec extends SparkSpec {
     assert(got("small") === 5L)
     assert(got("big") > 3000L && got("big") < 8000L)
   }
+
+  // ------------------------------------------------------------ count-min
+
+  /** Skewed fixture: value v_i appears i times (frequencies known
+    * exactly), plus a long tail of singletons to populate collisions.
+    */
+  private def cmsFixture = {
+    val heavy = (1 to 50).flatMap(i => Seq.fill(i)(s"v$i"))
+    val tail = (1 to 2000).map(i => s"tail$i")
+    (heavy ++ tail).toDF("v")
+  }
+
+  test("count-min never underestimates and overshoot stays within eN") {
+    val df = cmsFixture
+    val n = df.count()
+    val sk = Sketches.cmsSketch(df, "v", depth = 4, width = 1024)
+    val probes = (1 to 50).map(i => (s"v$i", i.toLong)).toDF("v", "true_n")
+    val got = Sketches.cmsEstimate(sk, probes, "v", depth = 4, width = 1024)
+      .as[(String, Long, Long)].collect()
+    assert(got.length === 50)
+    got.foreach { case (v, trueN, est) =>
+      assert(est >= trueN, s"$v underestimated: $est < $trueN")
+      // Markov bound per row: overshoot < e·N/w w.p. 1/e per row; with
+      // d=4 rows an overshoot beyond eN/w on the MIN is vanishingly
+      // rare. 4× slack keeps the deterministic fixture comfortably in.
+      assert(est - trueN <= 4 * math.E * n / 1024,
+        s"$v overshoot ${est - trueN} exceeds bound")
+    }
+  }
+
+  test("count-min merge over batch cuts is bit-identical to one-shot") {
+    val df = cmsFixture.withColumn("part", pmod(length(col("v")), lit(3)))
+    val oneShot = Sketches.cmsSketch(cmsFixture, "v")
+    val cuts = (0 until 3).map(p =>
+      Sketches.cmsSketch(df.where(col("part") === p).select("v"), "v"))
+    val merged = cuts.reduce(Sketches.cmsMerge)
+    val key = (d: org.apache.spark.sql.DataFrame) =>
+      d.select("cms_row", "cms_bucket", "cms_cnt")
+        .as[(Int, Long, Long)].collect().sorted.toSeq
+    assert(key(merged) === key(oneShot))
+  }
+
+  test("count-min estimates zero for a value with an untouched bucket") {
+    val sk = Sketches.cmsSketch(Seq("a").toDF("v"), "v", depth = 4, width = 4096)
+    // one inserted value occupies 4 buckets of 16384; a probe colliding
+    // on all 4 is (4/4096)^4-improbable — this fixed probe misses.
+    val got = Sketches.cmsEstimate(sk, Seq("zzz-absent").toDF("v"), "v",
+        depth = 4, width = 4096)
+      .as[(String, Long)].collect().toMap
+    assert(got("zzz-absent") === 0L)
+  }
 }

@@ -1,0 +1,46 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** [[Stats.groupQuantiles]] — discrete type-1 quantiles: hand-computed
+  * ranks, tie safety, group isolation, degenerate group sizes.
+  */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quantiles select the value at rank ceil(p*n/100)") {
+    // n = 10, values 10..100: p50 -> rank 5 -> 50; p90 -> rank 9 -> 90;
+    // p99 -> rank 10 -> 100
+    val df = (1 to 10).map(i => ("g", i * 10.0)).toDF("g", "v")
+    val got = Stats.groupQuantiles(df, Seq("g"), "v", Seq(50, 90, 99))
+      .as[(String, Double, Double, Double)].collect().head
+    assert(got === (("g", 50.0, 90.0, 100.0)))
+  }
+
+  test("tied values cannot change the answer") {
+    // All mass at two values; any row_number assignment among ties
+    // yields the same selected value.
+    val df = (Seq.fill(5)(1.0) ++ Seq.fill(5)(2.0)).map(("g", _)).toDF("g", "v")
+    val got = Stats.groupQuantiles(df, Seq("g"), "v", Seq(50, 100))
+      .as[(String, Double, Double)].collect().head
+    assert(got === (("g", 1.0, 2.0)))
+  }
+
+  test("groups compute independently; n=1 returns the value everywhere") {
+    val df = (Seq(("a", 7.0)) ++ (1 to 100).map(i => ("b", i.toDouble)))
+      .toDF("g", "v")
+    val got = Stats.groupQuantiles(df, Seq("g"), "v", Seq(1, 50, 100))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") === ((7.0, 7.0, 7.0)))
+    assert(got("b") === ((1.0, 50.0, 100.0)))
+  }
+
+  test("null values are excluded before ranking") {
+    val df = Seq(("g", Some(1.0)), ("g", None), ("g", Some(3.0)))
+      .toDF("g", "v")
+    val got = Stats.groupQuantiles(df, Seq("g"), "v", Seq(100))
+      .as[(String, Double)].collect().head
+    assert(got === (("g", 3.0)))
+  }
+}
