@@ -372,6 +372,24 @@ object StreamingOps {
         sink(graft.ext.Sketches.kmvSketch(batch, groupCols, valueCol, k), batchId)
       }
 
+  /** Streaming count-min maintenance — per arriving micro-batch, the
+    * batch's d×w counter table ([[graft.ext.Sketches.cmsSketch]])
+    * handed to the caller's `sink`, which folds it into the persisted
+    * counter store with [[graft.ext.Sketches.cmsMerge]]. Counters are
+    * SUMS, so merge is associative + commutative and any batch cut is
+    * bit-identical to the one-shot sketch — the frequency twin of
+    * [[kmvIngestStream]]'s cardinality store; estimates at any moment
+    * point-query the ≤ d·w-row store, never the stream's history.
+    */
+  def cmsIngestStream(incoming: DataFrame, valueCol: String,
+      depth: Int = 4, width: Int = 4096,
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    incoming.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.ext.Sketches.cmsSketch(batch, valueCol, depth, width), batchId)
+      }
+
   /** Streaming SEMANTIC-dedup ingest — per arriving micro-batch of
     * embeddings, verdicts from
     * [[graft.ext.Similarity.semDedupIncremental]] against the growing

@@ -292,6 +292,28 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming count-min ingest: summed batch counters equal the one-shot sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val all = (1L to 600L).map(i => GV(s"v${i % 37}", i))
+    var store = Seq.empty[(Int, Long, Long)].toDF("cms_row", "cms_bucket", "cms_cnt")
+    val mem = MemoryStream[GV]
+    val writer = StreamingOps.cmsIngestStream(
+      mem.toDF(), "g", 4, 256,
+      sink = (batchSketch, _) => store = graft.ext.Sketches
+        .cmsMerge(store, batchSketch).localCheckpoint())
+    val q = writer.start()
+    try {
+      mem.addData(all.take(250): _*); q.processAllAvailable()
+      mem.addData(all.drop(250): _*); q.processAllAvailable()
+      val oneShot = graft.ext.Sketches.cmsSketch(all.toDF(), "g", 4, 256)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      // Counters are sums: ANY batch cut is bit-identical to one pass.
+      assert(store.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toSet === oneShot)
+    } finally q.stop()
+  }
+
   test("streaming semantic-dedup ingest demotes an undercut store vector") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
