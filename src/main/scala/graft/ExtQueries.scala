@@ -619,6 +619,20 @@ object ExtQueries {
       Sketches.kmvDistinct(Tables.events(s, dir), Seq("event_type"), "user_id", 64)
         .orderBy("event_type")),
 
+    // Sketch — KMV set-intersection estimate: per day, distinct users
+    // who BOTH viewed and purchased, from two per-segment k-min
+    // sketches (exact below saturation — the set-algebra payoff KMV
+    // has over HLL).
+    "kmv_overlap" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id"), col("event_type"))
+      def sk(t: String) = Sketches.kmvSketch(
+        ev.where(col("event_type") === t).drop("event_type"),
+        Seq("day"), "user_id", 64)
+      Sketches.kmvIntersectEstimate(sk("view"), sk("purchase"), Seq("day"), 64)
+        .orderBy("day")
+    }),
+
     // Sketch — count-min frequency estimates for the exact top-20
     // tokens: the d×w counter table is built once over all token
     // occurrences (mergeable by addition), then point-queried for the
@@ -1545,6 +1559,36 @@ object ExtQueries {
          |       ELSE (63::HUGEINT * 1152921504606846976 // kth)::BIGINT
          |  END AS est_distinct
          |FROM s ORDER BY event_type""".stripMargin,
+
+    "kmv_overlap" ->
+      s"""WITH av AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
+         |    ${hash60Sql("user_id::VARCHAR")} AS h FROM events
+         |  WHERE event_type = 'view'),
+         |ar AS (SELECT day, h,
+         |    row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM av),
+         |a AS (SELECT day, h FROM ar WHERE rn <= 64),
+         |bv AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
+         |    ${hash60Sql("user_id::VARCHAR")} AS h FROM events
+         |  WHERE event_type = 'purchase'),
+         |br AS (SELECT day, h,
+         |    row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM bv),
+         |b AS (SELECT day, h FROM br WHERE rn <= 64),
+         |u0 AS (SELECT day, h FROM a UNION SELECT day, h FROM b),
+         |ur AS (SELECT day, h,
+         |    row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM u0),
+         |u AS (SELECT day, h FROM ur WHERE rn <= 64),
+         |f AS (SELECT u.day, u.h,
+         |    CASE WHEN a.h IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+         |    CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END AS in_b
+         |  FROM u LEFT JOIN a ON u.day = a.day AND u.h = a.h
+         |         LEFT JOIN b ON u.day = b.day AND u.h = b.h),
+         |s AS (SELECT day, count(*) AS kk, max(h) AS kth,
+         |    sum(in_a * in_b) AS n_both FROM f GROUP BY 1)
+         |SELECT day,
+         |  ((n_both * CASE WHEN kk < 64 THEN kk
+         |      ELSE (63::HUGEINT * 1152921504606846976 // kth)::BIGINT
+         |    END) // kk)::BIGINT AS est_overlap
+         |FROM s ORDER BY day""".stripMargin,
 
     "cms_freq" ->
       s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),

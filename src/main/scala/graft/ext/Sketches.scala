@@ -117,6 +117,41 @@ object Sketches {
       .withColumnRenamed("est_distinct", "users_roll")
   }
 
+  /** Estimate the per-group INTERSECTION cardinality |A ∩ B| from two
+    * same-k sketches — the set-algebra payoff KMV has over HLL (whose
+    * sketches only union): merge to the union's k-min set U, count the
+    * fraction ρ of U's hashes present in BOTH input sketches, and scale
+    * the union estimate (Beyer et al. 2007): |A∩B| ≈ ρ·D̂(A∪B),
+    * computed as `(n_both · D̂_U) div |U|` in pure integer arithmetic.
+    * When neither side saturated its k, the union sketch is the exact
+    * union and the estimate degenerates to the EXACT intersection
+    * count. Both sketches must be built with the same k and hash
+    * (enforced by sharing [[kmvSketch]]).
+    *
+    * The distributed-systems case for this over `COUNT(DISTINCT) ...
+    * INTERSECT`: segment-overlap questions ("users who did X and Y")
+    * against persisted per-segment sketch stores need no re-scan of
+    * either side — k-row frames join k-row frames.
+    */
+  def kmvIntersectEstimate(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    val numer = lit(new java.math.BigDecimal((HashSpace * (k - 1)).bigInteger))
+    val joinKey = groupCols :+ "kmv_hash"
+    val flags = kmvMerge(a, b, groupCols, k)
+      .join(a.withColumn("in_a", lit(1L)), joinKey, "left")
+      .join(b.withColumn("in_b", lit(1L)), joinKey, "left")
+    flags
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("kk"), max(col("kmv_hash")).as("kth"),
+        sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L).otherwise(0L))
+          .as("n_both"))
+      .withColumn("du",
+        when(col("kk") < k, col("kk"))
+          .otherwise(floor(numer / col("kth")).cast("long")))
+      .select(groupCols.map(col) :+
+        expr("(n_both * du) div kk").as("est_overlap"): _*)
+  }
+
   // ------------------------------------------------------------ count-min
 
   /** The depth hash-row bucket columns for one value: row i buckets by

@@ -95,6 +95,41 @@ class SketchesSpec extends SparkSpec {
     assert(got("big") > 3000L && got("big") < 8000L)
   }
 
+  test("intersection estimate is exact below saturation, zero when disjoint") {
+    // A = 1..60, B = 41..100 (overlap 20), C = 200..260 (disjoint with A)
+    val a = (1L to 60L).map(("g", _)).toDF("g", "v")
+    val b = (41L to 100L).map(("g", _)).toDF("g", "v")
+    val c = (200L to 260L).map(("g", _)).toDF("g", "v")
+    def sk(d: org.apache.spark.sql.DataFrame) = Sketches.kmvSketch(d, Seq("g"), "v", 128)
+    val ab = Sketches.kmvIntersectEstimate(sk(a), sk(b), Seq("g"), 128)
+      .as[(String, Long)].collect().toMap
+    val ac = Sketches.kmvIntersectEstimate(sk(a), sk(c), Seq("g"), 128)
+      .as[(String, Long)].collect().toMap
+    assert(ab("g") === 20L)
+    assert(ac("g") === 0L)
+  }
+
+  test("intersection estimate stays near truth on saturated sketches") {
+    // |A| = |B| = 4000, true overlap 2000, k = 256
+    val a = (1L to 4000L).map(("g", _)).toDF("g", "v")
+    val b = (2001L to 6000L).map(("g", _)).toDF("g", "v")
+    val est = Sketches.kmvIntersectEstimate(
+        Sketches.kmvSketch(a, Seq("g"), "v", 256),
+        Sketches.kmvSketch(b, Seq("g"), "v", 256), Seq("g"), 256)
+      .as[(String, Long)].collect().toMap.apply("g")
+    assert(est > 1200L && est < 2800L, s"overlap estimate $est far from 2000")
+  }
+
+  test("intersection groups are isolated") {
+    val a = (1L to 30L).map(("g1", _)) ++ (1L to 10L).map(("g2", _))
+    val b = (16L to 45L).map(("g1", _)) ++ (100L to 110L).map(("g2", _))
+    val got = Sketches.kmvIntersectEstimate(
+        Sketches.kmvSketch(a.toDF("g", "v"), Seq("g"), "v", 64),
+        Sketches.kmvSketch(b.toDF("g", "v"), Seq("g"), "v", 64), Seq("g"), 64)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("g1" -> 15L, "g2" -> 0L))
+  }
+
   // ------------------------------------------------------------ count-min
 
   /** Skewed fixture: value v_i appears i times (frequencies known
