@@ -1,0 +1,57 @@
+package graft
+
+/** Plan-shape regression guards for invariants PLANS.md audits by hand:
+  * each test inspects the INITIAL physical plan of a declared query
+  * (driver-side only — nothing executes) so an edit that silently
+  * reintroduces a scan-filter hash chain (PLANS.md trap 5), a
+  * nested-loop range join, or an extra exchange fails a unit test
+  * instead of degrading a bench. Inputs are the sf0.001 parquet tables;
+  * plan SHAPE at this size matches the audited sf0.1 shapes for
+  * everything asserted here (no AQE decisions are asserted).
+  */
+class PlanGuardSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("pruned_scan pushes the shipdate bounds into the parquet scan") {
+    val p = plan("pruned_scan")
+    assert(p.contains("PushedFilters"), "no pushdown section in scan")
+    assert(p.contains("l_shipdate"), "shipdate filter missing from plan")
+  }
+
+  test("bloom_join keeps hashing out of scan filters and off md5") {
+    val p = plan("bloom_join")
+    // trap 5: a nullable hash chain under a null-intolerant predicate
+    // gets inferred as isnotnull(<chain>) and inlined below the scan
+    assert(!p.contains("md5("), "md5 reappeared in the bloom path")
+    assert(p.contains("xxhash64"), "bloom positions no longer xxhash64")
+  }
+
+  test("interval_join never plans a nested-loop or cartesian join") {
+    val p = plan("interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "bucket blocking lost")
+    assert(!p.contains("CartesianProduct"), "cartesian range join")
+  }
+
+  test("salted_rollup stays an equi-join (no cartesian fallback)") {
+    val p = plan("salted_rollup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("order_quantiles plans exactly one key exchange before its windows") {
+    val p = plan("order_quantiles")
+    val keyExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(keyExchanges === 1,
+      s"expected 1 hash exchange (window + aggregate reuse it), got $keyExchanges")
+  }
+
+  test("abc_class joins the dim side broadcast") {
+    assert(plan("abc_class").contains("BroadcastHashJoin"))
+  }
+
+  test("cms_freq broadcasts the counter table to the probe join") {
+    assert(plan("cms_freq").contains("BroadcastExchange"))
+  }
+}
