@@ -1535,7 +1535,8 @@ object ExtQueries {
 
     "rolling_active_users" ->
       s"""WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
-         |    ${hash60Sql("user_id::VARCHAR")} AS h FROM events),
+         |    ${hash60Sql("user_id::VARCHAR")} AS h FROM events
+         |  WHERE user_id IS NOT NULL),
          |d AS (SELECT day, h,
          |    row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM e),
          |sk AS (SELECT day, h FROM d WHERE rn <= 64),
@@ -1554,7 +1555,8 @@ object ExtQueries {
 
     "kmv_distinct" ->
       s"""WITH h AS (SELECT DISTINCT event_type,
-         |    ${hash60Sql("user_id::VARCHAR")} AS h FROM events),
+         |    ${hash60Sql("user_id::VARCHAR")} AS h FROM events
+         |  WHERE user_id IS NOT NULL),
          |r AS (SELECT event_type, h,
          |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
          |s AS (SELECT event_type, count(*) AS cnt, max(h) AS kth
@@ -1568,13 +1570,13 @@ object ExtQueries {
     "kmv_overlap" ->
       s"""WITH av AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
          |    ${hash60Sql("user_id::VARCHAR")} AS h FROM events
-         |  WHERE event_type = 'view'),
+         |  WHERE event_type = 'view' AND user_id IS NOT NULL),
          |ar AS (SELECT day, h,
          |    row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM av),
          |a AS (SELECT day, h FROM ar WHERE rn <= 64),
          |bv AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
          |    ${hash60Sql("user_id::VARCHAR")} AS h FROM events
-         |  WHERE event_type = 'purchase'),
+         |  WHERE event_type = 'purchase' AND user_id IS NOT NULL),
          |br AS (SELECT day, h,
          |    row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM bv),
          |b AS (SELECT day, h FROM br WHERE rn <= 64),

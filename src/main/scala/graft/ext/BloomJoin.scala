@@ -101,6 +101,13 @@ object BloomJoin {
   def prune(probe: DataFrame, key: String, filter: DataFrame, mBits: Int = DefaultBits,
       hashes: Int = DefaultHashes): DataFrame = {
     requirePow2(mBits)
+    // The cross-joined filter frame contributes a `bloom` column and the
+    // membership test names its working positions `__pos_i`; a probe that
+    // already carries either would make the references ambiguous
+    // (ADVICE r6) — fail loudly instead of silently mis-resolving.
+    val reserved = probe.columns.filter(c => c == "bloom" || c.startsWith("__pos_"))
+    require(reserved.isEmpty,
+      s"probe columns collide with bloom-prune working names: ${reserved.mkString(", ")}")
     val h = keyHash(key)
     val posCols = (0 until hashes).map(i => bitPos(h, i, mBits).as(s"__pos_$i"))
     val hit = (0 until hashes).map { i =>

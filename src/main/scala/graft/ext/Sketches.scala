@@ -148,8 +148,12 @@ object Sketches {
       .withColumn("du",
         when(col("kk") < k, col("kk"))
           .otherwise(floor(numer / col("kth")).cast("long")))
+      // The n_both·du product goes through decimal so its overflow
+      // envelope matches the DuckDB mirror's HUGEINT promotion instead of
+      // silently wrapping in long arithmetic (ADVICE r6); `div` of a
+      // decimal by a long is still the integral quotient as BIGINT.
       .select(groupCols.map(col) :+
-        expr("(n_both * du) div kk").as("est_overlap"): _*)
+        expr("(n_both * CAST(du AS DECIMAL(38,0))) div kk").as("est_overlap"): _*)
   }
 
   // ------------------------------------------------------------ count-min

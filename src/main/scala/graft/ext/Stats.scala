@@ -35,14 +35,17 @@ object Stats {
       ps: Seq[Int]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
       s"percentiles must be integers in [1, 100], got $ps")
+    require(ps.distinct == ps, s"duplicate percentiles would collide output columns: $ps")
+    // Collision-safe working names — a caller's own `rn`/`n` column must
+    // survive into the group key untouched (ADVICE r6).
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
     val wAll = Window.partitionBy(groupCols.map(col): _*)
     val ranked = df
       .where(col(valueCol).isNotNull)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("__gq_rn", row_number().over(w))
+      .withColumn("__gq_n", count(lit(1)).over(wAll))
     val aggs = ps.map(p => max(when(
-      col("rn") === expr(s"(n * $p + 99) div 100"),
+      col("__gq_rn") === expr(s"(__gq_n * $p + 99) div 100"),
       col(valueCol))).as(s"p$p"))
     ranked
       .groupBy(groupCols.map(col): _*)

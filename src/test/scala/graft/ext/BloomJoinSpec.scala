@@ -58,6 +58,21 @@ class BloomJoinSpec extends SparkSpec {
     assert(got.toSeq === Seq(1L, 2L))
   }
 
+  test("probe columns colliding with working names are rejected") {
+    // ADVICE r6: a probe that already carries `bloom` (or `__pos_i`)
+    // would make the cross-joined filter's references ambiguous.
+    val build = Seq(1L, 2L).toDF("bk")
+    val filter = BloomJoin.buildFilter(build, "bk", mBits = 1 << 12)
+    val withBloom = Seq((1L, "x")).toDF("k", "bloom")
+    intercept[IllegalArgumentException] {
+      BloomJoin.prune(withBloom, "k", filter, mBits = 1 << 12)
+    }
+    val withPos = Seq((1L, "x")).toDF("k", "__pos_0")
+    intercept[IllegalArgumentException] {
+      BloomJoin.prune(withPos, "k", filter, mBits = 1 << 12)
+    }
+  }
+
   test("filter build is deterministic") {
     val build = (1L to 500L).map(Tuple1(_)).toDF("k")
     val a = BloomJoin.buildFilter(build, "k", mBits = 1 << 12).as[Seq[Long]].head()

@@ -36,6 +36,24 @@ class StatsSpec extends SparkSpec {
     assert(got("b") === ((1.0, 50.0, 100.0)))
   }
 
+  test("caller columns named rn/n survive as group keys (collision-safe working names)") {
+    // ADVICE r6: the internal rank/count columns must not clobber input
+    // columns of the same name — here `n` is itself a grouping column.
+    val df = Seq(("g", 1, 10.0), ("g", 1, 20.0), ("g", 2, 30.0))
+      .toDF("g", "n", "v")
+    val got = Stats.groupQuantiles(df, Seq("g", "n"), "v", Seq(100))
+      .as[(String, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === Map(("g", 1) -> 20.0, ("g", 2) -> 30.0))
+  }
+
+  test("duplicate percentiles are rejected instead of emitting colliding columns") {
+    val df = Seq(("g", 1.0)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      Stats.groupQuantiles(df, Seq("g"), "v", Seq(50, 50))
+    }
+  }
+
   test("null values are excluded before ranking") {
     val df = Seq(("g", Some(1.0)), ("g", None), ("g", Some(3.0)))
       .toDF("g", "v")
