@@ -92,7 +92,9 @@ object Bench {
     val qs = keptEntries.map { case (k, v) => s"${q(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val omitted = results.size - keptEntries.size
     val omittedSec = total - keptEntries.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"omitted":$omitted,"omitted_sec":${fmt(omittedSec)},"errors":$errs,"sf":${q(sfDir)}}""")
+    // n_errors leads the line: a nonzero count is unmissable even if a log
+    // scraper truncates the (potentially long) errors map (VERDICT r7 #7).
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_errors":${errors.size},"queries":$qs,"omitted":$omitted,"omitted_sec":${fmt(omittedSec)},"errors":$errs,"sf":${q(sfDir)}}""")
     spark.stop()
   }
 }

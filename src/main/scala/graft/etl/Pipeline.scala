@@ -93,4 +93,25 @@ object Pipeline {
     Result(sink.location(salesTable), sink.location(dimTable),
       sink.location(reconTable), alert)
   }
+
+  /** Calendar replay: the reference DAG is triggered once per
+    * `processing_date` (dags/retail_pipeline_dag.py:54-61, the
+    * `processing_date` Param threaded into every Glue job and Redshift
+    * DELETE-by-date). A backfill is therefore a SEQUENCE of independent
+    * per-date runs; because each run's fact writes overwrite exactly that
+    * date's partition and the dim is a full refresh, replaying a calendar
+    * is idempotent — re-running any date (or the whole range) converges to
+    * the same warehouse state. `perDate` supplies the day's raw inputs
+    * (sales, opening snapshot, closing snapshot); dates run in order so a
+    * day's closing snapshot may feed the next day's opening.
+    */
+  def runCalendar(
+      spark: SparkSession,
+      dates: Seq[LocalDate],
+      perDate: LocalDate => (DataFrame, DataFrame, DataFrame),
+      sink: WarehouseSink): Seq[(LocalDate, Result)] =
+    dates.map { date =>
+      val (sales, open, close) = perDate(date)
+      date -> run(spark, sales, open, close, date, sink)
+    }
 }

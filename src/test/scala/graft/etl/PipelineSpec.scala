@@ -94,4 +94,40 @@ class PipelineSpec extends SparkSpec {
     assert(recon.where(col("date_key") === d1.toString).count() === 2)
     assert(recon.where(col("date_key") === d2.toString).count() === 2)
   }
+
+  test("calendar replay equals the equivalent single-day runs (DAG backfill)") {
+    val d3 = LocalDate.parse("2024-01-04")
+    val dates = Seq(d1, d2, d3)
+    // Day-varying inputs: each day sells one fewer unit of a1.
+    def dailySales(d: LocalDate) = {
+      val sold = (5 - dates.indexOf(d)).toString
+      Seq(("a1", sold), ("b2", "4")).toDF("sku", "quantity")
+    }
+    val perDate = (d: LocalDate) => (dailySales(d), invOpen, invClose)
+
+    val calRoot = Files.createTempDirectory("graft-pipe-cal").toString
+    val results = Pipeline.runCalendar(
+      spark, dates, perDate, new ParquetWarehouseSink(calRoot))
+    assert(results.map(_._1) === dates)
+
+    val seqRoot = Files.createTempDirectory("graft-pipe-seq").toString
+    dates.foreach { d =>
+      val (s, o, c) = perDate(d)
+      Pipeline.run(spark, s, o, c, d, seqRoot)
+    }
+
+    // Warehouse states converge table-by-table.
+    for (t <- Seq("fact_daily_sales", "fact_inventory_reconciliation", "dim_products")) {
+      val a = spark.read.parquet(s"$calRoot/$t")
+      val b = spark.read.parquet(s"$seqRoot/$t")
+      assert(a.count() === b.count(), s"$t row count")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, s"$t content")
+    }
+    // Replaying the middle date converges back to the same state.
+    val (s2, o2, c2) = perDate(d2)
+    Pipeline.run(spark, s2, o2, c2, d2, calRoot)
+    val recon = spark.read.parquet(s"$calRoot/fact_inventory_reconciliation")
+    assert(recon.count() ===
+      spark.read.parquet(s"$seqRoot/fact_inventory_reconciliation").count())
+  }
 }
