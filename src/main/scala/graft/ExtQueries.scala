@@ -375,6 +375,18 @@ object ExtQueries {
     "dup_groups" -> ((s, dir) =>
       Dedup.dupGroups(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // X4 — the dedup ACTION: per-doc retention decision (canonical
+    // survivor per near-dup component, singletons kept).
+    "near_dup_retain" -> ((s, dir) =>
+      Dedup.nearDupRetain(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Corpus — repeated-span detection (word-8-gram approximation of
+    // exact substring dedup): share of each doc's distinct spans that
+    // recur in other documents.
+    "dup_spans" -> ((s, dir) =>
+      castLongs(Corpus.duplicatedSpans(Tables.documents(s, dir)),
+        "n_spans", "n_shared_spans").orderBy("doc_id")),
+
     // X4 — incremental dedup: the 20% "incoming batch" (doc_id % 10 ≥ 8)
     // deduped against the 80% "existing corpus" signature store and
     // within itself — never existing × existing.
@@ -1042,6 +1054,35 @@ object ExtQueries {
          |SELECT doc_id, group_id,
          |  count(*) OVER (PARTITION BY group_id) AS group_size
          |FROM lbl ORDER BY doc_id""".stripMargin,
+
+    // Retention decision: corpus left-joined to the component labels;
+    // kept = the doc IS its component's minimum id (singletons label
+    // themselves).
+    "near_dup_retain" ->
+      s"""WITH RECURSIVE ${minhashCtes()},
+         |$dupGroupCtes
+         |SELECT d.doc_id,
+         |  coalesce(l.group_id, d.doc_id) AS group_id,
+         |  coalesce(l.group_id, d.doc_id) = d.doc_id AS kept
+         |FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Distinct 8-token spans per doc; a span is shared when ≥ 2 docs
+    // carry it (mirrors Corpus.duplicatedSpans).
+    "dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, toks FROM t WHERE len(toks) >= ${Corpus.DecontamShingle}),
+         |shg AS (SELECT DISTINCT doc_id,
+         |          ${hash60Sql(s"array_to_string(toks[i:i+${Corpus.DecontamShingle - 1}], ' ')")} AS h
+         |        FROM p, unnest(range(1, len(toks) - ${Corpus.DecontamShingle - 2})) AS u(i)),
+         |nd AS (SELECT h, count(*) AS n_docs FROM shg GROUP BY h)
+         |SELECT doc_id,
+         |  count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_spans,
+         |  floor(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*) * 10000) / 10000 AS dup_span_frac
+         |FROM shg JOIN nd USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Incoming batch (a-side) restricted to doc_id % 10 ≥ 8; matches are
     // existing docs (any id order) or earlier incoming docs — existing ×

@@ -204,6 +204,38 @@ object Corpus {
         TextOps.trunc4(col("max_c") / col("n_bigrams").cast("double"))
           .as("top_bigram_frac"))
 
+  /** Repeated-span detection — the word-shingle approximation of exact
+    * substring dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better": long verbatim spans repeated across a crawl
+    * are boilerplate/templates and should be trimmed or down-weighted).
+    * A span is a [[DecontamShingle]]-token shingle; a doc's duplicated
+    * fraction is the share of its DISTINCT spans that also occur in at
+    * least one other document. Output: doc_id, n_spans, n_shared_spans,
+    * dup_span_frac (floor-truncated 4dp); docs with fewer than k tokens
+    * have no spans and are omitted.
+    *
+    * Scale design: per-doc distinct span hashes (one (doc_id, h)
+    * aggregate with map-side combine), then ONE exchange on the span
+    * hash serves both the cross-doc occurrence count (window count over
+    * h) and feeds straight into the per-doc aggregate — no self-join, no
+    * candidate explosion; every stage is key-partitioned and linear in
+    * corpus shingle volume. The suffix-array construction of the paper
+    * doesn't distribute; the hashed-shingle inventory is the Spark-native
+    * shape with the same boilerplate-detection outcome at k-token
+    * granularity.
+    */
+  def duplicatedSpans(docs: DataFrame, k: Int = DecontamShingle): DataFrame = {
+    val sh = shingleHashes(docs, k).distinct()
+    val withOcc = sh.withColumn("n_docs",
+      count(lit(1)).over(Window.partitionBy("h")))
+    withOcc.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_shared_spans"),
+        TextOps.trunc4(col("n_shared_spans") / col("n_spans").cast("double"))
+          .as("dup_span_frac"))
+  }
+
   /** Corpus bigram-LM quality proxy — the KenLM-style fluency filter
     * without an external model: score each document by the average
     * corpus-wide CONDITIONAL frequency of its bigram instances,

@@ -536,6 +536,32 @@ object Dedup {
       .select(col("node").as("doc_id"), col("label").as("group_id"))
       .withColumn("group_size", count(lit(1)).over(Window.partitionBy("group_id")))
 
+  /** The dedup ACTION: per-document retention decision after near-dup
+    * clustering — what a pipeline actually applies to the corpus, as
+    * opposed to the pair/group REPORTS above. Every document gets its
+    * near-dup component label (its own id when it has no near-dups) and
+    * `kept` = is it the component's canonical survivor (minimum doc_id —
+    * deterministic, no tie-break ambiguity across engines). Filtering
+    * `kept` yields the deduplicated corpus; the label column is the
+    * provenance trail (which survivor each dropped doc collapsed into).
+    * Output: doc_id, group_id, kept.
+    *
+    * Scale design: [[dupGroups]]'s component labels cover only documents
+    * that HAVE near-dups — a frame orders of magnitude smaller than the
+    * corpus on healthy data. The corpus joins against it left-outer on
+    * doc_id; AQE broadcasts the label side when it measures small, and on
+    * duplicate-saturated crawls the shuffle join is the safe fallback.
+    * `kept` is a pure projection of the join result — no second pass.
+    */
+  def nearDupRetain(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val labels = dupGroups(docs, threshold).select("doc_id", "group_id")
+    docs.select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"))
+      .withColumn("kept", col("group_id") === col("doc_id"))
+  }
+
   /** Connected components of an undirected pair graph by iterative
     * min-label propagation (see [[dupGroups]] for the scale notes).
     * `pairs` holds one row per undirected edge; returns (node, label)

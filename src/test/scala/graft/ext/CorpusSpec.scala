@@ -176,6 +176,66 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------------------- nearDupRetain
+
+  test("nearDupRetain keeps exactly one doc per component plus all singletons") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Dedup.nearDupRetain(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length === d.count())
+    val groups = Dedup.dupGroups(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    out.foreach { case (doc, label, kept) =>
+      assert(label === groups.getOrElse(doc, doc), s"doc $doc label")
+      assert(kept === (label === doc), s"doc $doc kept flag")
+    }
+    // Exactly one survivor per component; survivors ∪ dropped = corpus.
+    val grouped = out.filter(o => groups.contains(o._1))
+    grouped.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.count(_._3) === 1)
+      assert(members.find(_._3).get._1 === label)
+    }
+    assert(out.filterNot(o => groups.contains(o._1)).forall(_._3))
+  }
+
+  // ------------------------------------------------------- duplicatedSpans
+
+  test("duplicatedSpans flags cross-doc spans, not within-doc repeats") {
+    // k=3 spans. Docs 1 and 2 share the span "alpha beta gamma"; doc 3
+    // repeats its own span twice but shares nothing; doc 4 is too short.
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon", "en"),
+      (2L, "zeta alpha beta gamma eta", "en"),
+      (3L, "one two three one two three", "en"),
+      (4L, "tiny doc", "en"))
+    val out = Corpus.duplicatedSpans(d, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // doc 1: 3 spans, 1 shared ("alpha beta gamma"); doc 2: 3 spans,
+    // 1 shared; doc 3: 4 windows but only 3 DISTINCT spans, 0 shared.
+    assert(out === Seq((1L, 3L, 1L), (2L, 3L, 1L), (3L, 3L, 0L)))
+    val fracs = Corpus.duplicatedSpans(d, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(fracs(1L) === 0.3333 && fracs(3L) === 0.0)
+  }
+
+  test("duplicatedSpans matches a naive driver-side computation on real docs") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
+    val k = Corpus.DecontamShingle
+    val toks = d.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val spans = toks.map { case (id, ts) =>
+      id -> ts.sliding(k).filter(_.length == k).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val occ = spans.flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupBy(_._1).map { case (s, v) => s -> v.length }
+    val expected = spans.map { case (id, ss) =>
+      (id, ss.size.toLong, ss.count(occ(_) >= 2).toLong)
+    }.sortBy(_._1).toSeq
+    val got = Corpus.duplicatedSpans(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got === expected)
+  }
+
   // -------------------------------------------------------------- lineDedup
 
   test("lineDedup removes lines shared by more than maxDocs docs, keeps order") {
