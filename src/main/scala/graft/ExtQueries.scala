@@ -380,6 +380,12 @@ object ExtQueries {
     "near_dup_retain" -> ((s, dir) =>
       Dedup.nearDupRetain(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // X4 — cross-source overlap audit: near-dup pair mass rolled up by
+    // unordered source pair (dataset-mixing diagnostic).
+    "source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(Tables.documents(s, dir))
+        .orderBy("source_a", "source_b")),
+
     // Corpus — repeated-span detection (word-8-gram approximation of
     // exact substring dedup): share of each doc's distinct spans that
     // recur in other documents.
@@ -1066,6 +1072,21 @@ object ExtQueries {
          |  coalesce(l.group_id, d.doc_id) = d.doc_id AS kept
          |FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Near-dup pair mass by unordered source pair; integer-exact
+    // micro-jaccard sum + integer-div mean (mirrors Dedup.sourceOverlap).
+    "source_overlap" ->
+      s"""WITH ${minhashCtes()},
+         |ps AS (SELECT least(sa.source, sb.source) AS source_a,
+         |              greatest(sa.source, sb.source) AS source_b,
+         |              CAST(round(vp.jaccard * 1000000) AS BIGINT) AS j_micro
+         |       FROM vp
+         |       JOIN documents sa ON sa.doc_id = vp.doc_a
+         |       JOIN documents sb ON sb.doc_id = vp.doc_b)
+         |SELECT source_a, source_b, count(*) AS n_pairs,
+         |  CAST(sum(j_micro) AS BIGINT) // count(*) AS avg_j_micro
+         |FROM ps GROUP BY source_a, source_b
+         |ORDER BY source_a, source_b""".stripMargin,
 
     // Distinct 8-token spans per doc; a span is shared when ≥ 2 docs
     // carry it (mirrors Corpus.duplicatedSpans).

@@ -562,6 +562,40 @@ object Dedup {
       .withColumn("kept", col("group_id") === col("doc_id"))
   }
 
+  /** Cross-source overlap audit — which corpus sources near-duplicate
+    * each other, the dataset-mixing diagnostic (two crawls of the same
+    * sites, a dump re-released under a new name, benchmark leakage
+    * between "distinct" collections). Verified near-dup pairs are rolled
+    * up by unordered source pair with integer-exact similarity mass:
+    * jaccard is already floor-truncated to 6dp, so `round(j·10⁶)` is an
+    * exact integer on any IEEE engine and sums portably where a float
+    * mean would be order-dependent. Output: source_a ≤ source_b, n_pairs,
+    * avg_j_micro (= Σ micro-jaccard div n, integer division).
+    *
+    * Scale shape: the pair frame (band collisions that VERIFIED — far
+    * smaller than the corpus) joins the (doc_id, source) projection
+    * twice on doc_id; both are shuffle joins AQE can downgrade to
+    * broadcast when the pair side measures small. The rollup output is
+    * |sources|², a constant-sized audit table at any corpus size.
+    */
+  def sourceOverlap(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    val pairs = nearDupMinhash(docs, threshold)
+      .withColumn("j_micro", round(col("jaccard") * 1000000).cast("long"))
+    pairs
+      .join(src.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("source", "src_a"), "doc_a")
+      .join(src.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("source", "src_b"), "doc_b")
+      .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("j_micro")).as("sum_j"))
+      // Integer `div`, not float mean: exact at any pair count on both
+      // engines (a double mean is summation-order-dependent).
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        expr("sum_j div n_pairs").as("avg_j_micro"))
+  }
+
   /** Connected components of an undirected pair graph by iterative
     * min-label propagation (see [[dupGroups]] for the scale notes).
     * `pairs` holds one row per undirected edge; returns (node, label)

@@ -54,4 +54,16 @@ class PlanGuardSpec extends SparkSpec {
   test("cms_freq broadcasts the counter table to the probe join") {
     assert(plan("cms_freq").contains("BroadcastExchange"))
   }
+
+  test("dup_spans plans no joins — aggregates and a window only") {
+    val p = plan("dup_spans")
+    assert(!p.contains("Join"), "span counting must not self-join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("near_dup_retain joins label frame without cartesian fallback") {
+    val p = plan("near_dup_retain")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }

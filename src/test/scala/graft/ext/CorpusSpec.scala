@@ -198,6 +198,28 @@ class CorpusSpec extends SparkSpec {
     assert(out.filterNot(o => groups.contains(o._1)).forall(_._3))
   }
 
+  // --------------------------------------------------------- sourceOverlap
+
+  test("sourceOverlap rolls up exactly the near-dup pairs by source pair") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val srcOf = d.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.nearDupMinhash(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = pairs.groupBy { case (a, b, _) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      if (sa <= sb) (sa, sb) else (sb, sa)
+    }.map { case (k, v) =>
+      val micros = v.map(p => math.round(p._3 * 1000000))
+      (k._1, k._2, v.length.toLong, micros.sum / v.length)
+    }.toSet
+    val got = Dedup.sourceOverlap(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected)
+    assert(got.toSeq.map(_._3).sum === pairs.length.toLong)
+  }
+
   // ------------------------------------------------------- duplicatedSpans
 
   test("duplicatedSpans flags cross-doc spans, not within-doc repeats") {
