@@ -224,6 +224,26 @@ object Corpus {
     * shape with the same boilerplate-detection outcome at k-token
     * granularity.
     */
+  /** Per-batch span-occurrence summary backing the streaming twin of
+    * [[duplicatedSpans]]: (h, n_docs) with n_docs = distinct docs in
+    * `docs` carrying span h. Provided documents arrive WHOLE (one doc
+    * never splits across batches — the [[graft.streaming.StreamingOps]]
+    * document-atomic ingest contract), per-batch counts merge by
+    * ADDITION ([[spanStoreMerge]]), so any batch cut equals the one-shot
+    * summary of the union.
+    */
+  def spanCounts(docs: DataFrame, k: Int = DecontamShingle): DataFrame =
+    shingleHashes(docs, k).distinct()
+      .groupBy("h").agg(count(lit(1)).as("n_docs"))
+
+  /** Fold a batch's [[spanCounts]] into the persisted store: union +
+    * re-sum — associative and commutative, the [[graft.ext.Sketches]]
+    * merge discipline.
+    */
+  def spanStoreMerge(store: DataFrame, batch: DataFrame): DataFrame =
+    store.unionByName(batch).groupBy("h")
+      .agg(sum("n_docs").as("n_docs"))
+
   def duplicatedSpans(docs: DataFrame, k: Int = DecontamShingle): DataFrame = {
     val sh = shingleHashes(docs, k).distinct()
     val withOcc = sh.withColumn("n_docs",

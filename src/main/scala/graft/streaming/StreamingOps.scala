@@ -372,6 +372,25 @@ object StreamingOps {
         sink(graft.ext.Sketches.kmvSketch(batch, groupCols, valueCol, k), batchId)
       }
 
+  /** Streaming span-store maintenance — per arriving micro-batch of
+    * documents, the batch's (h, n_docs) span-occurrence summary
+    * ([[graft.ext.Corpus.spanCounts]]) handed to the caller's `sink`,
+    * which folds it with [[graft.ext.Corpus.spanStoreMerge]]. Under the
+    * document-atomic ingest contract (a doc arrives whole in one batch)
+    * counts merge by addition, so any batch cut equals the one-shot
+    * summary — the repeated-span twin of [[cmsIngestStream]]'s frequency
+    * store: boilerplate checks (`n_docs ≥ 2`) and new-doc scoring read
+    * the store, never the stream's history.
+    */
+  def spanIngestStream(incoming: DataFrame,
+      k: Int = graft.ext.Corpus.DecontamShingle,
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    incoming.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.ext.Corpus.spanCounts(batch, k), batchId)
+      }
+
   /** Streaming count-min maintenance — per arriving micro-batch, the
     * batch's d×w counter table ([[graft.ext.Sketches.cmsSketch]])
     * handed to the caller's `sink`, which folds it into the persisted

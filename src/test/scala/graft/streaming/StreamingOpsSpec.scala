@@ -292,6 +292,31 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming span ingest: merged batch counts equal the one-shot summary") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // 40 docs; doc i repeats a shared phrase when i % 3 == 0. k=3 spans.
+    val all = (1L to 40L).map { i =>
+      val body = if (i % 3 == 0) "alpha beta gamma shared tail" else s"doc $i unique words here"
+      Doc(i, body, "en")
+    }
+    var store = Seq.empty[(Long, Long)].toDF("h", "n_docs")
+    val mem = MemoryStream[Doc]
+    val writer = StreamingOps.spanIngestStream(
+      mem.toDF(), 3,
+      (batchCounts, _) => store = graft.ext.Corpus
+        .spanStoreMerge(store, batchCounts).localCheckpoint())
+    val q = writer.start()
+    try {
+      mem.addData(all.take(25): _*); q.processAllAvailable()
+      mem.addData(all.drop(25): _*); q.processAllAvailable()
+      val oneShot = graft.ext.Corpus.spanCounts(all.toDF(), 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // Doc-atomic batches: addition-merged store ≡ one-shot counts.
+      assert(store.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === oneShot)
+    } finally q.stop()
+  }
+
   test("streaming count-min ingest: summed batch counters equal the one-shot sketch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
