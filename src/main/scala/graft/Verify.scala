@@ -18,12 +18,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -42,6 +44,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A query that THREW leaves no parquet dir, so it would silently
+    // vanish from a presence-driven compare (round-7 postmortem: 15
+    // erroring queries absent from CORRECTNESS_r07). This file makes
+    // failures first-class artifact content — {} when all dumped.
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries failed; see verify_errors.json")
     spark.stop()
   }
 }
