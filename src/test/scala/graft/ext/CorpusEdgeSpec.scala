@@ -28,6 +28,40 @@ class CorpusEdgeSpec extends SparkSpec {
     assert(Corpus.docChunks(empty).count() === 0)
     assert(Dedup.exact(empty).count() === 0)
     assert(Dedup.nearDupMinhash(empty).count() === 0)
+    assert(Corpus.duplicatedSpans(empty).count() === 0)
+    assert(Dedup.nearDupRetain(empty).count() === 0)
+  }
+
+  test("nearDupRetain keeps everything when no near-dup pairs exist") {
+    val distinctDocs = Seq(
+      (1L, "entirely different words about gardening tools and soil", "en"),
+      (2L, "unrelated discussion of maritime navigation techniques", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Dedup.nearDupRetain(distinctDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 1L, true), (2L, 2L, true)))
+  }
+
+  test("duplicatedSpans omits docs shorter than the span width") {
+    val d = Seq((1L, "short", "en"), (2L, "also tiny", "en"))
+      .toDF("doc_id", "text", "lang")
+    assert(Corpus.duplicatedSpans(d).count() === 0)
+  }
+
+  test("sourceOverlap is empty when no pairs exist, keyed when they do") {
+    val noPairs = Seq(
+      (1L, "entirely different words about gardening tools and soil", "s0"),
+      (2L, "unrelated discussion of maritime navigation techniques", "s1"))
+      .toDF("doc_id", "text", "source")
+    assert(Dedup.sourceOverlap(noPairs).count() === 0)
+    val twins = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "s1"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", "s0"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(twins).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // Unordered pair normalizes to (s0, s1); identical docs → J = 1.
+    assert(out.toSeq === Seq(("s0", "s1", 1L, 1000000L)))
   }
 
   test("manifest of a single clean-or-not document never throws") {
