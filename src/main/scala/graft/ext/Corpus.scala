@@ -594,7 +594,8 @@ object Corpus {
     * manifest is one multi-way join on the stored tables.
     */
   def corpusManifest(corpus: DataFrame, benchmark: DataFrame,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      signatureStore: Option[DataFrame] = None): DataFrame = {
     // The NARROW verdict table (id + reasons) is what gets materialized —
     // never a full-text copy of the corpus (at 100 TB the verdict table
     // is the thing you can afford to persist; corpus re-reads are pruned
@@ -616,7 +617,13 @@ object Corpus {
     val keyed = kept.select(col("doc_id"),
       Dedup.contentKey(col("text")).as("content_key"))
       .localCheckpoint()
-    val hr = Dedup.hashedShingleRows(kept).localCheckpoint()
+    // hr is a per-doc pure function, so a caller-provided signature
+    // store restricted to the keepers is EXACTLY hashedShingleRows(kept)
+    // without re-tokenizing (the keeper-id side broadcasts).
+    val hr = signatureStore
+      .map(_.join(kept.select("doc_id"), "doc_id"))
+      .getOrElse(Dedup.hashedShingleRows(kept))
+      .localCheckpoint()
     val survivors = Dedup.exactByKey(keyed)
       .select(col("doc_id"), lit(true).as("is_survivor"))
     val groups = Dedup.dupGroupsFromHashes(hr, threshold)

@@ -147,7 +147,7 @@ object Dedup {
     * its 60-bit base hash — the shared input of [[minhashBands]] and
     * [[shingleSets]].
     */
-  private[ext] def hashedShingleRows(docs: DataFrame): DataFrame =
+  def hashedShingleRows(docs: DataFrame): DataFrame =
     shingleRows(docs).select(col("doc_id"), hash60(col("s")).as("h"))
 
   /** LSH band table (doc_id, band_idx, band_val) from hashed shingle rows:
@@ -236,7 +236,16 @@ object Dedup {
     */
   def containmentNearDup(docs: DataFrame, threshold: Double = 0.8,
       broadcastCandidates: Boolean = false): DataFrame =
-    bandedScoredPairs(hashedShingleRows(docs), broadcastCandidates)
+    containmentNearDupFromHashes(hashedShingleRows(docs), threshold,
+      broadcastCandidates)
+
+  /** [[containmentNearDup]] over a precomputed [[hashedShingleRows]]
+    * frame — the signature-store probe form (see
+    * [[nearDupMinhashFromHashes]]).
+    */
+  def containmentNearDupFromHashes(hr: DataFrame, threshold: Double = 0.8,
+      broadcastCandidates: Boolean = false): DataFrame =
+    bandedScoredPairs(hr, broadcastCandidates)
       .withColumn("containment", TextOps.trunc6(col("inter") /
         least(size(col("sh_a")), size(col("sh_b"))).cast("double")))
       .where(col("containment") >= threshold)
@@ -312,12 +321,24 @@ object Dedup {
     */
   def containmentNearDupStratified(docs: DataFrame, threshold: Double = 0.8,
       ratioCut: Double = 2.0, minSigMatches: Int = 2,
-      broadcastCandidates: Boolean = false, strata: Int = 2): DataFrame = {
-    require(strata == 2 || strata == 3, s"strata must be 2 or 3, got $strata")
+      broadcastCandidates: Boolean = false, strata: Int = 2): DataFrame =
     // hr feeds three consumers (bands, sig rows, verification sets):
     // checkpoint so tokenize+shingle runs once, the corpusManifest
     // precedent.
-    val hr = hashedShingleRows(docs).localCheckpoint()
+    containmentNearDupStratifiedFromHashes(
+      hashedShingleRows(docs).localCheckpoint(), threshold, ratioCut,
+      minSigMatches, broadcastCandidates, strata)
+
+  /** [[containmentNearDupStratified]] over a precomputed — and already
+    * MATERIALIZED (checkpointed/persisted store) — [[hashedShingleRows]]
+    * frame: hr feeds three consumers, so a lazy hr would re-run its
+    * subtree three times.
+    */
+  def containmentNearDupStratifiedFromHashes(hr: DataFrame,
+      threshold: Double = 0.8, ratioCut: Double = 2.0,
+      minSigMatches: Int = 2, broadcastCandidates: Boolean = false,
+      strata: Int = 2): DataFrame = {
+    require(strata == 2 || strata == 3, s"strata must be 2 or 3, got $strata")
     // Sig rows carry the set size from their own aggregate — no second
     // size aggregate, no doc_id reunite join.
     val sized = minhashSigRows(hr)
@@ -553,8 +574,15 @@ object Dedup {
     * duplicate-saturated crawls the shuffle join is the safe fallback.
     * `kept` is a pure projection of the join result — no second pass.
     */
-  def nearDupRetain(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val labels = dupGroups(docs, threshold).select("doc_id", "group_id")
+  def nearDupRetain(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    nearDupRetainFromHashes(docs, hashedShingleRows(docs), threshold)
+
+  /** [[nearDupRetain]] probing a precomputed [[hashedShingleRows]]
+    * signature store; `docs` still supplies the corpus id list.
+    */
+  def nearDupRetainFromHashes(docs: DataFrame, hr: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val labels = dupGroupsFromHashes(hr, threshold).select("doc_id", "group_id")
     docs.select("doc_id")
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -578,9 +606,16 @@ object Dedup {
     * broadcast when the pair side measures small. The rollup output is
     * |sources|², a constant-sized audit table at any corpus size.
     */
-  def sourceOverlap(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def sourceOverlap(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    sourceOverlapFromHashes(docs, hashedShingleRows(docs), threshold)
+
+  /** [[sourceOverlap]] probing a precomputed [[hashedShingleRows]]
+    * signature store; `docs` still supplies the (doc_id, source) map.
+    */
+  def sourceOverlapFromHashes(docs: DataFrame, hr: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
-    val pairs = nearDupMinhash(docs, threshold)
+    val pairs = nearDupMinhashFromHashes(hr, threshold)
       .withColumn("j_micro", round(col("jaccard") * 1000000).cast("long"))
     pairs
       .join(src.withColumnRenamed("doc_id", "doc_a")
