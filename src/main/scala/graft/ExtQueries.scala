@@ -48,6 +48,16 @@ object ExtQueries {
     store(s, dir, "minhash_hr")(
       Dedup.hashedShingleRows(Tables.documents(s, dir)))
 
+  /** The DISTINCT (doc_id, h) 8-token-shingle store — the k-shingle
+    * half of the signature store, shared by span detection, novelty,
+    * and decontamination (each side filters it by doc_id predicate,
+    * exact because the frame is a per-doc pure function).
+    */
+  private def k8ShingleStore(s: SparkSession, dir: String): DataFrame =
+    store(s, dir, "k8_shingles")(
+      Corpus.shingleHashes(Tables.documents(s, dir), Corpus.DecontamShingle)
+        .distinct())
+
   // shared DuckDB fragments ------------------------------------------------
 
   /** DuckDB mirror of TextOps.normalized/tokens. */
@@ -367,14 +377,21 @@ object ExtQueries {
       Dedup.nearDupMinhashFromHashes(minhashStore(s, dir))
         .orderBy("doc_a", "doc_b")),
 
-    // X4 — SimHash banded near-dup, Hamming ≤ 3.
+    // X4 — SimHash banded near-dup, Hamming ≤ 3; probes the simhash
+    // chunk half of the session signature store.
     "near_dup_simhash" -> ((s, dir) =>
-      castLongs(Dedup.nearDupSimhash(Tables.documents(s, dir)), "hamming")
+      castLongs(Dedup.nearDupSimhashFromChunks(
+        store(s, dir, "simhash_chunks")(
+          Dedup.simhashChunks(Tables.documents(s, dir)))), "hamming")
         .orderBy("doc_a", "doc_b")),
 
-    // X4 — blocked char-3-gram Jaccard ≥ 0.8 within lang blocks.
+    // X4 — blocked char-3-gram Jaccard ≥ 0.8 within lang blocks; probes
+    // the char-gram half of the session signature store.
     "ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardBlocked(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+      Dedup.ngramJaccardFromGrams(
+        store(s, dir, "chargram_sets")(
+          Dedup.charGramSets(Tables.documents(s, dir))))
+        .orderBy("doc_a", "doc_b")),
 
     // X4 — containment near-dup: |A∩B| / min(|A|,|B|) ≥ 0.8 over the
     // same banded candidates (partial-copy detection).
@@ -410,7 +427,7 @@ object ExtQueries {
     // exact substring dedup): share of each doc's distinct spans that
     // recur in other documents.
     "dup_spans" -> ((s, dir) =>
-      castLongs(Corpus.duplicatedSpans(Tables.documents(s, dir)),
+      castLongs(Corpus.duplicatedSpansFromHashes(k8ShingleStore(s, dir)),
         "n_spans", "n_shared_spans").orderBy("doc_id")),
 
     // X4 — incremental dedup: the 20% "incoming batch" (doc_id % 10 ≥ 8)
@@ -434,10 +451,10 @@ object ExtQueries {
     // Corpus — benchmark decontamination: docs sharing any 8-token
     // shingle with the doc_id % 20 = 0 "benchmark" subset.
     "decontaminate" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Corpus.decontaminate(
-        docs.where(pmod(col("doc_id"), lit(20)) =!= 0),
-        docs.where(pmod(col("doc_id"), lit(20)) === 0))
+      val sh = k8ShingleStore(s, dir)
+      Corpus.decontaminateFromHashes(
+        sh.where(pmod(col("doc_id"), lit(20)) =!= 0),
+        sh.where(pmod(col("doc_id"), lit(20)) === 0))
         .orderBy("doc_id")
     }),
 
@@ -501,7 +518,7 @@ object ExtQueries {
 
     // Corpus — cross-document shingle novelty (first-seen fraction).
     "shingle_novelty" -> ((s, dir) =>
-      Corpus.shingleNovelty(Tables.documents(s, dir)).orderBy("doc_id")),
+      Corpus.shingleNoveltyFromHashes(k8ShingleStore(s, dir)).orderBy("doc_id")),
 
     // Corpus — end-to-end keep/drop manifest (quality ∧ exact-dup ∧
     // near-dup-group ∧ decontamination), corpus = doc_id % 20 != 0.

@@ -157,7 +157,7 @@ object Corpus {
     * Documents with fewer than k tokens contribute no rows. Shared by
     * [[decontaminate]] and [[shingleNovelty]].
     */
-  private[ext] def shingleHashes(df: DataFrame, k: Int): DataFrame =
+  def shingleHashes(df: DataFrame, k: Int): DataFrame =
     df.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= k)
       .select(col("doc_id"), col("toks"),
@@ -178,6 +178,18 @@ object Corpus {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared_shingles"))
   }
+
+  /** [[decontaminate]] probing a DISTINCT (doc_id, h) k-shingle store
+    * split into its corpus and benchmark sides. The store being already
+    * distinct collapses the in-query distinct to a no-op semantically;
+    * the benchmark's hash set still broadcasts so the corpus side is a
+    * map-side semi-join.
+    */
+  def decontaminateFromHashes(corpusSh: DataFrame, benchSh: DataFrame): DataFrame =
+    corpusSh
+      .join(broadcast(benchSh.select("h").distinct()), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_shingles"))
 
   /** Gopher-style repetition signals: per-document duplicate-bigram
     * fraction (1 − distinct/total) and most-frequent-bigram fraction —
@@ -244,8 +256,13 @@ object Corpus {
     store.unionByName(batch).groupBy("h")
       .agg(sum("n_docs").as("n_docs"))
 
-  def duplicatedSpans(docs: DataFrame, k: Int = DecontamShingle): DataFrame = {
-    val sh = shingleHashes(docs, k).distinct()
+  def duplicatedSpans(docs: DataFrame, k: Int = DecontamShingle): DataFrame =
+    duplicatedSpansFromHashes(shingleHashes(docs, k).distinct())
+
+  /** [[duplicatedSpans]] over a precomputed DISTINCT (doc_id, h)
+    * k-shingle store — the store probe form.
+    */
+  def duplicatedSpansFromHashes(sh: DataFrame): DataFrame = {
     val withOcc = sh.withColumn("n_docs",
       count(lit(1)).over(Window.partitionBy("h")))
     withOcc.groupBy("doc_id")
@@ -556,8 +573,13 @@ object Corpus {
     * (dedup, h-window, doc rollup), the canonical "global n-gram table"
     * shape.
     */
-  def shingleNovelty(docs: DataFrame, k: Int = DecontamShingle): DataFrame = {
-    val sh = shingleHashes(docs, k).distinct()
+  def shingleNovelty(docs: DataFrame, k: Int = DecontamShingle): DataFrame =
+    shingleNoveltyFromHashes(shingleHashes(docs, k).distinct())
+
+  /** [[shingleNovelty]] over a precomputed DISTINCT (doc_id, h) k-shingle
+    * store — the store probe form.
+    */
+  def shingleNoveltyFromHashes(sh: DataFrame): DataFrame = {
     sh.withColumn("first_doc", min(col("doc_id")).over(Window.partitionBy("h")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),

@@ -774,17 +774,31 @@ object Dedup {
     * errors on bit 63); the four 16-bit band ints ARE the fingerprint.
     * Output: doc_a, doc_b, hamming.
     */
-  def nearDupSimhash(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+  def nearDupSimhash(docs: DataFrame, maxHamming: Int = 6): DataFrame =
+    nearDupSimhashFromChunks(simhashChunks(docs), maxHamming)
+
+  /** Per-doc DISTINCT simhash chunk rows (doc_id, c0..c3) — the simhash
+    * half of the signature store: a pure per-document function (each
+    * shingle's md5 split into four 16-bit chunks), computed at ingest
+    * and persisted at scale. Votes are per DISTINCT shingle: dedup on
+    * the int chunks (cheaper shuffle than distinct md5 strings, same
+    * sets modulo a 2⁻⁶⁴ within-doc collision the oracle mirrors
+    * exactly).
+    */
+  def simhashChunks(docs: DataFrame): DataFrame = {
     val chunkCols = (0 until SimhashBands).map { j =>
       conv(substring(md5(col("s").cast("binary")), j * 4 + 1, 4), 16, 10)
         .cast("int").as(s"c$j")
     }
-    // Votes are per DISTINCT shingle: dedup on the int chunks (cheaper
-    // shuffle than distinct md5 strings, same sets modulo a 2⁻⁶⁴
-    // within-doc collision that the oracle mirrors exactly).
-    val chunks = shingleRows(docs)
+    shingleRows(docs)
       .select(col("doc_id") +: chunkCols: _*)
       .distinct()
+  }
+
+  /** [[nearDupSimhash]] over a precomputed [[simhashChunks]] frame —
+    * the signature-store probe form.
+    */
+  def nearDupSimhashFromChunks(chunks: DataFrame, maxHamming: Int = 6): DataFrame = {
     val bitSums = for (j <- 0 until SimhashBands; k <- 0 until BandBits)
       yield sum(shiftright(col(s"c$j"), k).bitwiseAND(lit(1))).as(s"s_${j}_$k")
     val agg = chunks.groupBy("doc_id").agg(count(lit(1)).as("n"), bitSums: _*)
@@ -843,7 +857,17 @@ object Dedup {
     *   blocks stay bounded.
     */
   def ngramJaccardBlocked(docs: DataFrame, threshold: Double = 0.8,
-      broadcastBlocked: Boolean = false): DataFrame = {
+      broadcastBlocked: Boolean = false): DataFrame =
+    ngramJaccardFromGrams(charGramSets(docs, threshold), threshold,
+      broadcastBlocked)
+
+  /** Per-doc sorted INT-encoded char-3-gram sets with their length
+    * bucket (doc_id, lang, grams, nb) — the char-gram half of the
+    * signature store (pure per-document function; see
+    * [[ngramJaccardBlocked]]). The bucket base is `1/threshold`, so a
+    * store built at one threshold serves probes at that threshold.
+    */
+  def charGramSets(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val parallelism =
       docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // Normalize once, filter on the cheap scalar (length ≥ 3 ⟺ grams
@@ -881,7 +905,7 @@ object Dedup {
     // Generate + projection the per-char work lives in whole-stage
     // codegen, and the aggregate output is non-nullable by construction
     // (no isnotnull(grams) constraint — see trap note above).
-    val g = base
+    base
       .select(col("doc_id"), col("lang"), col("s"),
         posexplode(sequence(lit(1), length(col("s")) - 2)).as(Seq("ord", "i")))
       .select(col("doc_id"), col("lang"),
@@ -896,6 +920,16 @@ object Dedup {
         // non-nullable so no isnotnull(nb) constraint can materialize.
         coalesce(floor(log(1.0 / threshold, size(col("grams")).cast("double"))),
           lit(0L)).cast("int"))
+  }
+
+  /** [[ngramJaccardBlocked]] over a precomputed [[charGramSets]] frame —
+    * the signature-store probe form (the store must have been built at
+    * the same threshold: the length bucket encodes it).
+    */
+  def ngramJaccardFromGrams(g: DataFrame, threshold: Double = 0.8,
+      broadcastBlocked: Boolean = false): DataFrame = {
+    val parallelism =
+      g.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // The probe side gets an EXPLICIT round-robin repartition AFTER the
     // claims explode: the pair verification is quadratic in group size
     // while AQE's partition coalescing reasons in BYTES — left to
