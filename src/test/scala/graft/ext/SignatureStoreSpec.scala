@@ -1,0 +1,60 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** The signature-store halves are persisted parquet at scale; these
+  * specs assert each probe form produces identical results whether fed
+  * the in-session frame or its parquet round trip. This is not hygiene:
+  * a parquet round trip flips columns nullable, and the char-gram
+  * pipeline's scaladoc documents how a nullable gram column resurrects
+  * the isnotnull-pushdown O(len²) trap — equality here proves the probe
+  * forms are round-trip safe.
+  */
+class SignatureStoreSpec extends SparkSpec {
+
+  private val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+
+  private def roundTrip(df: org.apache.spark.sql.DataFrame, name: String) = {
+    val dir = Files.createTempDirectory(s"graft-store-$name").toString
+    df.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  test("minhash hr store: parquet round trip probes identically") {
+    val hr = Dedup.hashedShingleRows(docs)
+    val direct = Dedup.nearDupMinhashFromHashes(hr).collect().toSet
+    val viaParquet = Dedup.nearDupMinhashFromHashes(roundTrip(hr, "hr"))
+      .collect().toSet
+    assert(viaParquet === direct)
+  }
+
+  test("simhash chunk store: parquet round trip probes identically") {
+    val ch = Dedup.simhashChunks(docs)
+    val direct = Dedup.nearDupSimhashFromChunks(ch).collect().toSet
+    val viaParquet = Dedup.nearDupSimhashFromChunks(roundTrip(ch, "simhash"))
+      .collect().toSet
+    assert(viaParquet === direct)
+  }
+
+  test("char-gram store: parquet round trip probes identically") {
+    val g = Dedup.charGramSets(docs)
+    val direct = Dedup.ngramJaccardFromGrams(g).collect().toSet
+    val viaParquet = Dedup.ngramJaccardFromGrams(roundTrip(g, "grams"))
+      .collect().toSet
+    assert(viaParquet === direct)
+  }
+
+  test("k-shingle store: parquet round trip probes identically") {
+    val sh = Corpus.shingleHashes(docs, Corpus.DecontamShingle).distinct()
+    val direct = Corpus.duplicatedSpansFromHashes(sh).collect().toSet
+    val viaParquet = Corpus.duplicatedSpansFromHashes(roundTrip(sh, "k8"))
+      .collect().toSet
+    assert(viaParquet === direct)
+    val novDirect = Corpus.shingleNoveltyFromHashes(sh).collect().toSet
+    val novParquet = Corpus.shingleNoveltyFromHashes(roundTrip(sh, "k8n"))
+      .collect().toSet
+    assert(novParquet === novDirect)
+  }
+}
