@@ -527,7 +527,8 @@ object ExtQueries {
       Corpus.corpusManifest(
         docs.where(pmod(col("doc_id"), lit(20)) =!= 0),
         docs.where(pmod(col("doc_id"), lit(20)) === 0),
-        signatureStore = Some(minhashStore(s, dir)))
+        signatureStore = Some(minhashStore(s, dir)),
+        kShingleStore = Some(k8ShingleStore(s, dir)))
         .orderBy("doc_id")
     }),
 

@@ -617,7 +617,8 @@ object Corpus {
     */
   def corpusManifest(corpus: DataFrame, benchmark: DataFrame,
       threshold: Double = 0.5,
-      signatureStore: Option[DataFrame] = None): DataFrame = {
+      signatureStore: Option[DataFrame] = None,
+      kShingleStore: Option[DataFrame] = None): DataFrame = {
     // The NARROW verdict table (id + reasons) is what gets materialized —
     // never a full-text copy of the corpus (at 100 TB the verdict table
     // is the thing you can afford to persist; corpus re-reads are pruned
@@ -650,7 +651,16 @@ object Corpus {
       .select(col("doc_id"), lit(true).as("is_survivor"))
     val groups = Dedup.dupGroupsFromHashes(hr, threshold)
       .select(col("doc_id"), col("group_id"))
-    val contam = decontaminate(corpus, benchmark)
+    // With a k-shingle store over the FULL document set, both decontam
+    // sides are store-filtered by id (exact: per-doc pure function)
+    // instead of re-shingling their texts.
+    val contam = kShingleStore
+      .map { st =>
+        decontaminateFromHashes(
+          st.join(corpus.select("doc_id"), "doc_id"),
+          st.join(benchmark.select("doc_id"), "doc_id"))
+      }
+      .getOrElse(decontaminate(corpus, benchmark))
       .select(col("doc_id"), lit(true).as("contaminated"))
     q.join(survivors, Seq("doc_id"), "left")
       .join(groups, Seq("doc_id"), "left")
