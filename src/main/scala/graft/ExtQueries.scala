@@ -516,6 +516,29 @@ object ExtQueries {
     "vocab_coverage" -> ((s, dir) =>
       Corpus.vocabCoverage(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // S-ext — sharded-JSONL round trip: the LLM-corpus interchange path
+    // (exportJsonl's gzip shards → pinned-schema readJsonl) must be an
+    // identity on the document table. Unique tmp dir per invocation —
+    // the csv_roundtrip concurrency rule.
+    "jsonl_roundtrip" -> ((s, dir) => {
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft-jsonl-${java.util.UUID.randomUUID}"
+      val docs = Tables.documents(s, dir)
+      Corpus.exportJsonl(docs, tmp)
+      Corpus.readJsonl(s, tmp, docs.schema)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // S-ext — ORC round trip: the second Spark-native columnar codec
+    // (warehouse interchange), schema carried by the format itself.
+    "orc_roundtrip" -> ((s, dir) => {
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft-orc-${java.util.UUID.randomUUID}"
+      Tables.documents(s, dir).write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // Corpus — cross-document shingle novelty (first-seen fraction).
     "shingle_novelty" -> ((s, dir) =>
       Corpus.shingleNoveltyFromHashes(k8ShingleStore(s, dir)).orderBy("doc_id")),
@@ -1118,6 +1141,12 @@ object ExtQueries {
          |  coalesce(l.group_id, d.doc_id) = d.doc_id AS kept
          |FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Round trips are identities on the document table.
+    "jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "orc_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
 
     // Near-dup pair mass by unordered source pair; integer-exact
     // micro-jaccard sum + integer-div mean (mirrors Dedup.sourceOverlap).
