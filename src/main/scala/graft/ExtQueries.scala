@@ -48,6 +48,13 @@ object ExtQueries {
     store(s, dir, "minhash_hr")(
       Dedup.hashedShingleRows(Tables.documents(s, dir)))
 
+  /** The BAND TABLE half of the signature store ([[Dedup.minhashBands]]
+    * — "computed once per document at ingest and persisted"): probing it
+    * skips the 16-permutation min-aggregate per query.
+    */
+  private def minhashBandsStore(s: SparkSession, dir: String): DataFrame =
+    store(s, dir, "minhash_bands")(Dedup.minhashBands(minhashStore(s, dir)))
+
   /** The DISTINCT (doc_id, h) 8-token-shingle store — the k-shingle
     * half of the signature store, shared by span detection, novelty,
     * and decontamination (each side filters it by doc_id predicate,
@@ -374,7 +381,8 @@ object ExtQueries {
     // steady-state cost of the store-backed plan. Same discipline as
     // the ANN/KMV stores above; results are store-warmth invariant.
     "near_dup_minhash" -> ((s, dir) =>
-      Dedup.nearDupMinhashFromHashes(minhashStore(s, dir))
+      Dedup.nearDupMinhashFromHashes(minhashStore(s, dir),
+        bands = Some(minhashBandsStore(s, dir)))
         .orderBy("doc_a", "doc_b")),
 
     // X4 — SimHash banded near-dup, Hamming ≤ 3; probes the simhash
@@ -396,31 +404,36 @@ object ExtQueries {
     // X4 — containment near-dup: |A∩B| / min(|A|,|B|) ≥ 0.8 over the
     // same banded candidates (partial-copy detection).
     "containment_near_dup" -> ((s, dir) =>
-      Dedup.containmentNearDupFromHashes(minhashStore(s, dir))
+      Dedup.containmentNearDupFromHashes(minhashStore(s, dir),
+        bands = Some(minhashBandsStore(s, dir)))
         .orderBy("doc_a", "doc_b")),
 
     // X4 — size-stratified containment: the banded channel plus a
     // 1-row-band channel gated to skewed-size pairs (LSH-Ensemble lite).
     "containment_stratified" -> ((s, dir) =>
-      Dedup.containmentNearDupStratifiedFromHashes(minhashStore(s, dir))
+      Dedup.containmentNearDupStratifiedFromHashes(minhashStore(s, dir),
+        bands = Some(minhashBandsStore(s, dir)))
         .orderBy("doc_a", "doc_b")),
 
     // X1/X4 — duplicate groups: connected components over the verified
     // MinHash pair graph (iterative min-label propagation).
     "dup_groups" -> ((s, dir) =>
-      Dedup.dupGroupsFromHashes(minhashStore(s, dir)).orderBy("doc_id")),
+      Dedup.dupGroupsFromHashes(minhashStore(s, dir),
+        bands = Some(minhashBandsStore(s, dir))).orderBy("doc_id")),
 
     // X4 — the dedup ACTION: per-doc retention decision (canonical
     // survivor per near-dup component, singletons kept).
     "near_dup_retain" -> ((s, dir) =>
       Dedup.nearDupRetainFromHashes(
-        Tables.documents(s, dir), minhashStore(s, dir)).orderBy("doc_id")),
+        Tables.documents(s, dir), minhashStore(s, dir),
+        bands = Some(minhashBandsStore(s, dir))).orderBy("doc_id")),
 
     // X4 — cross-source overlap audit: near-dup pair mass rolled up by
     // unordered source pair (dataset-mixing diagnostic).
     "source_overlap" -> ((s, dir) =>
       Dedup.sourceOverlapFromHashes(
-        Tables.documents(s, dir), minhashStore(s, dir))
+        Tables.documents(s, dir), minhashStore(s, dir),
+        bands = Some(minhashBandsStore(s, dir)))
         .orderBy("source_a", "source_b")),
 
     // Corpus — repeated-span detection (word-8-gram approximation of
@@ -443,7 +456,8 @@ object ExtQueries {
       val hrE = minhashStore(s, dir)
         .where(pmod(col("doc_id"), lit(10)) < 8)
       Dedup.nearDupAgainstStore(
-        Dedup.minhashBands(hrE), Dedup.shingleSets(hrE),
+        minhashBandsStore(s, dir).where(pmod(col("doc_id"), lit(10)) < 8),
+        Dedup.shingleSets(hrE),
         docs.where(pmod(col("doc_id"), lit(10)) >= 8))
         .orderBy("doc_new", "doc_match")
     }),

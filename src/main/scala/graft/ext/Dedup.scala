@@ -207,10 +207,11 @@ object Dedup {
     * shingle scan — saves that many corpus re-scans.
     */
   def nearDupMinhashFromHashes(hr: DataFrame, threshold: Double = 0.5,
-      broadcastCandidates: Boolean = false): DataFrame =
+      broadcastCandidates: Boolean = false,
+      bands: Option[DataFrame] = None): DataFrame =
     // |A ∪ B| = |A| + |B| − |A ∩ B| for distinct inputs: one codegen'd
     // two-pointer merge yields exact Jaccard per candidate.
-    bandedScoredPairs(hr, broadcastCandidates)
+    bandedScoredPairs(hr, broadcastCandidates, bands)
       .withColumn("jaccard", TextOps.trunc6(col("inter") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double")))
       .where(col("jaccard") >= threshold)
@@ -244,8 +245,9 @@ object Dedup {
     * [[nearDupMinhashFromHashes]]).
     */
   def containmentNearDupFromHashes(hr: DataFrame, threshold: Double = 0.8,
-      broadcastCandidates: Boolean = false): DataFrame =
-    bandedScoredPairs(hr, broadcastCandidates)
+      broadcastCandidates: Boolean = false,
+      bands: Option[DataFrame] = None): DataFrame =
+    bandedScoredPairs(hr, broadcastCandidates, bands)
       .withColumn("containment", TextOps.trunc6(col("inter") /
         least(size(col("sh_a")), size(col("sh_b"))).cast("double")))
       .where(col("containment") >= threshold)
@@ -337,7 +339,7 @@ object Dedup {
   def containmentNearDupStratifiedFromHashes(hr: DataFrame,
       threshold: Double = 0.8, ratioCut: Double = 2.0,
       minSigMatches: Int = 2, broadcastCandidates: Boolean = false,
-      strata: Int = 2): DataFrame = {
+      strata: Int = 2, bands: Option[DataFrame] = None): DataFrame = {
     require(strata == 2 || strata == 3, s"strata must be 2 or 3, got $strata")
     // Sig rows carry the set size from their own aggregate — no second
     // size aggregate, no doc_id reunite join.
@@ -348,7 +350,9 @@ object Dedup {
         skewCandidates(sized, ratioCut, minSigMatches,
           hiRatio = Some(ratioCut * ratioCut))
           .union(skewCandidates(sized, ratioCut * ratioCut, 1))
-    scoredPairs(hr, bandedCandidates(hr).union(skew), broadcastCandidates)
+    scoredPairs(hr,
+      bandedCandidates(bands.getOrElse(minhashBands(hr))).union(skew),
+      broadcastCandidates)
       .withColumn("containment", TextOps.trunc6(col("inter") /
         least(size(col("sh_a")), size(col("sh_b"))).cast("double")))
       .where(col("containment") >= threshold)
@@ -388,14 +392,17 @@ object Dedup {
     * (doc_a, doc_b, sh_a, sh_b, inter) for every band-collision pair.
     */
   private def bandedScoredPairs(hr: DataFrame,
-      broadcastCandidates: Boolean): DataFrame =
-    scoredPairs(hr, bandedCandidates(hr), broadcastCandidates)
+      broadcastCandidates: Boolean,
+      bands: Option[DataFrame] = None): DataFrame =
+    scoredPairs(hr, bandedCandidates(bands.getOrElse(minhashBands(hr))),
+      broadcastCandidates)
 
   /** The standard 2-row-band candidate channel: pairs sharing any packed
-    * band key (doc_a < doc_b).
+    * band key (doc_a < doc_b). Takes the BAND TABLE (the signature
+    * store's at-rest half, [[minhashBands]]) directly, so a persisted
+    * store skips the 16-permutation min-aggregate entirely.
     */
-  private def bandedCandidates(hr: DataFrame): DataFrame = {
-    val banded = minhashBands(hr)
+  private def bandedCandidates(banded: DataFrame): DataFrame = {
     banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -550,9 +557,10 @@ object Dedup {
     * [[nearDupMinhashFromHashes]] for why callers pass hr.
     */
   def dupGroupsFromHashes(hr: DataFrame, threshold: Double = 0.5,
-      maxIters: Int = 25): DataFrame =
+      maxIters: Int = 25, bands: Option[DataFrame] = None): DataFrame =
     connectedComponents(
-      nearDupMinhashFromHashes(hr, threshold).select("doc_a", "doc_b"),
+      nearDupMinhashFromHashes(hr, threshold, bands = bands)
+        .select("doc_a", "doc_b"),
       "doc_a", "doc_b", maxIters)
       .select(col("node").as("doc_id"), col("label").as("group_id"))
       .withColumn("group_size", count(lit(1)).over(Window.partitionBy("group_id")))
@@ -581,8 +589,9 @@ object Dedup {
     * signature store; `docs` still supplies the corpus id list.
     */
   def nearDupRetainFromHashes(docs: DataFrame, hr: DataFrame,
-      threshold: Double = 0.5): DataFrame = {
-    val labels = dupGroupsFromHashes(hr, threshold).select("doc_id", "group_id")
+      threshold: Double = 0.5, bands: Option[DataFrame] = None): DataFrame = {
+    val labels = dupGroupsFromHashes(hr, threshold, bands = bands)
+      .select("doc_id", "group_id")
     docs.select("doc_id")
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -613,9 +622,9 @@ object Dedup {
     * signature store; `docs` still supplies the (doc_id, source) map.
     */
   def sourceOverlapFromHashes(docs: DataFrame, hr: DataFrame,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, bands: Option[DataFrame] = None): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
-    val pairs = nearDupMinhashFromHashes(hr, threshold)
+    val pairs = nearDupMinhashFromHashes(hr, threshold, bands = bands)
       .withColumn("j_micro", round(col("jaccard") * 1000000).cast("long"))
     pairs
       .join(src.withColumnRenamed("doc_id", "doc_a")
