@@ -38,4 +38,29 @@ object CsvIngest {
     */
   def readInferred(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** Audited permissive read: pinned schema plus a `_corrupt_record`
+    * column capturing each malformed line verbatim (type-mismatched
+    * fields, wrong arity). The reference's reader silently nulls bad
+    * fields; a 100 TB raw zone ALWAYS contains some — this is the ingest
+    * that lets the DQ gate count and quarantine them instead of letting
+    * nulls leak into fillna(0) arithmetic downstream. Returns the frame
+    * with `_corrupt_record` last: `where(col("_corrupt_record").isNull)`
+    * is the clean stream, `.isNotNull` the quarantine stream — one read
+    * serves both (no second pass; the column is populated by the SAME
+    * parse). Spark caveat baked in: a query that selects ONLY
+    * `_corrupt_record` is disallowed by the parser (it would require
+    * re-parsing); keep at least one data column in downstream plans.
+    */
+  def readAudited(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType, nullable = true))
+    spark.read.schema(withCorrupt)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+  }
 }

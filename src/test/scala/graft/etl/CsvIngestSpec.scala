@@ -37,6 +37,25 @@ class CsvIngestSpec extends SparkSpec {
     }
   }
 
+  test("audited read splits clean and corrupt rows from one parse") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val typed = StructType(Seq(
+      StructField("sku", StringType), StructField("quantity", IntegerType)))
+    val day = writeCsv("a1,3", "b2,notanum", "c3,5")
+    val read = CsvIngest.readAudited(spark, day, typed).cache()
+    val clean = read.where(col("_corrupt_record").isNull)
+      .select("sku", "quantity").collect()
+      .map(r => (r.getString(0), r.getInt(1))).sortBy(_._1)
+    assert(clean.toSeq === Seq(("a1", 3), ("c3", 5)))
+    val quarantined = read.where(col("_corrupt_record").isNotNull)
+      .select("sku", "_corrupt_record").collect()
+    assert(quarantined.length === 1)
+    // The malformed line is captured VERBATIM for the quarantine stream.
+    assert(quarantined.head.getString(1) === "b2,notanum")
+    read.unpersist()
+  }
+
   test("both modes stage identical aggregates on clean integer data") {
     val day = writeCsv("a1,3", "a1,2", "b2,4")
     val d = java.time.LocalDate.parse("2024-01-02")
