@@ -368,6 +368,19 @@ object ExtQueries {
     "word_freq" -> ((s, dir) =>
       TextOps.wordFreq(Tables.documents(s, dir), 20)),
 
+    // X2 — corpus length profile as an equi-width histogram (250-char
+    // buckets): one hash aggregate on the bucket id — integer div keeps
+    // the bucketing engine-exact, and the aggregate is map-side
+    // combinable so the shuffle carries ≤ |buckets| rows per task at
+    // any corpus size.
+    "doc_length_histogram" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(expr("n_chars div 250").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("total_chars"))
+        .select(col("bucket"), (col("bucket") * 250).as("bucket_lo"),
+          col("n_docs"), col("total_chars"))
+        .orderBy("bucket")),
+
     // X1 — exact dedup by content hash, deterministic survivor.
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -652,6 +665,25 @@ object ExtQueries {
         .withColumn("view_ts", col("vts"))
       AsOfJoin.asOf(purchases, views, "user_id", "ts", "vts",
           Seq("view_id", "view_ts"))
+        .orderBy("event_id")
+    }),
+
+    // X7 — as-of join with a staleness tolerance (feature-store TTL):
+    // same attribution, but a view more than 30 minutes before the
+    // purchase no longer counts. Same single union + window pass as
+    // event_attribution — the tolerance nulls, it never re-shuffles —
+    // and it is what bounds per-key state in a streaming twin.
+    "asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").as("purchase_value"))
+      val views = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("vts"))
+        .agg(max(col("event_id")).as("view_id"))
+        .withColumn("view_ts", col("vts"))
+      AsOfJoin.asOfTolerance(purchases, views, "user_id", "ts", "vts",
+          Seq("view_id", "view_ts"), toleranceSec = 30 * 60)
         .orderBy("event_id")
     }),
 
@@ -1026,6 +1058,11 @@ object ExtQueries {
       s"""SELECT token, count(*) AS n
          |FROM (SELECT unnest($toksSql) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "doc_length_histogram" ->
+      s"""SELECT n_chars // 250 AS bucket, (n_chars // 250) * 250 AS bucket_lo,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM documents GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
 
     "dedup_exact" ->
       s"""WITH k AS (SELECT doc_id, md5($normSql) AS content_key FROM documents),
@@ -1611,6 +1648,23 @@ object ExtQueries {
          |FROM p ASOF LEFT JOIN v
          |  ON p.user_id = v.user_id AND p.ts >= v.vts
          |ORDER BY p.event_id""".stripMargin,
+
+    // The as-of match, then staleness nulling — DuckDB's ASOF picks the
+    // same "last view at or before" row, and the CASE discards it when
+    // it trails the purchase by more than the 30-minute tolerance.
+    "asof_tolerance" ->
+      s"""WITH v AS (SELECT user_id, ts AS vts, max(event_id) AS view_id
+         |    FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         |p AS (SELECT event_id, user_id, ts, value AS purchase_value
+         |    FROM events WHERE event_type = 'purchase'),
+         |a AS (SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
+         |        v.view_id, v.vts
+         |      FROM p ASOF LEFT JOIN v
+         |        ON p.user_id = v.user_id AND p.ts >= v.vts)
+         |SELECT event_id, user_id, ts, purchase_value,
+         |  CASE WHEN vts >= ts - INTERVAL 30 MINUTE THEN view_id END AS view_id,
+         |  CASE WHEN vts >= ts - INTERVAL 30 MINUTE THEN vts END AS view_ts
+         |FROM a ORDER BY event_id""".stripMargin,
 
     "bloom_join" ->
       s"""SELECT p_brand, count(*) AS n_items,

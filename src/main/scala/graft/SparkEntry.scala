@@ -3,8 +3,9 @@ package graft
 import java.time.LocalDate
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, StructField}
+import org.apache.spark.sql.types.{DateType, StructField, TimestampType}
 
 import graft.etl.{Alerts, MultiDayReconcile, RetailMapping, Scd2, StageSales}
 import graft.schemas.Schemas
@@ -277,6 +278,147 @@ object SparkEntry {
           sum(col("l_quantity").cast("int")).cast("long").as("sum_qty"))
         .orderBy(asc_nulls_first("version_from"), col("l_returnflag"))
     }),
+
+    // §2.4/§2.5 — star-schema revenue rollup (the TPC-H Q5 shape the
+    // warehouse side of the reference serves from Redshift): one year
+    // of lineitem revenue through orders to customer, restricted to
+    // LOCAL suppliers (c_nationkey = s_nationkey), rolled up per
+    // (region, nation). Scale shape: the only large shuffle is
+    // lineitem ⨝ orders; nation/region are pinned broadcast (always
+    // tiny), customer/supplier carry NO hint — at bench scale AQE
+    // broadcasts them, at 100 TB (customer ~ billions of rows) the
+    // optimizer correctly falls back to a shuffle join, which a
+    // hard-coded hint would forbid. Money is summed in integer cents
+    // (round(x*100) — associative, engine-exact; abc_class precedent).
+    "star_join" -> ((s, dir) => {
+      val y0 = lit("1995-01-01").cast(TimestampType)
+      val y1 = lit("1996-01-01").cast(TimestampType)
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_suppkey"),
+        expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
+          .as("rev_cents"))
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= y0 && col("o_orderdate") < y1)
+        .select("o_orderkey", "o_custkey")
+      val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
+      val r = Tables.region(s, dir).select("r_regionkey", "r_name")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_items"), sum("rev_cents").as("rev_cents"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // §2.6 — decile segmentation (ntile + per-decile re-aggregate):
+    // customers ranked by lifetime order value, cut into 10 equal-count
+    // buckets. The global ntile window runs over the POST-aggregate
+    // frame — one row per customer, orders of magnitude smaller than
+    // the fact table — so the distributed work (orders scan + agg) is
+    // done before the single range-sorted pass. At extreme dim
+    // cardinality, swap the window for broadcast percentile boundaries;
+    // ntile's equal-count contract is what the oracle checks here.
+    "customer_deciles" -> ((s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev_cents"))
+      val w = Window.orderBy(col("rev_cents").desc, col("o_custkey"))
+      rev.withColumn("decile", ntile(10).over(w))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"), sum("rev_cents").as("decile_cents"))
+        .orderBy("decile")
+    }),
+
+    // §2.5 — full cube over (day, returnflag): every grouping-set
+    // combination including the two one-dimension margins rollup
+    // omits. Same month slice as sales_rollup so the two results can
+    // be cross-checked row-for-row on the shared sets.
+    "sales_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(RetailMapping.shipdateIn(From, To.plusDays(1)))
+        .select(col("l_shipdate").cast("date").as("d"), col("l_returnflag"),
+          col("l_quantity").cast("int").as("q"))
+        .cube("d", "l_returnflag")
+        .agg(sum("q").as("sum_qty"))
+        .orderBy(asc_nulls_first("d"), asc_nulls_first("l_returnflag"))),
+
+    // §2.10/§2.5 — incremental materialized-aggregate maintenance: the
+    // stored per-sku month-to-date rollup (days [From, D)) is
+    // refreshed with day D by MERGING PARTIAL AGGREGATES — union +
+    // re-agg over |store| + |delta| rows — never by rescanning raw
+    // history (sum is associative, so merge ≡ recompute, which is
+    // exactly what the oracle recomputes). The tmp parquet write
+    // stands in for the warehouse's stored MV; at 100 TB the delta is
+    // one partition of the raw zone and the store is facts/day-sized.
+    "rollup_maintenance" -> ((s, dir) => {
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft-mv-${java.util.UUID.randomUUID}"
+      RetailMapping.dailyQty(s, dir, From, D)
+        .groupBy("sku").agg(sum("qty").as("qty"))
+        .write.mode("overwrite").parquet(tmp)
+      val stored = s.read.parquet(tmp)
+      val delta = RetailMapping.dailyQty(s, dir, D, N).select("sku", "qty")
+      stored.unionByName(delta)
+        .groupBy("sku").agg(sum("qty").cast("long").as("qty"))
+        .orderBy("sku")
+    }),
+
+    // S2 variant — schema-evolution read: day D's snapshot predates the
+    // feed carrying `channel`; day D+1 adds it. mergeSchema unifies the
+    // parquet footers (nulls where absent) — the scan-level twin of
+    // unionByName(allowMissingColumns) already covered by daily_union.
+    // At scale schema merge is a footer-only planning cost; production
+    // pins the merged schema once discovered.
+    "schema_evolution" -> ((s, dir) => {
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft-evo-${java.util.UUID.randomUUID}"
+      RetailMapping.rawSales(s, dir, D)
+        .write.mode("overwrite").parquet(s"$tmp/day=$D")
+      RetailMapping.rawSales(s, dir, N)
+        .withColumn("channel", concat(lit("ch-"), (col("quantity") % 3).cast("string")))
+        .write.mode("overwrite").parquet(s"$tmp/day=$N")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy(col("day").cast("date").as("day"),
+          coalesce(col("channel"), lit("legacy")).as("channel"))
+        .agg(count(lit(1)).as("n_rows"), sum("quantity").cast("long").as("sum_qty"))
+        .orderBy("day", "channel")
+    }),
+
+    // §2.4 extension — blocked Levenshtein record linkage: a dirty POS
+    // product feed (deterministic tail corruptions planted in-plan on
+    // p_partkey residues: append, truncate, substitute — all dist ≤ 2
+    // and first-token preserving, so the blocking is lossless here)
+    // matched back to the clean product dim. See FuzzyJoin scaladoc for
+    // the blocking/recall contract at scale.
+    "fuzzy_match" -> ((s, dir) => {
+      val dirty = Tables.part(s, dir)
+        .withColumn("nm", trim(col("p_name")))
+        .select(col("p_partkey").as("rec_id"),
+          when(col("p_partkey") % 7 === 0, concat(col("nm"), lit("x")))
+            .when(col("p_partkey") % 7 === 1,
+              expr("substring(nm, 1, length(nm) - 1)"))
+            .when(col("p_partkey") % 7 === 2,
+              concat(expr("substring(nm, 1, length(nm) - 1)"), lit("#")))
+            .otherwise(col("nm")).as("raw_name"))
+      val dim = RetailMapping.dimProducts(s, dir).select("sku", "product_name")
+      graft.ext.FuzzyJoin.linkage(
+          dirty, "rec_id", "raw_name", dim, "sku", "product_name", 2)
+        .orderBy("rec_id")
+    }),
+
+    // F1 retail variant — "phantom inventory" audit: days where a sku
+    // sold from zero opening stock, per-sku over the month. A filter +
+    // re-aggregate on the already-reconciled frame — no second scan of
+    // the raw zone at any scale.
+    "phantom_inventory" -> ((s, dir) =>
+      MultiDayReconcile.reconcileRange(s, dir, From, To)
+        .where(col("opening_stock") === 0 && col("quantity_sold") > 0)
+        .groupBy("sku")
+        .agg(count(lit(1)).as("n_days"), sum("quantity_sold").cast("long").as("phantom_qty"))
+        .orderBy("sku")),
   ) ++ ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -342,22 +484,7 @@ object SparkEntry {
          |FROM agg, ex""".stripMargin,
 
     "multi_day_reconciliation" ->
-      s"""WITH daily AS (${dailySql(From.minusDays(1), To.plusDays(1))}),
-         |opening AS (SELECT d + 1 AS date_key, sku, qty AS opening_stock FROM daily),
-         |closing AS (SELECT d AS date_key, sku, qty AS actual_closing_stock,
-         |                   qty AS quantity_sold FROM daily)
-         |SELECT date_key, sku,
-         |       COALESCE(opening_stock, 0) AS opening_stock,
-         |       COALESCE(quantity_sold, 0) AS quantity_sold,
-         |       COALESCE(opening_stock, 0) - COALESCE(quantity_sold, 0)
-         |         AS expected_closing_stock,
-         |       COALESCE(actual_closing_stock, 0) AS actual_closing_stock,
-         |       COALESCE(actual_closing_stock, 0)
-         |         - (COALESCE(opening_stock, 0) - COALESCE(quantity_sold, 0))
-         |         AS discrepancy_amount
-         |FROM opening FULL JOIN closing USING (date_key, sku)
-         |WHERE date_key BETWEEN DATE '$From' AND DATE '$To'
-         |ORDER BY date_key, sku""".stripMargin,
+      s"SELECT * FROM ($multiDaySql) ORDER BY date_key, sku",
     "sales_rollup" ->
       s"""SELECT CAST(l_shipdate AS DATE) AS d, l_returnflag,
          |       CAST(sum(CAST(l_quantity AS INTEGER)) AS BIGINT) AS sum_qty
@@ -436,6 +563,89 @@ object SparkEntry {
          |FROM f ASOF LEFT JOIN versioned v
          |  ON f.p_partkey = v.p_partkey AND f.d >= v.valid_from
          |GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2""".stripMargin,
+
+    "star_join" ->
+      s"""SELECT r_name, n_name, count(*) AS n_items,
+         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+         |    AS BIGINT)) AS BIGINT) AS rev_cents
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation   ON s_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+         |  AND o_orderdate <  TIMESTAMP '1996-01-01'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "customer_deciles" ->
+      s"""WITH rev AS (
+         |  SELECT o_custkey,
+         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |      AS rev_cents
+         |  FROM orders GROUP BY 1),
+         |d AS (SELECT rev_cents,
+         |        ntile(10) OVER (ORDER BY rev_cents DESC, o_custkey) AS decile
+         |      FROM rev)
+         |SELECT decile, count(*) AS n_customers,
+         |  CAST(sum(rev_cents) AS BIGINT) AS decile_cents
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sales_cube" ->
+      s"""SELECT CAST(l_shipdate AS DATE) AS d, l_returnflag,
+         |       CAST(sum(CAST(l_quantity AS INTEGER)) AS BIGINT) AS sum_qty
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '$From' AND l_shipdate < TIMESTAMP '${To.plusDays(1)}'
+         |GROUP BY CUBE(d, l_returnflag)
+         |ORDER BY d ASC NULLS FIRST, l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    // Merge-of-partials ≡ full recompute over [From, D] — the oracle IS
+    // the recompute.
+    "rollup_maintenance" ->
+      s"""SELECT ${skuOf("l_partkey")} AS sku,
+         |  CAST(sum(CAST(l_quantity AS INTEGER)) AS BIGINT) AS qty
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '$From' AND l_shipdate < TIMESTAMP '$N'
+         |GROUP BY 1 ORDER BY sku""".stripMargin,
+
+    "schema_evolution" ->
+      s"""WITH raw AS (
+         |  SELECT CAST(l_shipdate AS DATE) AS day,
+         |         CAST(l_quantity AS INTEGER) AS quantity
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '$D' AND l_shipdate < TIMESTAMP '${N.plusDays(1)}')
+         |SELECT day,
+         |  CASE WHEN day = DATE '$D' THEN 'legacy'
+         |       ELSE 'ch-' || CAST(quantity % 3 AS VARCHAR) END AS channel,
+         |  count(*) AS n_rows, CAST(sum(quantity) AS BIGINT) AS sum_qty
+         |FROM raw GROUP BY 1, 2 ORDER BY day, channel""".stripMargin,
+
+    "fuzzy_match" ->
+      s"""WITH src AS (SELECT p_partkey AS rec_id, trim(p_name) AS nm FROM part),
+         |dirty AS (SELECT rec_id,
+         |  CASE rec_id % 7
+         |    WHEN 0 THEN nm || 'x'
+         |    WHEN 1 THEN substring(nm, 1, length(nm) - 1)
+         |    WHEN 2 THEN substring(nm, 1, length(nm) - 1) || '#'
+         |    ELSE nm END AS raw_name
+         |  FROM src),
+         |dim AS (SELECT sku, product_name FROM ($dimSql)),
+         |cand AS (SELECT d.rec_id, d.raw_name, m.sku, m.product_name,
+         |    levenshtein(d.raw_name, m.product_name) AS dist
+         |  FROM dirty d JOIN dim m
+         |    ON split_part(d.raw_name, ' ', 1) = split_part(m.product_name, ' ', 1)
+         |  WHERE levenshtein(d.raw_name, m.product_name) <= 2),
+         |best AS (SELECT *, row_number() OVER (PARTITION BY rec_id
+         |    ORDER BY dist, product_name, sku) AS rn FROM cand)
+         |SELECT rec_id, raw_name, sku, product_name, dist
+         |FROM best WHERE rn = 1 ORDER BY rec_id""".stripMargin,
+
+    "phantom_inventory" ->
+      s"""SELECT sku, count(*) AS n_days,
+         |  CAST(sum(quantity_sold) AS BIGINT) AS phantom_qty
+         |FROM ($multiDaySql)
+         |WHERE opening_stock = 0 AND quantity_sold > 0
+         |GROUP BY 1 ORDER BY sku""".stripMargin,
   ) ++ ExtQueries.oracleSql
 
   /** The SCD2 fixture history shared by `scd2_dim` and `scd2_temporal`:
@@ -487,6 +697,26 @@ object SparkEntry {
        |  FROM upd u JOIN openk ON u.p_partkey = openk.u_key),
        |versioned AS (SELECT * FROM still UNION ALL SELECT * FROM closedv
        |  UNION ALL SELECT * FROM opened)""".stripMargin
+
+  /** Month-long set-oriented reconciliation body (no ORDER BY) — shared
+    * by multi_day_reconciliation and phantom_inventory.
+    */
+  private lazy val multiDaySql: String =
+    s"""WITH daily AS (${dailySql(From.minusDays(1), To.plusDays(1))}),
+       |opening AS (SELECT d + 1 AS date_key, sku, qty AS opening_stock FROM daily),
+       |closing AS (SELECT d AS date_key, sku, qty AS actual_closing_stock,
+       |                   qty AS quantity_sold FROM daily)
+       |SELECT date_key, sku,
+       |       COALESCE(opening_stock, 0) AS opening_stock,
+       |       COALESCE(quantity_sold, 0) AS quantity_sold,
+       |       COALESCE(opening_stock, 0) - COALESCE(quantity_sold, 0)
+       |         AS expected_closing_stock,
+       |       COALESCE(actual_closing_stock, 0) AS actual_closing_stock,
+       |       COALESCE(actual_closing_stock, 0)
+       |         - (COALESCE(opening_stock, 0) - COALESCE(quantity_sold, 0))
+       |         AS discrepancy_amount
+       |FROM opening FULL JOIN closing USING (date_key, sku)
+       |WHERE date_key BETWEEN DATE '$From' AND DATE '$To'""".stripMargin
 
   /** Two staged days (D, D+1) unioned — shared by daily_union and
     * csv_partitioned.

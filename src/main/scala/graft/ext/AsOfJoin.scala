@@ -62,4 +62,42 @@ object AsOfJoin {
       .where(col("__side") === 1)
       .select(left.columns.map(col) ++ payload.map(col): _*)
   }
+
+  /** As-of join with a max-staleness tolerance — identical to [[asOf]]
+    * except a match older than `toleranceSec` seconds before the left
+    * row's time is discarded (payload stays null): the feature-store
+    * "point-in-time lookup with TTL" contract.
+    *
+    * Same single union + window pass: the matched right TIME is carried
+    * forward beside the payload, then payload columns are nulled where
+    * it trails the left time by more than the tolerance. No extra
+    * shuffle over [[asOf]]. The tolerance is also what bounds state in
+    * a streaming twin — nothing older than `toleranceSec` can ever
+    * match, so retained state per key is a fixed time window rather
+    * than the whole history.
+    */
+  def asOfTolerance(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payload: Seq[String],
+      toleranceSec: Long): DataFrame = {
+    val overlap = (right.columns.toSet - key).intersect(left.columns.toSet)
+    require(overlap.isEmpty, s"rename overlapping right columns: $overlap")
+    require(toleranceSec >= 0, "toleranceSec must be non-negative")
+    val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
+    val r = right.withColumn("__t", col(rightTime))
+      .withColumn("__rt", col(rightTime)).withColumn("__side", lit(0))
+      .drop(rightTime)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = ("__rt" +: payload).foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    val fresh = col("__rt") >=
+      col(leftTime) - expr(s"INTERVAL $toleranceSec SECOND")
+    payload.foldLeft(carried) { (df, c) =>
+      df.withColumn(c, when(fresh, col(c)))
+    }
+      .where(col("__side") === 1)
+      .select(left.columns.map(col) ++ payload.map(col): _*)
+  }
 }

@@ -66,4 +66,37 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("star_join broadcasts the dim chain and never goes cartesian") {
+    val p = plan("star_join")
+    assert(p.contains("BroadcastHashJoin"), "nation/region broadcast lost")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("PushedFilters"), "o_orderdate bounds not pushed to scan")
+  }
+
+  test("fuzzy_match plans an equi-join on the blocking key, never all-pairs") {
+    val p = plan("fuzzy_match")
+    assert(!p.contains("CartesianProduct"), "blocking key lost → all-pairs edit distance")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("asof_tolerance stays a union + one window pass (no range join)") {
+    val p = plan("asof_tolerance")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"), "tolerance must not reintroduce a join")
+  }
+
+  test("customer_deciles aggregates before its global ntile window") {
+    val p = plan("customer_deciles")
+    // the single-partition ntile window must sit ABOVE a per-customer
+    // hash aggregate (a window over raw orders would serialize the
+    // fact scan); plans print top-down, so an aggregate BELOW the
+    // window appears AFTER it in the string
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, "no window in plan")
+    assert(p.lastIndexOf("HashAggregate") > winIdx,
+      "expected the per-customer aggregate below the ntile window")
+  }
 }

@@ -64,4 +64,41 @@ class AsOfJoinSpec extends SparkSpec {
       AsOfJoin.asOf(left, right.withColumnRenamed("payload", "t"), "k", "t", "rt", Seq("t"))
     }
   }
+
+  test("asOfTolerance nulls matches older than the tolerance, keeps fresh ones") {
+    // left id=2 trails r1 by 1h, id=4 trails r2 by 10h: a 2h tolerance
+    // keeps 2 and 3 (exact-time match, lag 0) and discards 4.
+    val out = AsOfJoin.asOfTolerance(left, right, "k", "t", "rt",
+        Seq("payload"), toleranceSec = 2 * 3600)
+      .orderBy("id").select("id", "payload").as[(Long, Option[Long])].collect()
+    assert(out === Seq(
+      1L -> None, 2L -> Some(100L), 3L -> Some(200L), 4L -> None,
+      5L -> None, 6L -> None))
+  }
+
+  test("asOfTolerance at the exact boundary is inclusive") {
+    // id=2 at 12:00 vs r1 at 11:00 — a 3600 s tolerance keeps it.
+    val out = AsOfJoin.asOfTolerance(left, right, "k", "t", "rt",
+        Seq("payload"), toleranceSec = 3600)
+      .where(col("id") === 2L).select("payload").as[Option[Long]].collect()
+    assert(out === Seq(Some(100L)))
+  }
+
+  test("asOfTolerance with a huge tolerance equals plain asOf") {
+    val plain = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("payload"))
+      .orderBy("id").select("id", "payload").as[(Long, Option[Long])].collect()
+    val tol = AsOfJoin.asOfTolerance(left, right, "k", "t", "rt",
+        Seq("payload"), toleranceSec = 365L * 24 * 3600)
+      .orderBy("id").select("id", "payload").as[(Long, Option[Long])].collect()
+    assert(tol === plain)
+  }
+
+  test("asOfTolerance nulls ALL payload columns of a stale match together") {
+    val r2 = right.withColumn("payload2", col("payload") * 10)
+    val out = AsOfJoin.asOfTolerance(left, r2, "k", "t", "rt",
+        Seq("payload", "payload2"), toleranceSec = 2 * 3600)
+      .orderBy("id").select("payload", "payload2")
+      .as[(Option[Long], Option[Long])].collect()
+    assert(out.forall { case (p, p2) => p.isDefined === p2.isDefined })
+  }
 }
