@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.{AsOfJoin, BloomJoin, Corpus, Dedup, Events, Multimodal, Privacy, RangeJoin, Retail, SaltedJoin, Similarity, Sketches, TextOps}
@@ -737,6 +738,29 @@ object ExtQueries {
       Retail.copurchasePairs(Tables.lineitem(s, dir), minCount = 3, k = 25)
         .orderBy("rank")),
 
+    // Retail graph — integer-exact PageRank over the co-purchase graph
+    // (3 unrolled Pregel rounds, ppm-scaled ranks; see copurchaseRank
+    // scaladoc for why the arithmetic is integer).
+    "copurchase_rank" -> ((s, dir) =>
+      Retail.copurchaseRank(Tables.lineitem(s, dir), minCount = 3, iters = 3)),
+
+    // X2 — per-language quality calibration: percent_rank of the
+    // composite quality score WITHIN each language (the relative cut a
+    // mixed-language corpus needs — an absolute threshold over-kills
+    // whichever language scores systematically lower). The (score,
+    // doc_id) ordering keeps ranks unique → deterministic percentiles;
+    // the window distributes on the lang key.
+    "quality_calibration" -> ((s, dir) => {
+      val stats = TextOps.textStats(Tables.documents(s, dir))
+        .select(col("doc_id"), col("quality_score"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("quality_score"), col("doc_id"))
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        .join(stats, "doc_id")
+        .withColumn("pct_rank", TextOps.trunc6(percent_rank().over(w)))
+        .orderBy("doc_id")
+    }),
+
     // Sketch — rolling 7-day distinct users via per-day KMV sketches
     // merged across the trailing window (mergeability payoff: the
     // rolling distinct never re-touches raw events).
@@ -817,6 +841,16 @@ object ExtQueries {
       val emb = Tables.embeddings(s, dir)
       val asg = store(s, dir, "ivf_cells")(Similarity.kmeansCells(emb))
       castLongs(Similarity.topKIvfTrained(emb, assignments = Some(asg)), "rank")
+        .orderBy("probe_id", "rank")
+    }),
+
+    // X3 — corpus-wide kNN SELF-join over the trained cells (the batch
+    // retrieval workhorse): every vector's top-3 in-cell neighbors.
+    // Σ|cell|² pair volume, cell-keyed shuffle join, nothing broadcast.
+    "knn_join" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val asg = store(s, dir, "ivf_cells")(Similarity.kmeansCells(emb))
+      castLongs(Similarity.knnJoin(emb, assignments = Some(asg)), "rank")
         .orderBy("probe_id", "rank")
     }),
 
@@ -1738,6 +1772,45 @@ object ExtQueries {
          |SELECT part_a, part_b, n_ab, lift, rank
          |FROM r WHERE rank <= 25 ORDER BY rank""".stripMargin,
 
+    // The 3 Pregel rounds unrolled as CTE pairs (contribution, refresh);
+    // `//` is DuckDB's floor division ≡ Spark's `div` on positive BIGINTs.
+    "copurchase_rank" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS (SELECT e.dst AS node, sum(r.rank_ppm // d.out_deg) AS s
+           |  FROM edges e JOIN deg d USING (src)
+           |  JOIN r${i - 1} r ON e.src = r.node GROUP BY 1),
+           |r$i AS (SELECT r0.node,
+           |    CAST(150000 + (85 * COALESCE(c$i.s, 0)) // 100 AS BIGINT) AS rank_ppm
+           |  FROM r0 LEFT JOIN c$i USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |und AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |edges AS (SELECT pa AS src, pb AS dst FROM und
+         |          UNION ALL SELECT pb, pa FROM und),
+         |deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY 1),
+         |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank_ppm FROM deg),
+         |$rounds
+         |SELECT node AS p_partkey, rank_ppm FROM r3
+         |ORDER BY rank_ppm DESC, p_partkey""".stripMargin
+    },
+
+    "quality_calibration" ->
+      s"""WITH ${qualityCtes("documents")},
+         |q AS (SELECT doc_id, floor((0.4 * least(1.0, n_tokens / 50.0)
+         |    + 0.3 * (1.0 - punct_ratio)
+         |    + 0.3 * least(1.0, stopword_ratio * 5)) * 10000) / 10000
+         |    AS quality_score
+         |  FROM qs),
+         |j AS (SELECT d.doc_id, d.lang, q.quality_score
+         |      FROM documents d JOIN q USING (doc_id))
+         |SELECT doc_id, lang, quality_score,
+         |  floor(percent_rank() OVER (PARTITION BY lang
+         |    ORDER BY quality_score, doc_id) * 1000000) / 1000000 AS pct_rank
+         |FROM j ORDER BY doc_id""".stripMargin,
+
     "rolling_active_users" ->
       s"""WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
          |    ${hash60Sql("user_id::VARCHAR")} AS h FROM events
@@ -1871,6 +1944,20 @@ object ExtQueries {
          |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
          |SELECT probe_id, rank, neighbor_id, cosine FROM r
          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // The trained-cell pair join with NO probe filter: every vector is
+    // a probe, top-3 per vector.
+    "knn_join" ->
+      s"""WITH ${kmeansCtes(Similarity.IvfTrainRounds)},
+         |e2 AS (SELECT e.vec_id, e.embedding, a.cell
+         |  FROM embeddings e JOIN a${Similarity.IvfTrainRounds} a USING (vec_id)),
+         |pairs AS (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
+         |  FROM e2 a JOIN e2 b ON a.cell = b.cell AND a.vec_id != b.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
+         |SELECT probe_id, rank, neighbor_id, cosine FROM r
+         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
 
     // Trained cells + final-assignment centroids; each probe searches
     // its 2 nearest cells — Similarity.topKIvfMultiProbe.

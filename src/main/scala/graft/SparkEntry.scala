@@ -387,6 +387,31 @@ object SparkEntry {
         .orderBy("day", "channel")
     }),
 
+    // §2.5 — multi-aggregate pricing summary (the TPC-H Q1 shape): one
+    // scan, one map-side-combinable aggregate producing five measures
+    // per (returnflag, linestatus). Money sums on the integer cents
+    // grid; the averages are ONE long/long double division applied to
+    // already-exact sums, identical on both engines (IEEE-defined for
+    // a single op), never a float accumulation.
+    "pricing_summary" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") < lit("1998-09-01").cast(TimestampType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("int")).cast("long").as("sum_qty"),
+          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .as("sum_base_cents"),
+          sum(expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"))
+            .as("sum_disc_cents"),
+          sum(expr(
+            "CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100) AS BIGINT)"))
+            .as("sum_charge_cents"),
+          count(lit(1)).as("n_items"))
+        .withColumn("avg_qty", col("sum_qty").cast("double") / col("n_items"))
+        .withColumn("avg_price_cents",
+          col("sum_base_cents").cast("double") / col("n_items"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
     // §2.4 extension — blocked Levenshtein record linkage: a dirty POS
     // product feed (deterministic tail corruptions planted in-plan on
     // p_partkey residues: append, truncate, substitute — all dist ≤ 2
@@ -619,6 +644,23 @@ object SparkEntry {
          |       ELSE 'ch-' || CAST(quantity % 3 AS VARCHAR) END AS channel,
          |  count(*) AS n_rows, CAST(sum(quantity) AS BIGINT) AS sum_qty
          |FROM raw GROUP BY 1, 2 ORDER BY day, channel""".stripMargin,
+
+    "pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS INTEGER)) AS BIGINT) AS sum_qty,
+         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         |    AS sum_base_cents,
+         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+         |    AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100)
+         |    AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+         |  count(*) AS n_items,
+         |  CAST(sum(CAST(l_quantity AS INTEGER)) AS BIGINT)::DOUBLE / count(*) AS avg_qty,
+         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)::DOUBLE
+         |    / count(*) AS avg_price_cents
+         |FROM lineitem
+         |WHERE l_shipdate < TIMESTAMP '1998-09-01'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "fuzzy_match" ->
       s"""WITH src AS (SELECT p_partkey AS rec_id, trim(p_name) AS nm FROM part),

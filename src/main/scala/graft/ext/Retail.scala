@@ -93,6 +93,53 @@ object Retail {
       .select("part_a", "part_b", "n_ab", "lift", "rank")
   }
 
+  /** Integer-exact PageRank over the co-purchase graph — "which parts
+    * anchor the catalog": nodes are parts, an undirected edge links two
+    * parts co-purchased in ≥ `minCount` distinct orders, then `iters`
+    * damped rounds (d = 0.85) of rank propagation in SCALED INTEGER
+    * arithmetic — ranks are parts-per-million, contributions floor-divide
+    * — so both engines replay the iteration bit-exactly (float rank sums
+    * would drift under Spark's nondeterministic reduce order).
+    *
+    * Scale: the classic Pregel loop expressed relationally — each round
+    * is one edge⨝rank join + one aggregate on dst, every shuffle on the
+    * node key, rounds unrolled into one plan (no driver-side state). The
+    * per-order distinct-items self-join bounds edge building at
+    * Σ|order|²; the edge list is checkpointed once and reused by all
+    * rounds. Isolated parts (no qualifying edge) are absent by
+    * definition — their rank is the 150000 ppm floor.
+    */
+  def copurchaseRank(lineitem: DataFrame, minCount: Long = 3, iters: Int = 3): DataFrame = {
+    val items = lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .distinct().localCheckpoint()
+    val und = items.as("a")
+      .join(items.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+      .localCheckpoint()
+    val edges = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(und.select(col("pb").as("src"), col("pa").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val start = deg.select(col("src").as("node"), lit(1000000L).as("rank_ppm"))
+    val ranked = (1 to iters).foldLeft(start) { (rank, _) =>
+      val contrib = edges
+        .join(deg, "src")
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("rank_ppm div out_deg").as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      start.select("node")
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) +
+            expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("rank_ppm"))
+    }
+    ranked
+      .select(col("node").as("p_partkey"), col("rank_ppm"))
+      .orderBy(col("rank_ppm").desc, col("p_partkey"))
+  }
+
   /** Trailing 7-day demand per (brand, ship-day): daily quantities
     * aggregated once, then a RANGE frame over the integer day index sums
     * the last 7 calendar days (gaps included — a day with no sales still

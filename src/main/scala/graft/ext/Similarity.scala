@@ -484,6 +484,33 @@ object Similarity {
       k)
   }
 
+  /** Corpus-wide k-nearest-neighbor SELF-join over the trained cells —
+    * the batch retrieval workhorse (kNN graphs for clustering/UMAP,
+    * hard-negative mining, RAG neighbor precompute): EVERY vector gets
+    * its k most-cosine-similar neighbors within its trained cell.
+    *
+    * Scale shape: same cell scoping as [[semDedup]] — pair volume is
+    * Σ|cell|², never corpus² — but unlike the bounded-probe searches
+    * NOTHING is broadcast: the corpus self-joins on the cell key (one
+    * shuffle per side), and [[TopKByScore]]'s map-side partial keeps
+    * ≤ k rows per (probe, partition) through the final exchange. Cell
+    * granularity is the knob: more cells → smaller Σ|cell|² and lower
+    * recall at cell borders (standard IVF trade; recall rescue =
+    * multi-probe assignment of each vector to its p nearest cells).
+    */
+  def knnJoin(embeddings: DataFrame, k: Int = 3, rounds: Int = IvfTrainRounds,
+      assignments: Option[DataFrame] = None): DataFrame = {
+    val asg = assignments.getOrElse(kmeansCells(embeddings, rounds))
+    val e = embeddings.join(asg.select(col("vec_id"), col("cell")), "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    topK(
+      e.as("a").join(e.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("probe_id"), col("b.vec_id").as("neighbor_id"),
+          cos6.as("cosine")),
+      k)
+  }
+
   /** The CENTROID half of the trained-IVF store: per-cell float-array
     * centroids of an `assignments` table (a [[kmeansCells]] output, or
     * any `(vec_id, cell)` frame) — written beside the assignment at

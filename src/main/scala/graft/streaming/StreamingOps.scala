@@ -114,8 +114,17 @@ object StreamingOps {
     *  - the event-time timeout re-arms while purchases are pending, so
     *    finalization happens when the WATERMARK advances, with or
     *    without new data for that user.
+    *
+    * `toleranceSec` (the batch `AsOfJoin.asOfTolerance` twin) discards a
+    * match older than the tolerance — and TIGHTENS the state bound:
+    * a view older than `watermark − tolerance` can no longer match any
+    * unfinalized purchase (all sit at-or-after the watermark), so even
+    * the carried newest-passed view evicts once it ages out. State drops
+    * from O(lateness × rate) + 1 carried view to a hard
+    * O((lateness + tolerance) × rate) window with no carried remnant.
     */
-  def attributionStream(events: DataFrame, lateness: String = "30 minutes"): Dataset[Attribution] = {
+  def attributionStream(events: DataFrame, lateness: String = "30 minutes",
+      toleranceSec: Option[Long] = None): Dataset[Attribution] = {
     val s = events.sparkSession
     import s.implicits._
     events
@@ -124,7 +133,8 @@ object StreamingOps {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[AsOfEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(attributeUser)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        attributeUser(toleranceSec.map(_ * 1000000L)))
   }
 
   /** Streaming POINT-IN-TIME rolling features — the stateful twin of
@@ -557,7 +567,8 @@ object StreamingOps {
   /** Per-user state transition; also invoked on event-time timeout with
     * an empty iterator.
     */
-  private def attributeUser(userId: Long, rows: Iterator[AsOfEvent],
+  private def attributeUser(tolMicros: Option[Long])(userId: Long,
+      rows: Iterator[AsOfEvent],
       state: GroupState[AsOfBuf]): Iterator[Attribution] = {
     val prev = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
     val in = rows.toVector
@@ -572,14 +583,21 @@ object StreamingOps {
     val out = ready.sortBy(p => (p.ts.getTime, p.event_id)).map { p =>
       // Batch tie rules exactly: view_ts ≤ purchase ts qualifies; among
       // ties the max (view_ts, view_id) wins (the batch side pre-dedups
-      // per (user, ts) to max event_id).
-      val m = views.filter(!_.view_ts.after(p.ts))
+      // per (user, ts) to max event_id). The tolerance bound is exact
+      // micros, mirroring asOfTolerance's inclusive >= t − tolerance.
+      val m = views.filter(v => !v.view_ts.after(p.ts) &&
+          tolMicros.forall(t => micros(v.view_ts) >= micros(p.ts) - t))
         .maxByOption(v => (v.view_ts.getTime, v.view_id))
       Attribution(p.event_id, userId, p.ts, p.purchase_value,
         m.map(_.view_id), m.map(_.view_ts))
     }
     val (oldViews, liveViews) = views.partition(_.view_ts.getTime < wm)
-    val keep = oldViews.sortBy(v => (v.view_ts.getTime, v.view_id)).takeRight(1) ++ liveViews
+    // Newest passed view carries (it dominates every future decision) —
+    // unless a tolerance says it can never match a purchase at or after
+    // the watermark again, in which case nothing old survives.
+    val keep = oldViews.sortBy(v => (v.view_ts.getTime, v.view_id)).takeRight(1)
+      .filter(v => tolMicros.forall(t => micros(v.view_ts) >= wm * 1000L - t)) ++
+      liveViews
     if (keep.isEmpty && stillPending.isEmpty) state.remove()
     else {
       state.update(AsOfBuf(keep, stillPending))

@@ -583,4 +583,48 @@ class StreamingOpsSpec extends SparkSpec {
       assert(streamed(1).isNullAt(4)) // user 2 purchase has no view
     } finally q.stop()
   }
+
+  test("streaming attribution with tolerance matches batch asOfTolerance") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // 20-minute TTL: purchase 2 (10:30) may match views >= 10:10 —
+    // view 5 at 10:30 qualifies; purchase 6 (11:00) reaches back to
+    // 10:40, so view 5 is STALE for it and it must emit unmatched.
+    val q = StreamingOps.attributionStream(mem.toDF(), toleranceSec = Some(20 * 60))
+      .writeStream.format("memory").queryName("attr_tol_out")
+      .outputMode("append").start()
+    try {
+      val evs = Seq(
+        Ev(1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+        Ev(2L, ts("2024-01-01 10:30:00"), 1L, "purchase", 5.0),
+        Ev(3L, ts("2024-01-01 10:20:00"), 1L, "view", 0.0),
+        Ev(4L, ts("2024-01-01 09:00:00"), 2L, "purchase", 7.0), // no view
+        Ev(5L, ts("2024-01-01 10:30:00"), 1L, "view", 0.0),    // tie with purchase 2
+        Ev(6L, ts("2024-01-01 11:00:00"), 1L, "purchase", 9.0)) // stale-only views
+      mem.addData(evs(3), evs(0)); q.processAllAvailable()
+      mem.addData(evs(5), evs(2), evs(1), evs(4)); q.processAllAvailable()
+      mem.addData(Ev(99L, ts("2024-01-02 12:00:00"), 999L, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Ev(100L, ts("2024-01-02 13:00:00"), 999L, "view", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("attr_tol_out").orderBy("event_id").collect()
+
+      val df = evs.toDF()
+      val purchases = df.where($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value".as("purchase_value"))
+      val views = df.where($"event_type" === "view")
+        .groupBy($"user_id", $"ts".as("vts")).agg(max($"event_id").as("view_id"))
+        .withColumn("view_ts", $"vts")
+      val batched = graft.ext.AsOfJoin
+        .asOfTolerance(purchases, views, "user_id", "ts", "vts",
+          Seq("view_id", "view_ts"), toleranceSec = 20 * 60)
+        .orderBy("event_id").collect()
+
+      assert(streamed.toSeq === batched.toSeq)
+      assert(streamed.length === 3)
+      assert(streamed(0).getLong(4) === 5L) // fresh tie view matches p2
+      assert(streamed(1).isNullAt(4))       // user 2: no view at all
+      assert(streamed(2).isNullAt(4))       // p6: only stale views → null
+    } finally q.stop()
+  }
 }
