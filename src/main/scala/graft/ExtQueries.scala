@@ -744,6 +744,12 @@ object ExtQueries {
     "copurchase_rank" -> ((s, dir) =>
       Retail.copurchaseRank(Tables.lineitem(s, dir), minCount = 3, iters = 3)),
 
+    // X2 — first BPE training iteration: top-20 adjacent character
+    // pairs weighted by word frequency, counted over the distinct-word
+    // table (Zipf: ≪ token stream) — see Corpus.bpeMerges.
+    "bpe_merges" -> ((s, dir) =>
+      Corpus.bpeMerges(Tables.documents(s, dir), 20)),
+
     // X2 — per-language quality calibration: percent_rank of the
     // composite quality score WITHIN each language (the relative cut a
     // mixed-language corpus needs — an absolute threshold over-kills
@@ -1796,6 +1802,15 @@ object ExtQueries {
          |SELECT node AS p_partkey, rank_ppm FROM r3
          |ORDER BY rank_ppm DESC, p_partkey""".stripMargin
     },
+
+    "bpe_merges" ->
+      s"""WITH w AS (SELECT unnest($toksSql) AS w FROM documents),
+         |wc AS (SELECT w, count(*) AS wc FROM w GROUP BY 1),
+         |p AS (SELECT wc, unnest([substring(w, i, 2) for i in range(1, length(w))])
+         |        AS pair
+         |      FROM wc WHERE length(w) >= 2)
+         |SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+         |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
     "quality_calibration" ->
       s"""WITH ${qualityCtes("documents")},

@@ -387,6 +387,45 @@ object SparkEntry {
         .orderBy("day", "channel")
     }),
 
+    // K-family — SCD Type-1 upsert (the lakehouse MERGE INTO shape):
+    // delta = every 7th part repriced (update), every 97th respawned
+    // under a new key (insert), every 5th-but-not-7th sent UNCHANGED
+    // (the matched-no-op polarity → 'keep'), merged over the current
+    // dim in ONE full-outer key join; output is the final table state
+    // plus the per-row merge-action audit a production MERGE reports.
+    "merge_upsert" -> ((s, dir) => {
+      val base = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_retailprice"))
+      val delta = base.where(col("p_partkey") % 7 === 0)
+        .withColumn("p_retailprice", col("p_retailprice") + 10.0)
+        .unionByName(base.where(col("p_partkey") % 97 === 0)
+          .withColumn("p_partkey", col("p_partkey") + 1000000L))
+        .unionByName(base.where(col("p_partkey") % 5 === 0 && col("p_partkey") % 7 =!= 0))
+      Scd2.upsertType1(base, delta, "p_partkey",
+          Seq("p_name", "p_brand", "p_retailprice"))
+        .orderBy("p_partkey")
+    }),
+
+    // §2.6 — month-over-month revenue growth: monthly cents rollup,
+    // lag(1), growth in integer basis points via an explicit double
+    // floor (NOT `div`: Spark's integral divide truncates toward zero
+    // while DuckDB's `//` floors, so they disagree on negative growth).
+    // The global lag window runs over the |months| post-aggregate frame
+    // (the customer_deciles argument); the orders scan aggregates
+    // distributed first.
+    "orders_mom_growth" -> ((s, dir) => {
+      val monthly = Tables.orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev_cents"))
+      val w = Window.orderBy("month")
+      monthly
+        .withColumn("prev_cents", lag("rev_cents", 1).over(w))
+        .withColumn("growth_bps",
+          floor((col("rev_cents") - col("prev_cents")).cast("double") * 10000 /
+            col("prev_cents")).cast("long"))
+        .orderBy("month")
+    }),
+
     // §2.5 — multi-aggregate pricing summary (the TPC-H Q1 shape): one
     // scan, one map-side-combinable aggregate producing five measures
     // per (returnflag, linestatus). Money sums on the integer cents
@@ -644,6 +683,46 @@ object SparkEntry {
          |       ELSE 'ch-' || CAST(quantity % 3 AS VARCHAR) END AS channel,
          |  count(*) AS n_rows, CAST(sum(quantity) AS BIGINT) AS sum_qty
          |FROM raw GROUP BY 1, 2 ORDER BY day, channel""".stripMargin,
+
+    "merge_upsert" ->
+      s"""WITH base AS (SELECT p_partkey, p_name, p_brand, p_retailprice FROM part),
+         |delta AS (
+         |  SELECT p_partkey, p_name, p_brand, p_retailprice + 10.0 AS p_retailprice
+         |    FROM base WHERE p_partkey % 7 = 0
+         |  UNION ALL
+         |  SELECT p_partkey + 1000000, p_name, p_brand, p_retailprice
+         |    FROM base WHERE p_partkey % 97 = 0
+         |  UNION ALL
+         |  SELECT p_partkey, p_name, p_brand, p_retailprice
+         |    FROM base WHERE p_partkey % 5 = 0 AND p_partkey % 7 != 0),
+         |j AS (SELECT c.p_partkey AS c_key, c.p_name AS c_name,
+         |        c.p_brand AS c_brand, c.p_retailprice AS c_price,
+         |        u.p_partkey AS u_key, u.p_name AS u_name,
+         |        u.p_brand AS u_brand, u.p_retailprice AS u_price
+         |      FROM base c FULL JOIN delta u ON c.p_partkey = u.p_partkey)
+         |SELECT COALESCE(c_key, u_key) AS p_partkey,
+         |  CASE WHEN u_key IS NOT NULL THEN u_name ELSE c_name END AS p_name,
+         |  CASE WHEN u_key IS NOT NULL THEN u_brand ELSE c_brand END AS p_brand,
+         |  CASE WHEN u_key IS NOT NULL THEN u_price ELSE c_price END AS p_retailprice,
+         |  CASE WHEN c_key IS NULL THEN 'insert'
+         |       WHEN u_key IS NULL THEN 'keep'
+         |       WHEN (c_name IS DISTINCT FROM u_name
+         |             OR c_brand IS DISTINCT FROM u_brand
+         |             OR c_price IS DISTINCT FROM u_price) THEN 'update'
+         |       ELSE 'keep' END AS action
+         |FROM j ORDER BY p_partkey""".stripMargin,
+
+    "orders_mom_growth" ->
+      s"""WITH m AS (SELECT date_trunc('month', o_orderdate)::DATE AS month,
+         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |      AS rev_cents
+         |  FROM orders GROUP BY 1)
+         |SELECT month, rev_cents,
+         |  lag(rev_cents, 1) OVER (ORDER BY month) AS prev_cents,
+         |  CAST(floor((rev_cents - lag(rev_cents, 1) OVER (ORDER BY month))::DOUBLE
+         |    * 10000 / lag(rev_cents, 1) OVER (ORDER BY month)) AS BIGINT)
+         |    AS growth_bps
+         |FROM m ORDER BY month""".stripMargin,
 
     "pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,

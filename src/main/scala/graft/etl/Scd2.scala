@@ -102,4 +102,34 @@ object Scd2 {
       versioned.select((col(key) +: col("valid_from") +: payload.map(col)): _*)
         .withColumn("version_from", col("valid_from")),
       key, dateCol, "valid_from", "version_from" +: payload)
+
+  /** SCD TYPE-1 upsert — the `MERGE INTO` a lakehouse table format runs
+    * for a history-free dimension refresh: delta rows overwrite matched
+    * keys wholesale, unmatched delta keys insert, untouched current rows
+    * pass through. One full-outer equi-join on the key; the emitted
+    * `action` column ('insert' / 'update' / 'keep') is the merge audit a
+    * production MERGE reports as its row-activity metrics. `delta` must
+    * be unique per key (pre-aggregate a multi-version feed first — with
+    * duplicates, which delta row wins is nondeterministic).
+    *
+    * Null semantics: change detection is null-safe (`<=>` per column), a
+    * matched row counts as 'update' only if some attribute actually
+    * differs; matched-but-identical rows report 'keep', so re-running
+    * the same delta is visibly idempotent.
+    */
+  def upsertType1(current: DataFrame, delta: DataFrame, key: String,
+      attrs: Seq[String]): DataFrame = {
+    val d = delta.select((key +: attrs).map(c => col(c).as(s"u_$c")): _*)
+    val j = current.join(d, col(key) === col(s"u_$key"), "full_outer")
+    val changed = attrs.map(c => !(col(c) <=> col(s"u_$c"))).reduce(_ || _)
+    val action = when(col(key).isNull, lit("insert"))
+      .when(col(s"u_$key").isNull, lit("keep"))
+      .when(changed, lit("update"))
+      .otherwise(lit("keep"))
+    val matched = col(s"u_$key").isNotNull
+    j.select(
+      coalesce(col(key), col(s"u_$key")).as(key) +:
+        attrs.map(c => when(matched, col(s"u_$c")).otherwise(col(c)).as(c)) :+
+        action.as("action"): _*)
+  }
 }

@@ -337,6 +337,29 @@ object Corpus {
     * k survivors. Count joins are plain equi-joins AQE sizes at
     * runtime; nothing is pinned broadcast.
     */
+  /** First iteration of BPE tokenizer training at corpus scale: the k
+    * most frequent ADJACENT CHARACTER pairs, each occurrence weighted by
+    * its word's corpus frequency — the pair the trainer would merge
+    * first (Sennrich et al. 2016's counting step; iterating = re-running
+    * over the merged symbol stream).
+    *
+    * Scale shape: pair counting runs over the DISTINCT-WORD table (Zipf:
+    * orders of magnitude smaller than the token stream) with the word
+    * count as weight, so the explode touches |vocab| × avg_len rows, not
+    * corpus × avg_len; both aggregates are map-side combinable and the
+    * final top-k is a TakeOrdered, never a global sort.
+    */
+  def bpeMerges(docs: DataFrame, k: Int = 20): DataFrame = {
+    val words = docs
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    words.where(length(col("w")) >= 2)
+      .select(col("wc"), explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum("wc").cast("long").as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(k)
+  }
+
   def collocations(docs: DataFrame, k: Int = 20, minCount: Long = 5): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val rows = docs

@@ -295,4 +295,21 @@ class CorpusSpec extends SparkSpec {
     assert(out.getString(1) === "a b c d e")
     assert(out.getLong(2) === 3L && out.getLong(3) === 0L)
   }
+
+  // ------------------------------------------------------------ bpeMerges
+
+  test("bpeMerges counts adjacent char pairs weighted by word frequency") {
+    // words: "abab" wc 2 (pairs ab, ba, ab), "ab" wc 1, "cd" wc 1
+    // → ab: 2·2 + 1 = 5, ba: 1·2 = 2, cd: 1
+    val out = Corpus.bpeMerges(
+      docs((1L, "abab abab", "en"), (2L, "ab cd", "en")), 20)
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(("ab", 5L), ("ba", 2L), ("cd", 1L)))
+  }
+
+  test("bpeMerges: single-char words contribute no pairs; k caps output") {
+    val out = Corpus.bpeMerges(
+      docs((1L, "a b c xy xy zz", "en")), 1).as[(String, Long)].collect()
+    assert(out === Seq(("xy", 2L))) // zz loses the (n desc, pair asc) order
+  }
 }
