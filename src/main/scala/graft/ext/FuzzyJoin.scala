@@ -41,23 +41,40 @@ object FuzzyJoin {
     *         (min dist, then dimName, then dimKey). Unmatched dirty
     *         records are absent — anti-join against this result to audit
     *         them.
+    *
+    * Edit distance is a pure function of the NAME PAIR, so verification
+    * runs over DISTINCT names, not records: the dirty side dedups to its
+    * name set, the dim side reduces to one row per name (for a fixed
+    * name only its MIN key can win the (dist, name, key) tiebreak), the
+    * blocked Levenshtein pass scores |dirty names| × |dim names| /
+    * blocks, and records re-attach by one equi-join on the name.
+    * Catalog feeds are heavily name-duplicated (variants ≪ records), so
+    * this collapses the expensive stage by orders of magnitude and can
+    * never exceed the record-level volume. A cheap |len(a) − len(b)| ≤
+    * maxDist band (a Levenshtein lower bound) short-circuits before the
+    * O(len²) distance evaluates.
     */
   def linkage(dirty: DataFrame, dirtyId: String, dirtyName: String,
       dim: DataFrame, dimKey: String, dimName: String,
       maxDist: Int): DataFrame = {
     require(dirtyName != dimName, "dirty and dim name columns must differ")
     require(maxDist >= 0, "maxDist must be non-negative")
-    val d = dirty.select(col(dirtyId), col(dirtyName),
-      substring_index(col(dirtyName), " ", 1).as("__blk"))
-    val c = dim.select(col(dimKey), col(dimName),
-      substring_index(col(dimName), " ", 1).as("__blk"))
-    val cand = d.join(c, "__blk")
+    val dNames = dirty.select(col(dirtyName)).distinct()
+      .withColumn("__blk", substring_index(col(dirtyName), " ", 1))
+    val cNames = dim.groupBy(col(dimName))
+      .agg(min(col(dimKey)).as(dimKey))
+      .withColumn("__blk", substring_index(col(dimName), " ", 1))
+    val cand = dNames.join(cNames, "__blk")
+      .where(abs(length(col(dirtyName)) - length(col(dimName))) <= maxDist)
       .withColumn("dist", levenshtein(col(dirtyName), col(dimName)))
       .where(col("dist") <= maxDist)
-    val w = Window.partitionBy(dirtyId)
+    val w = Window.partitionBy(dirtyName)
       .orderBy(col("dist"), col(dimName), col(dimKey))
-    cand.withColumn("__rn", row_number().over(w))
+    val best = cand.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
+      .select(col(dirtyName), col(dimKey), col(dimName), col("dist"))
+    dirty.select(col(dirtyId), col(dirtyName))
+      .join(best, dirtyName)
       .select(col(dirtyId), col(dirtyName), col(dimKey), col(dimName), col("dist"))
   }
 }
