@@ -40,6 +40,19 @@ object ExtQueries {
       build: => DataFrame): DataFrame =
     storeCache.computeIfAbsent((s, dir, kind), _ => build.localCheckpoint())
 
+  /** The co-purchase family's shared stages: the distinct per-order item
+    * set and the un-gated pair counts (the Σ|basket|² stage), computed
+    * once per (session, corpus) — the retail twin of the signature-store
+    * discipline.
+    */
+  private def copurchaseItemsStore(s: SparkSession, dir: String): DataFrame =
+    store(s, dir, "copurchase_items")(
+      Retail.copurchaseItems(Tables.lineitem(s, dir)))
+
+  private def copurchasePairStore(s: SparkSession, dir: String): DataFrame =
+    store(s, dir, "copurchase_pairs")(
+      Retail.copurchasePairCounts(copurchaseItemsStore(s, dir)))
+
   /** The minhash SIGNATURE STORE (hashed shingle rows — the per-doc
     * pure function every X4 operator consumes; `Dedup.minhashBands`
     * scaladoc documents the at-scale persisted form). One ingest per
@@ -735,14 +748,19 @@ object ExtQueries {
     // Retail — market-basket co-purchase affinity: part pairs by lift,
     // pair explosion bounded by basket width (see Retail scaladoc).
     "copurchase_pairs" -> ((s, dir) =>
-      Retail.copurchasePairs(Tables.lineitem(s, dir), minCount = 3, k = 25)
+      Retail.copurchasePairs(Tables.lineitem(s, dir), minCount = 3, k = 25,
+          itemsStore = Some(copurchaseItemsStore(s, dir)),
+          pairStore = Some(copurchasePairStore(s, dir)))
         .orderBy("rank")),
 
     // Retail graph — integer-exact PageRank over the co-purchase graph
     // (3 unrolled Pregel rounds, ppm-scaled ranks; see copurchaseRank
-    // scaladoc for why the arithmetic is integer).
+    // scaladoc for why the arithmetic is integer). Shares the Σ|basket|²
+    // pair stage with copurchase_pairs through the session store.
     "copurchase_rank" -> ((s, dir) =>
-      Retail.copurchaseRank(Tables.lineitem(s, dir), minCount = 3, iters = 3)),
+      Retail.copurchaseRank(Tables.lineitem(s, dir), minCount = 3, iters = 3,
+        itemsStore = Some(copurchaseItemsStore(s, dir)),
+        pairStore = Some(copurchasePairStore(s, dir)))),
 
     // X2 — first BPE training iteration: top-20 adjacent character
     // pairs weighted by word frequency, counted over the distinct-word

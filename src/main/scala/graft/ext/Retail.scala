@@ -67,17 +67,34 @@ object Retail {
     * sequence is identical cross-engine (the [[Corpus.collocations]]
     * recipe).
     */
-  def copurchasePairs(lineitem: DataFrame, minCount: Long = 3, k: Int = 25): DataFrame = {
-    val items = lineitem.select(col("l_orderkey"), col("l_partkey"))
-      .distinct().localCheckpoint()
-    val nOrders = items.select("l_orderkey").distinct()
-      .agg(count(lit(1)).as("n_total"))
-    val perPart = items.groupBy("l_partkey").agg(count(lit(1)).as("n_part"))
-    val pairs = items.as("a")
+  /** Distinct per-order item set — the shared scan every co-purchase
+    * operator starts from. Session-store-cache it (`ExtQueries.store`)
+    * so the family pays it once per corpus.
+    */
+  def copurchaseItems(lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+
+  /** Un-gated co-occurrence pair counts (part_a < part_b, n_ab) — the
+    * Σ|basket|² stage shared by [[copurchasePairs]] and
+    * [[copurchaseRank]]; each consumer applies its own minCount gate
+    * (cheap) downstream. Computed once per (session, corpus) via the
+    * same store discipline as the signature stores.
+    */
+  def copurchasePairCounts(items: DataFrame): DataFrame =
+    items.as("a")
       .join(items.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
         col("a.l_partkey") < col("b.l_partkey"))
       .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
       .agg(count(lit(1)).as("n_ab"))
+
+  def copurchasePairs(lineitem: DataFrame, minCount: Long = 3, k: Int = 25,
+      itemsStore: Option[DataFrame] = None,
+      pairStore: Option[DataFrame] = None): DataFrame = {
+    val items = itemsStore.getOrElse(copurchaseItems(lineitem).localCheckpoint())
+    val nOrders = items.select("l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_total"))
+    val perPart = items.groupBy("l_partkey").agg(count(lit(1)).as("n_part"))
+    val pairs = pairStore.getOrElse(copurchasePairCounts(items))
       .where(col("n_ab") >= minCount)
     val lift = floor(col("n_ab").cast("double") * col("n_total") /
       col("n_a") / col("n_b") * 1000000) / 1000000
@@ -109,16 +126,13 @@ object Retail {
     * rounds. Isolated parts (no qualifying edge) are absent by
     * definition — their rank is the 150000 ppm floor.
     */
-  def copurchaseRank(lineitem: DataFrame, minCount: Long = 3, iters: Int = 3): DataFrame = {
-    val items = lineitem.select(col("l_orderkey"), col("l_partkey"))
-      .distinct().localCheckpoint()
-    val und = items.as("a")
-      .join(items.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-      .agg(count(lit(1)).as("n_ab"))
+  def copurchaseRank(lineitem: DataFrame, minCount: Long = 3, iters: Int = 3,
+      itemsStore: Option[DataFrame] = None,
+      pairStore: Option[DataFrame] = None): DataFrame = {
+    val items = itemsStore.getOrElse(copurchaseItems(lineitem).localCheckpoint())
+    val und = pairStore.getOrElse(copurchasePairCounts(items).localCheckpoint())
       .where(col("n_ab") >= minCount)
-      .localCheckpoint()
+      .select(col("part_a").as("pa"), col("part_b").as("pb"))
     val edges = und.select(col("pa").as("src"), col("pb").as("dst"))
       .unionByName(und.select(col("pb").as("src"), col("pa").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))

@@ -88,6 +88,25 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "tolerance must not reintroduce a join")
   }
 
+  test("copurchase_rank unrolls Pregel rounds without cartesian fallback") {
+    val p = plan("copurchase_rank")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("merge_upsert is one full-outer key join (no nested loop)") {
+    val p = plan("merge_upsert")
+    assert(p.contains("FullOuter"), "full-outer merge join lost")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("pricing_summary plans one aggregate pair over the scan") {
+    val p = plan("pricing_summary")
+    assert(!p.contains("Join"), "Q1 shape must not join")
+    assert(p.contains("PushedFilters"), "shipdate bound not pushed")
+  }
+
   test("customer_deciles aggregates before its global ntile window") {
     val p = plan("customer_deciles")
     // the single-partition ntile window must sit ABOVE a per-customer
