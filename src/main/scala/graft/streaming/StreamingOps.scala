@@ -419,6 +419,35 @@ object StreamingOps {
         sink(graft.ext.Sketches.cmsSketch(batch, valueCol, depth, width), batchId)
       }
 
+  /** Streaming incremental materialized-aggregate maintenance — the
+    * ingest face of the batch `rollup_maintenance` query: each arriving
+    * micro-batch collapses to per-key partial sums (map-side
+    * combinable, so the per-batch cost is one aggregate of batch-sized
+    * input), and the caller's sink folds them into the stored rollup
+    * with [[mergeRollup]] — union + re-agg over |store| + |batch keys|
+    * rows, never a history rescan. Sum is associative/commutative, so
+    * any batch cut converges to the one-shot aggregate
+    * (StreamingOpsSpec asserts permuted two-batch cuts).
+    */
+  def rollupIngestStream(incoming: DataFrame, keys: Seq[String], measure: String,
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    incoming.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(batch.groupBy(keys.map(col): _*)
+          .agg(sum(col(measure)).cast("long").as(measure)), batchId)
+      }
+
+  /** Fold a batch's per-key partials into the stored rollup — the
+    * addition-merge every mergeable-store twin uses (KMV / CMS / span
+    * counts), here for plain sums.
+    */
+  def mergeRollup(store: DataFrame, partial: DataFrame,
+      keys: Seq[String], measure: String): DataFrame =
+    store.unionByName(partial)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(measure)).cast("long").as(measure))
+
   /** Streaming SEMANTIC-dedup ingest — per arriving micro-batch of
     * embeddings, verdicts from
     * [[graft.ext.Similarity.semDedupIncremental]] against the growing

@@ -292,6 +292,28 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rollup ingest: folded partial sums equal the one-shot aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val all = (1L to 300L).map(i => (s"SKU-${i % 17}", i))
+    var store = Seq.empty[(String, Long)].toDF("sku", "qty")
+    val mem = MemoryStream[(String, Long)]
+    val writer = StreamingOps.rollupIngestStream(
+      mem.toDF().toDF("sku", "qty"), Seq("sku"), "qty",
+      (partial, _) => store = StreamingOps
+        .mergeRollup(store, partial, Seq("sku"), "qty").localCheckpoint())
+    val q = writer.start()
+    try {
+      // Out-of-order uneven cuts: additivity makes the store cut-invariant.
+      mem.addData(all.drop(200): _*); q.processAllAvailable()
+      mem.addData(all.take(200): _*); q.processAllAvailable()
+      val oneShot = all.toDF("sku", "qty").groupBy("sku")
+        .agg(org.apache.spark.sql.functions.sum("qty").cast("long").as("qty"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(store.collect().map(r => (r.getString(0), r.getLong(1))).toSet === oneShot)
+    } finally q.stop()
+  }
+
   test("streaming span ingest: merged batch counts equal the one-shot summary") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
