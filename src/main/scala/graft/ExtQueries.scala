@@ -119,6 +119,19 @@ object ExtQueries {
     * order, floor-truncated 6dp) — matches graft.functions
     * .CosineSimilarity wrapped in TextOps.trunc6.
     */
+  /** Brute-force probe top-k oracle — shared by ann_topk and sql_topk
+    * (identical result contract, different Spark entry paths).
+    */
+  private lazy val bruteTopkSql =
+    s"""WITH pairs AS (
+       |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+       |  WHERE a.vec_id % 50 = 0 AND a.vec_id < ${50L * Similarity.MaxProbes}),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
+       |SELECT probe_id, rank, neighbor_id, cosine FROM r
+       |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+
   private val cosSql =
     """floor((
       |  list_sum(list_transform(range(1, len(a.embedding) + 1),
@@ -850,6 +863,28 @@ object ExtQueries {
     "ann_topk" -> ((s, dir) =>
       castLongs(Similarity.topKBruteForce(Tables.embeddings(s, dir)), "rank")
         .orderBy("probe_id", "rank")),
+
+    // §2.11 — the SQL ENTRY PATH as a declared query: the same probe
+    // search expressed in spark.sql TEXT over a temp view, with the
+    // codegen'd custom expression invoked BY NAME through the
+    // GraftExtensions registry — the surface a SQL-only user of the
+    // library gets (spark.sql.extensions wiring). Result contract ≡
+    // ann_topk; the parser/analyzer path is what this query covers.
+    "sql_topk" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      Tables.embeddings(s, dir).createOrReplaceTempView("graft_emb")
+      s.sql(s"""
+        WITH pairs AS (
+          SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                 floor(cosine_similarity(a.embedding, b.embedding) * 1000000)
+                   / 1000000 AS cosine
+          FROM graft_emb a JOIN graft_emb b ON a.vec_id != b.vec_id
+          WHERE a.vec_id % 50 = 0 AND a.vec_id < ${50L * Similarity.MaxProbes}),
+        r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
+        SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+        FROM r WHERE rank <= 5 ORDER BY probe_id, rank""")
+    }),
 
     // X3 — IVF-style cell-restricted top-k (the scale path).
     "ann_topk_ivf" -> ((s, dir) =>
@@ -1955,15 +1990,11 @@ object ExtQueries {
          |  ON cal.p_brand = d.p_brand AND cal.day = d.day
          |ORDER BY 1, 2""".stripMargin,
 
-    "ann_topk" ->
-      s"""WITH pairs AS (
-         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
-         |  WHERE a.vec_id % 50 = 0 AND a.vec_id < ${50L * Similarity.MaxProbes}),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-         |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
-         |SELECT probe_id, rank, neighbor_id, cosine FROM r
-         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    "ann_topk" -> bruteTopkSql,
+
+    // Same result contract as ann_topk — the Spark side differs only in
+    // ENTRY PATH (SQL text + registered function vs Column API).
+    "sql_topk" -> bruteTopkSql,
 
     "ann_topk_ivf_trained" ->
       s"""WITH ${kmeansCtes(Similarity.IvfTrainRounds)},
