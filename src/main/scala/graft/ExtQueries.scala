@@ -775,6 +775,26 @@ object ExtQueries {
         itemsStore = Some(copurchaseItemsStore(s, dir)),
         pairStore = Some(copurchasePairStore(s, dir)))),
 
+    // Retail — RFM customer segmentation: deterministic quintile scores
+    // over the per-customer order aggregate (see Retail.rfmSegments for
+    // the ntile determinism argument and the global-window scale note).
+    "rfm_segments" -> ((s, dir) =>
+      Retail.rfmSegments(Tables.orders(s, dir)).orderBy("o_custkey")),
+
+    // Retail — directional association rules (confidence in exact ppm);
+    // shares the Σ|basket|² pair stage through the session store.
+    "assoc_rules" -> ((s, dir) =>
+      Retail.assocRules(Tables.lineitem(s, dir), minCount = 3,
+          minConfPpm = 100000, k = 50,
+          itemsStore = Some(copurchaseItemsStore(s, dir)),
+          pairStore = Some(copurchasePairStore(s, dir)))
+        .orderBy(col("conf_ppm").desc, col("antecedent"), col("consequent"))),
+
+    // X6 — view→purchase conversion latency per user: one conditional-
+    // min aggregate, exact integer seconds (see Events.timeToConvert).
+    "time_to_convert" -> ((s, dir) =>
+      Events.timeToConvert(Tables.events(s, dir)).orderBy("user_id")),
+
     // X2 — first BPE training iteration: top-20 adjacent character
     // pairs weighted by word frequency, counted over the distinct-word
     // table (Zipf: ≪ token stream) — see Corpus.bpeMerges.
@@ -1855,6 +1875,58 @@ object ExtQueries {
          |SELECT node AS p_partkey, rank_ppm FROM r3
          |ORDER BY rank_ppm DESC, p_partkey""".stripMargin
     },
+
+    "rfm_segments" ->
+      s"""WITH per AS (
+         |  SELECT o_custkey,
+         |    max(CAST(o_orderdate AS DATE)) AS last_order,
+         |    count(*) AS n_orders,
+         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |      AS total_cents
+         |  FROM orders GROUP BY 1),
+         |a AS (SELECT max(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
+         |sc AS (SELECT per.*, CAST(anchor - last_order AS BIGINT) AS recency_days
+         |       FROM per CROSS JOIN a),
+         |t AS (SELECT o_custkey, recency_days, n_orders, total_cents,
+         |    CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r,
+         |    CAST(ntile(5) OVER (ORDER BY n_orders DESC, o_custkey) AS BIGINT) AS f,
+         |    CAST(ntile(5) OVER (ORDER BY total_cents DESC, o_custkey) AS BIGINT) AS m
+         |  FROM sc)
+         |SELECT o_custkey, recency_days, n_orders, total_cents, r, f, m,
+         |  r::VARCHAR || f::VARCHAR || m::VARCHAR AS segment
+         |FROM t ORDER BY o_custkey""".stripMargin,
+
+    "assoc_rules" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |pp AS (SELECT l_partkey AS antecedent, count(*) AS n_ante
+         |       FROM items GROUP BY 1),
+         |pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         |    count(*) AS n_ab
+         |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |d AS (SELECT part_a AS antecedent, part_b AS consequent, n_ab FROM pr
+         |      UNION ALL SELECT part_b, part_a, n_ab FROM pr),
+         |c AS (SELECT d.antecedent, d.consequent, d.n_ab, pp.n_ante,
+         |    CAST(d.n_ab * 1000000 // pp.n_ante AS BIGINT) AS conf_ppm
+         |  FROM d JOIN pp USING (antecedent))
+         |SELECT antecedent, consequent, n_ab, n_ante, conf_ppm
+         |FROM c WHERE conf_ppm >= 100000
+         |ORDER BY conf_ppm DESC, antecedent, consequent LIMIT 50""".stripMargin,
+
+    "time_to_convert" ->
+      s"""WITH per AS (
+         |  SELECT user_id,
+         |    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+         |  FROM events GROUP BY 1)
+         |SELECT user_id, first_view, first_purchase,
+         |  CAST((epoch_us(first_purchase) - epoch_us(first_view)) // 1000000
+         |    AS BIGINT) AS secs_to_convert
+         |FROM per
+         |WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+         |  AND first_purchase >= first_view
+         |ORDER BY user_id""".stripMargin,
 
     "bpe_merges" ->
       s"""WITH w AS (SELECT unnest($toksSql) AS w FROM documents),

@@ -161,6 +161,23 @@ object SparkEntry {
         .join(RetailMapping.snapshot(s, dir, D, "actual_closing_stock"), Seq("sku"), "full_outer")
         .orderBy("sku")),
 
+    // S4b — snapshot CDC diff: the day-over-day change feed a lakehouse
+    // derives from two snapshot versions (added / removed / changed /
+    // unchanged per sku + signed delta). Same full-outer single-shuffle
+    // shape as snapshot_pair; the classification is a pure projection,
+    // so the diff costs exactly one join at any scale.
+    "snapshot_diff" -> ((s, dir) =>
+      RetailMapping.snapshot(s, dir, P, "prev_qty")
+        .join(RetailMapping.snapshot(s, dir, D, "cur_qty"), Seq("sku"), "full_outer")
+        .withColumn("change_type",
+          when(col("prev_qty").isNull, "added")
+            .when(col("cur_qty").isNull, "removed")
+            .when(col("prev_qty") === col("cur_qty"), "unchanged")
+            .otherwise("changed"))
+        .withColumn("qty_delta",
+          coalesce(col("cur_qty"), lit(0L)) - coalesce(col("prev_qty"), lit(0L)))
+        .orderBy("sku")),
+
     // J1/J2/J3/P9/P8/P2/P6/P7 — the flagship reconciliation.
     "reconciliation" -> ((s, dir) =>
       RetailMapping.reconciliation(s, dir, D).orderBy("sku")),
@@ -510,6 +527,18 @@ object SparkEntry {
          |closing AS (SELECT sku, qty AS actual_closing_stock FROM daily WHERE d = DATE '$D')
          |SELECT sku, opening_stock, actual_closing_stock
          |FROM opening FULL JOIN closing USING (sku) ORDER BY sku""".stripMargin,
+
+    "snapshot_diff" ->
+      s"""WITH daily AS (${dailySql(P, N)}),
+         |prev AS (SELECT sku, qty AS prev_qty FROM daily WHERE d = DATE '$P'),
+         |cur AS (SELECT sku, qty AS cur_qty FROM daily WHERE d = DATE '$D')
+         |SELECT sku, prev_qty, cur_qty,
+         |  CASE WHEN prev_qty IS NULL THEN 'added'
+         |       WHEN cur_qty IS NULL THEN 'removed'
+         |       WHEN prev_qty = cur_qty THEN 'unchanged'
+         |       ELSE 'changed' END AS change_type,
+         |  COALESCE(cur_qty, 0) - COALESCE(prev_qty, 0) AS qty_delta
+         |FROM prev FULL JOIN cur USING (sku) ORDER BY sku""".stripMargin,
 
     "reconciliation" -> s"$reconciliationSql ORDER BY sku",
 

@@ -271,4 +271,26 @@ object Events {
       .where(lhs > rhs)
       .select(col("event_id"), col("event_type"), col("value"))
   }
+
+  /** Time-to-convert: for every user whose first purchase is at or
+    * after their first view, the two anchor timestamps and the exact
+    * whole-second latency between them (integer micros difference,
+    * floor-divided — positives, so Spark `div` ≡ DuckDB `//`). The
+    * funnel-latency companion to [[funnelDepth]]: depth says HOW FAR
+    * users get, this says HOW LONG the view→purchase hop takes.
+    *
+    * Scale: ONE user-keyed hash aggregate (two conditional mins with
+    * map-side partials) over a single events scan; the latency math is
+    * a pure projection of the user-scale frame. No window, no join.
+    */
+  def timeToConvert(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+      .where(col("first_view").isNotNull && col("first_purchase").isNotNull &&
+        col("first_purchase") >= col("first_view"))
+      .withColumn("secs_to_convert",
+        expr("CAST((unix_micros(first_purchase) - unix_micros(first_view)) DIV 1000000 AS BIGINT)"))
+      .select("user_id", "first_view", "first_purchase", "secs_to_convert")
 }

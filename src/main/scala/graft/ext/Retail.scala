@@ -221,4 +221,75 @@ object Retail {
       .agg(sum(col("l_quantity")).cast("long").as("qty"))
     gapFillDaily(daily, Seq("p_brand"), "day", Seq("qty"))
   }
+
+  /** RFM customer segmentation — the classic marketing cut of the order
+    * history: per customer, Recency (days since last order, against the
+    * corpus max date so the segmentation is reproducible from the data
+    * alone), Frequency (order count), Monetary (lifetime spend in exact
+    * integer cents), each scored into quintiles by `ntile(5)` with a
+    * custkey tiebreak so the bucketing is total-order deterministic and
+    * both engines (standard SQL ntile: first `n mod 5` buckets one
+    * larger) replay it bit-for-bit. Tile 1 = best (most recent / most
+    * frequent / highest spend); `segment` concatenates the three digits.
+    *
+    * Scale: the per-customer aggregate collapses the orders fact
+    * map-side behind one custkey exchange; the three ntile windows are
+    * GLOBAL over the post-aggregate customer frame — the documented
+    * single-partition trade of customer_deciles (dim-scale input, and
+    * ntile needs the global count anyway). At 100 TB replace ntile with
+    * fixed score thresholds (pure map) or a two-pass histogram cut.
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val per = orders.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate").cast("date")).as("last_order"),
+        count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+    val anchor = orders.agg(max(col("o_orderdate").cast("date")).as("anchor"))
+    val rW = Window.orderBy(col("recency_days"), col("o_custkey"))
+    val fW = Window.orderBy(col("n_orders").desc, col("o_custkey"))
+    val mW = Window.orderBy(col("total_cents").desc, col("o_custkey"))
+    per.crossJoin(broadcast(anchor))
+      .withColumn("recency_days", datediff(col("anchor"), col("last_order")).cast("long"))
+      .withColumn("r", ntile(5).over(rW).cast("long"))
+      .withColumn("f", ntile(5).over(fW).cast("long"))
+      .withColumn("m", ntile(5).over(mW).cast("long"))
+      .withColumn("segment", concat(col("r"), col("f"), col("m")))
+      .select("o_custkey", "recency_days", "n_orders", "total_cents",
+        "r", "f", "m", "segment")
+  }
+
+  /** Directional association rules over the co-purchase pair counts:
+    * for every qualifying unordered pair both rules a→b and b→a, scored
+    * by confidence n_ab/n_antecedent in exact parts-per-million (BIGINT
+    * multiply then floor division — positives, so Spark `div` ≡ DuckDB
+    * `//`). Confidence is the deployable "customers who bought X also
+    * bought Y" number that [[copurchasePairs]]' symmetric lift cannot
+    * give: it is direction-sensitive (a niche item implying a staple is
+    * not the staple implying the niche item).
+    *
+    * Scale: reuses the session-store pair counts (the Σ|basket|² stage
+    * is paid once per corpus); everything after is a pair-keyed join
+    * against the per-part marginals and a bounded top-k.
+    */
+  def assocRules(lineitem: DataFrame, minCount: Long = 3,
+      minConfPpm: Long = 100000, k: Int = 50,
+      itemsStore: Option[DataFrame] = None,
+      pairStore: Option[DataFrame] = None): DataFrame = {
+    val items = itemsStore.getOrElse(copurchaseItems(lineitem).localCheckpoint())
+    val perPart = items.groupBy(col("l_partkey").as("antecedent"))
+      .agg(count(lit(1)).as("n_ante"))
+    val pairs = pairStore.getOrElse(copurchasePairCounts(items))
+      .where(col("n_ab") >= minCount)
+    val directed = pairs
+      .select(col("part_a").as("antecedent"), col("part_b").as("consequent"), col("n_ab"))
+      .unionByName(pairs
+        .select(col("part_b").as("antecedent"), col("part_a").as("consequent"), col("n_ab")))
+    directed
+      .join(perPart, "antecedent")
+      .withColumn("conf_ppm", expr("CAST(n_ab * 1000000 DIV n_ante AS BIGINT)"))
+      .where(col("conf_ppm") >= minConfPpm)
+      .orderBy(col("conf_ppm").desc, col("antecedent"), col("consequent"))
+      .limit(k)
+      .select("antecedent", "consequent", "n_ab", "n_ante", "conf_ppm")
+  }
 }
