@@ -795,6 +795,36 @@ object ExtQueries {
     "time_to_convert" -> ((s, dir) =>
       Events.timeToConvert(Tables.events(s, dir)).orderBy("user_id")),
 
+    // Retail graph — triangle census of the co-purchase graph: oriented
+    // wedge join + closure semi-join over the session pair store (see
+    // Retail.copurchaseTriangles for the orientation argument).
+    "triangle_count" -> ((s, dir) =>
+      Retail.copurchaseTriangles(Tables.lineitem(s, dir), minCount = 2,
+        itemsStore = Some(copurchaseItemsStore(s, dir)),
+        pairStore = Some(copurchasePairStore(s, dir)))),
+
+    // X4 — near-dup component SIZE histogram: the dedup-health summary
+    // over the dup_groups labels (how much of the duplication is pairs
+    // vs large clusters); two bounded aggregates past the shared
+    // pipeline.
+    "dup_size_hist" -> ((s, dir) =>
+      Dedup.dupGroupsFromHashes(minhashStore(s, dir),
+          bands = Some(minhashBandsStore(s, dir)))
+        .groupBy("group_id").agg(count(lit(1)).as("group_size"))
+        .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
+        .orderBy("group_size")),
+
+    // X2 — per-source vocabulary richness: hapax share in exact ppm
+    // (see TextOps.hapaxBySource).
+    "hapax_ratio" -> ((s, dir) =>
+      TextOps.hapaxBySource(Tables.documents(s, dir)).orderBy("source")),
+
+    // Profiling — numeric column profile of the fact table in ONE
+    // melted aggregate pass (see Stats.numericProfile).
+    "table_profile" -> ((s, dir) =>
+      ext.Stats.numericProfile(Tables.lineitem(s, dir),
+        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))),
+
     // X2 — first BPE training iteration: top-20 adjacent character
     // pairs weighted by word frequency, counted over the distinct-word
     // table (Zipf: ≪ token stream) — see Corpus.bpeMerges.
@@ -1927,6 +1957,51 @@ object ExtQueries {
          |WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
          |  AND first_purchase >= first_view
          |ORDER BY user_id""".stripMargin,
+
+    "triangle_count" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+         |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+         |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+         |nodes AS (SELECT a AS p_partkey FROM tri
+         |          UNION ALL SELECT b FROM tri
+         |          UNION ALL SELECT c FROM tri)
+         |SELECT p_partkey, count(*) AS n_triangles
+         |FROM nodes GROUP BY 1 ORDER BY n_triangles DESC, p_partkey""".stripMargin,
+
+    "dup_size_hist" ->
+      s"""WITH RECURSIVE ${minhashCtes()},
+         |$dupGroupCtes,
+         |g AS (SELECT group_id, count(*) AS group_size FROM lbl GROUP BY 1)
+         |SELECT group_size, count(*) AS n_groups
+         |FROM g GROUP BY 1 ORDER BY group_size""".stripMargin,
+
+    "hapax_ratio" ->
+      s"""WITH tok AS (SELECT source, unnest($toksSql) AS token FROM documents),
+         |tc AS (SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2),
+         |agg AS (SELECT source, count(*) AS n_distinct_tokens,
+         |    CAST(count(*) FILTER (n = 1) AS BIGINT) AS n_hapax
+         |  FROM tc GROUP BY 1)
+         |SELECT source, n_distinct_tokens, n_hapax,
+         |  CAST(n_hapax * 1000000 // n_distinct_tokens AS BIGINT) AS hapax_ppm
+         |FROM agg ORDER BY source""".stripMargin,
+
+    "table_profile" -> {
+      val arms = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+        .map(c =>
+          s"SELECT '$c' AS column_name, CAST(round($c * 100) AS BIGINT) AS v FROM lineitem")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH m AS (
+         |$arms)
+         |SELECT column_name, count(*) AS n_rows, count(v) AS n_values,
+         |  count(DISTINCT v) AS n_distinct, min(v) AS min_cents,
+         |  max(v) AS max_cents, CAST(sum(v) AS BIGINT) AS sum_cents
+         |FROM m GROUP BY 1 ORDER BY column_name""".stripMargin
+    },
 
     "bpe_merges" ->
       s"""WITH w AS (SELECT unnest($toksSql) AS w FROM documents),

@@ -222,6 +222,43 @@ object Retail {
     gapFillDaily(daily, Seq("p_brand"), "day", Seq("qty"))
   }
 
+  /** Triangle census of the co-purchase graph — parts whose neighbors
+    * are ALSO co-purchased with each other ("bundle cores": a triangle
+    * is the smallest unit of a product bundle, where pairwise affinity
+    * alone can be driven by one hub item). Edges are the qualifying
+    * co-purchase pairs in canonical a<b orientation, so every triangle
+    * a<b<c is enumerated exactly once: wedge join (a,b)⨝(b,c) on the
+    * shared middle node, then closure check (a,c) ∈ E. Output: per-part
+    * triangle participation counts.
+    *
+    * Scale: the id-canonical orientation makes this the standard
+    * oriented triangle enumeration — wedge volume is Σ_b out(b)·in(b)
+    * under the orientation, and the closure check is an equi-join on
+    * the (a, c) pair key, never a cartesian. At web scale replace the
+    * id orientation with DEGREE orientation (orient edges low→high
+    * degree, the classic √m-bound trick) — same plan, different
+    * canonical order; id order is kept here because the oracle must
+    * replay it exactly. The edge list reuses the session pair store.
+    */
+  def copurchaseTriangles(lineitem: DataFrame, minCount: Long = 3,
+      itemsStore: Option[DataFrame] = None,
+      pairStore: Option[DataFrame] = None): DataFrame = {
+    val items = itemsStore.getOrElse(copurchaseItems(lineitem).localCheckpoint())
+    val e = pairStore.getOrElse(copurchasePairCounts(items))
+      .where(col("n_ab") >= minCount)
+      .select(col("part_a").as("a"), col("part_b").as("b"))
+    val tri = e.as("e1")
+      .join(e.toDF("wa", "wb").as("e2"), col("e1.b") === col("e2.wa"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.wb").as("c"))
+      .join(e.toDF("ca", "cb").as("e3"),
+        col("a") === col("e3.ca") && col("c") === col("e3.cb"), "left_semi")
+    tri.select(col("a").as("p_partkey"))
+      .unionByName(tri.select(col("b").as("p_partkey")))
+      .unionByName(tri.select(col("c").as("p_partkey")))
+      .groupBy("p_partkey").agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("p_partkey"))
+  }
+
   /** RFM customer segmentation — the classic marketing cut of the order
     * history: per customer, Recency (days since last order, against the
     * corpus max date so the segmentation is reproducible from the data

@@ -51,4 +51,34 @@ object Stats {
       .groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Numeric column profile — the data-profiling sweep a warehouse runs
+    * before trusting a new feed: per listed column, row/value/distinct
+    * counts and min/max/sum on the exact integer cents grid (the values
+    * sit on a 2-decimal grid, so `round(x·100)` recovers true integers
+    * and the sum is order-insensitive BIGINT addition on both engines).
+    *
+    * Scale: the columns MELT first (`stack` — one codegen'd projection,
+    * |cols|× rows) and profile as ONE grouped aggregate, so the plan is
+    * a single scan + one |cols|-key exchange with map-side partials
+    * regardless of how many columns are profiled; the distinct count is
+    * per-group exact (two-phase aggregate on the melted key). Profiling
+    * C columns costs one pass, not C.
+    */
+  def numericProfile(df: DataFrame, colNames: Seq[String]): DataFrame = {
+    require(colNames.nonEmpty, "numericProfile needs at least one column")
+    val stackExpr = s"stack(${colNames.length}, " +
+      colNames.map(c => s"'$c', CAST(round($c * 100) AS BIGINT)").mkString(", ") +
+      ") AS (column_name, v_cents)"
+    df.select(expr(stackExpr))
+      .groupBy("column_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("v_cents")).as("n_values"),
+        countDistinct(col("v_cents")).as("n_distinct"),
+        min("v_cents").as("min_cents"),
+        max("v_cents").as("max_cents"),
+        sum("v_cents").as("sum_cents"))
+      .orderBy("column_name")
+  }
 }

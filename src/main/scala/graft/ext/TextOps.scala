@@ -143,4 +143,25 @@ object TextOps {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
+
+  /** Vocabulary richness per source: distinct-token count, hapax count
+    * (tokens occurring exactly ONCE across the source), and the hapax
+    * share in exact ppm (BIGINT multiply, floor division — positives,
+    * Spark `div` ≡ DuckDB `//`). A high hapax share fingerprints rich /
+    * noisy text (OCR junk, random ids); near-zero fingerprints template
+    * spam — a corpus-health dial next to [[langId]] and quality scores.
+    *
+    * Scale: token explode → ONE (source, token) hash aggregate (map-side
+    * partials collapse repeats before the shuffle) → one |sources|-key
+    * rollup. Nothing is corpus-sized after the first aggregate.
+    */
+  def hapaxBySource(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("n"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_distinct_tokens"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("hapax_ppm",
+        expr("CAST(n_hapax * 1000000 DIV n_distinct_tokens AS BIGINT)"))
 }
