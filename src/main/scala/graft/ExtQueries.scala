@@ -819,6 +819,23 @@ object ExtQueries {
     "hapax_ratio" -> ((s, dir) =>
       TextOps.hapaxBySource(Tables.documents(s, dir)).orderBy("source")),
 
+    // X4 — point-lookup near-dup search: every third doc probes the
+    // signature store for its matches (see Dedup.nearDupLookup — the
+    // pruned-index read path, never a corpus scan).
+    "probe_near_dups" -> ((s, dir) =>
+      Dedup.nearDupLookup(minhashBandsStore(s, dir), minhashStore(s, dir),
+          pmod(col("doc_id"), lit(3)) === 0)
+        .orderBy("probe_id", "match_id")),
+
+    // Sketch quantiles — per-priority p50/p90/p99 of order value from a
+    // mergeable equi-width cents histogram ($100 buckets): the 100 TB
+    // quantile path (see Stats.histogramQuantiles; order_quantiles is
+    // the exact-sort small-group tool it contrasts with).
+    "hist_quantiles" -> ((s, dir) =>
+      ext.Stats.histogramQuantiles(Tables.orders(s, dir),
+          Seq("o_orderpriority"), "o_totalprice", 10000L, Seq(50, 90, 99))
+        .orderBy("o_orderpriority")),
+
     // Profiling — numeric column profile of the fact table in ONE
     // melted aggregate pass (see Stats.numericProfile).
     "table_profile" -> ((s, dir) =>
@@ -1979,6 +1996,35 @@ object ExtQueries {
          |g AS (SELECT group_id, count(*) AS group_size FROM lbl GROUP BY 1)
          |SELECT group_size, count(*) AS n_groups
          |FROM g GROUP BY 1 ORDER BY group_size""".stripMargin,
+
+    // Both directions of every verified pair that touches a probe doc.
+    "probe_near_dups" ->
+      s"""WITH ${minhashCtes()},
+         |pl AS (SELECT doc_a AS probe_id, doc_b AS match_id, jaccard
+         |       FROM vp WHERE doc_a % 3 = 0
+         |       UNION ALL
+         |       SELECT doc_b, doc_a, jaccard FROM vp WHERE doc_b % 3 = 0)
+         |SELECT probe_id, match_id, jaccard
+         |FROM pl ORDER BY probe_id, match_id""".stripMargin,
+
+    "hist_quantiles" ->
+      s"""WITH h AS (SELECT o_orderpriority,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) // 10000 AS bucket,
+         |    count(*) AS n
+         |  FROM orders GROUP BY 1, 2),
+         |c AS (SELECT o_orderpriority, bucket, n,
+         |    sum(n) OVER (PARTITION BY o_orderpriority ORDER BY bucket
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(n) OVER (PARTITION BY o_orderpriority) AS nt
+         |  FROM h)
+         |SELECT o_orderpriority,
+         |  CAST(min(CASE WHEN cum >= (nt * 50 + 99) // 100
+         |    THEN bucket * 10000 END) AS BIGINT) AS p50_cents,
+         |  CAST(min(CASE WHEN cum >= (nt * 90 + 99) // 100
+         |    THEN bucket * 10000 END) AS BIGINT) AS p90_cents,
+         |  CAST(min(CASE WHEN cum >= (nt * 99 + 99) // 100
+         |    THEN bucket * 10000 END) AS BIGINT) AS p99_cents
+         |FROM c GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     "hapax_ratio" ->
       s"""WITH tok AS (SELECT source, unnest($toksSql) AS token FROM documents),

@@ -182,6 +182,22 @@ object SparkEntry {
     "reconciliation" -> ((s, dir) =>
       RetailMapping.reconciliation(s, dir, D).orderBy("sku")),
 
+    // Retail ops — days of stock cover: closing units against trailing
+    // 7-day demand, in integer centi-days (closing·7·100 div week
+    // total — positives, Spark div ≡ DuckDB //). The replenishment dial
+    // the reconciled warehouse feeds. One shared dailyQty aggregate
+    // (map-side collapsed) + one sku-key join; no window, no fact
+    // rescan.
+    "stock_cover" -> ((s, dir) => {
+      val week = RetailMapping.dailyQty(s, dir, D.minusDays(6), D.plusDays(1))
+        .groupBy("sku").agg(sum("qty").as("qty_7d"))
+      RetailMapping.snapshot(s, dir, D, "closing_units")
+        .join(week, Seq("sku"), "inner")
+        .withColumn("cover_centi_days",
+          expr("CAST(closing_units * 700 DIV qty_7d AS BIGINT)"))
+        .orderBy("sku")
+    }),
+
     // F1 — mismatch filter.
     "discrepancies" -> ((s, dir) =>
       Alerts.discrepancies(RetailMapping.reconciliation(s, dir, D)).orderBy("sku")),
@@ -541,6 +557,15 @@ object SparkEntry {
          |FROM prev FULL JOIN cur USING (sku) ORDER BY sku""".stripMargin,
 
     "reconciliation" -> s"$reconciliationSql ORDER BY sku",
+
+    "stock_cover" ->
+      s"""WITH daily AS (${dailySql(D.minusDays(6), N)}),
+         |wk AS (SELECT sku, CAST(sum(qty) AS BIGINT) AS qty_7d
+         |       FROM daily GROUP BY 1),
+         |cl AS (SELECT sku, qty AS closing_units FROM daily WHERE d = DATE '$D')
+         |SELECT sku, closing_units, qty_7d,
+         |  CAST(closing_units * 700 // qty_7d AS BIGINT) AS cover_centi_days
+         |FROM cl JOIN wk USING (sku) ORDER BY sku""".stripMargin,
 
     "discrepancies" ->
       s"""SELECT * FROM ($reconciliationSql)

@@ -524,6 +524,47 @@ object Dedup {
       .select("doc_new", "doc_match", "jaccard")
   }
 
+  /** Point-lookup near-dup SEARCH against the signature store: for
+    * every document matching the `probe` predicate, all of its corpus
+    * near-dups at `threshold` — the interactive face of the dedup
+    * family ("what does this doc duplicate?") and the read path of an
+    * entity-resolution service. Candidates come from band-bucket
+    * equality between the probe rows and the full band table; only
+    * candidate documents' shingle sets are fetched for verification.
+    * Output both directions: (probe_id, match_id, jaccard) — two probes
+    * that match each other each get a row.
+    *
+    * Scale: the probe band rows are batch-bounded (≪ store) and the
+    * candidate join is an equi-join on (band_idx, band_val) — at rest
+    * band_val is the store's bucket key, so the lookup is a pruned
+    * index read, not a table scan; the set fetch is a semi-join by
+    * candidate doc_id (point reads against the at-rest sets table).
+    * Nothing in the plan scans the corpus text.
+    */
+  def nearDupLookup(storeBands: DataFrame, hr: DataFrame, probe: Column,
+      threshold: Double = 0.5): DataFrame = {
+    val probeBands = storeBands.where(probe)
+    val cand = probeBands.as("a")
+      .join(storeBands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("probe_id"), col("b.doc_id").as("match_id"))
+      .distinct()
+      .localCheckpoint() // three consumers: two set joins + the id filter
+    val ids = cand.select(col("probe_id").as("doc_id"))
+      .unionByName(cand.select(col("match_id").as("doc_id"))).distinct()
+    val sets = shingleSets(hr.join(ids, Seq("doc_id"), "left_semi"))
+    cand
+      .join(sets.select(col("doc_id").as("probe_id"), col("sh").as("sh_a")), "probe_id")
+      .join(sets.select(col("doc_id").as("match_id"), col("sh").as("sh_b")), "match_id")
+      .withColumn("inter", SortedIntersectSize(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", TextOps.trunc6(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double")))
+      .where(col("jaccard") >= threshold)
+      .select("probe_id", "match_id", "jaccard")
+  }
+
   /** X1/X4 composition — duplicate GROUPS: connected components of the
     * MinHash near-dup pair graph, the clustering step that turns pairwise
     * near-dup hits into "keep one doc per group" decisions in a training-

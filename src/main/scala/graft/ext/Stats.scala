@@ -52,6 +52,46 @@ object Stats {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Histogram-sketch quantiles — the SCALE path [[groupQuantiles]]'s
+    * scaladoc points at: per group, an equi-width histogram on the
+    * integer cents grid (bucket = cents div `widthCents`), then each
+    * percentile estimated as the LOWER BOUND of the first bucket whose
+    * cumulative count reaches rank ⌈p·n/100⌉. Error is bounded by the
+    * bucket width by construction; every step is integer arithmetic, so
+    * both engines agree bit-for-bit. Values must be non-negative (the
+    * cents grid + `div` truncation vs floor differ below zero).
+    *
+    * Scale: the histogram aggregate is map-side combinable and
+    * MERGEABLE BY ADDITION (the sketch property — per-partition/per-day
+    * histograms sum into the global one, unlike exact rank statistics),
+    * the shuffle carries ≤ |groups|·|buckets| rows, and the cumulative
+    * window runs over the bucket-scale frame — a giant group costs the
+    * same as a small one. This is how a 100 TB pipeline gets p99s; the
+    * sorting form ([[groupQuantiles]]) is the small-group exact tool.
+    */
+  def histogramQuantiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, widthCents: Long, ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be integers in [1, 100], got $ps")
+    val hist = df
+      .where(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col) :+
+        expr(s"CAST(round($valueCol * 100) AS BIGINT) div $widthCents").as("bucket"): _*)
+      .agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy(groupCols.map(col): _*).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val cum = hist
+      .withColumn("__hq_cum", sum("n").over(wCum))
+      .withColumn("__hq_n", sum("n").over(wAll))
+    val aggs = ps.map(p => min(when(
+      col("__hq_cum") >= expr(s"(__hq_n * $p + 99) div 100"),
+      col("bucket") * widthCents)).as(s"p${p}_cents"))
+    cum
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Numeric column profile — the data-profiling sweep a warehouse runs
     * before trusting a new feed: per listed column, row/value/distinct
     * counts and min/max/sum on the exact integer cents grid (the values

@@ -1,0 +1,144 @@
+package graft.ext
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-8 second-batch operators: RFM segmentation, association rules,
+  * triangle census, conversion latency, numeric profile, histogram
+  * quantiles, and the near-dup point lookup — hand-computed fixtures
+  * plus equivalence checks against the exact/pairwise formulations.
+  */
+class WarehouseOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int) = Timestamp.valueOf(f"1995-01-$day%02d 00:00:00")
+
+  test("rfmSegments scores strictly-ordered customers onto the tile diagonal") {
+    // cust k: k orders on days 1..k at price 100·k — every metric is
+    // strictly ordered with cust 5 best, so each quintile holds exactly
+    // one customer and r = f = m = 6 − k.
+    val orders = (1 to 5).flatMap { k =>
+      (1 to k).map(d => (k.toLong, ts(d), 100.0 * k))
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = Retail.rfmSegments(orders)
+      .select("o_custkey", "recency_days", "n_orders", "total_cents", "segment")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    (1 to 5).foreach { k =>
+      val (_, rec, n, cents, seg) = got(k - 1)
+      assert(rec === 5L - k, s"recency of cust $k")
+      assert(n === k.toLong)
+      assert(cents === k.toLong * k * 10000)
+      val s = (6 - k).toString
+      assert(seg === s * 3, s"segment of cust $k")
+    }
+  }
+
+  test("assocRules confidence is directional and exact in ppm") {
+    // orders 1–3 contain {10, 20}; order 4 contains only 10.
+    // n_ante(10)=4, n_ante(20)=3, n_ab=3:
+    //   10→20 = 3/4 = 750000 ppm; 20→10 = 3/3 = 1000000 ppm.
+    val lineitem = Seq(
+      (1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (4L, 10L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Retail.assocRules(lineitem, minCount = 3, minConfPpm = 1, k = 10)
+      .select("antecedent", "consequent", "conf_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((10L, 20L, 750000L), (20L, 10L, 1000000L)))
+  }
+
+  test("copurchaseTriangles counts closed wedges once and skips open ones") {
+    // order 1 = {1,2,3} → triangle; order 2 = {1,4} → open wedge 4–1–2.
+    val lineitem = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Retail.copurchaseTriangles(lineitem, minCount = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("timeToConvert keeps converting users only, at exact whole seconds") {
+    val ev = Seq(
+      (1L, Timestamp.valueOf("1995-01-01 00:00:00"), 7L, "view", 0.0, "{}"),
+      (2L, Timestamp.valueOf("1995-01-01 00:01:30"), 7L, "purchase", 1.0, "{}"),
+      (3L, Timestamp.valueOf("1995-01-01 00:00:00"), 8L, "view", 0.0, "{}"),
+      (4L, Timestamp.valueOf("1995-01-01 00:00:00"), 9L, "purchase", 1.0, "{}"),
+      (5L, Timestamp.valueOf("1995-01-02 00:00:00"), 9L, "view", 0.0, "{}"),
+      (6L, Timestamp.valueOf("1995-01-01 00:00:00"), 10L, "view", 0.0, "{}"),
+      (7L, Timestamp.valueOf("1995-01-01 00:00:00"), 10L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.timeToConvert(ev)
+      .select("user_id", "secs_to_convert").as[(Long, Long)].collect().toMap
+    // u7 converts in 90 s; u8 never purchases; u9 purchased BEFORE the
+    // first view (excluded); u10 converts instantly (0 s, boundary kept).
+    assert(got === Map(7L -> 90L, 10L -> 0L))
+  }
+
+  test("numericProfile profiles every column in one pass, nulls counted") {
+    val df = Seq(
+      (Some(1.00), 0.10), (Some(2.50), 0.10), (None, 0.10))
+      .toDF("a", "b")
+    val got = Stats.numericProfile(df, Seq("a", "b"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") === ("a", 3L, 2L, 2L, 100L, 250L, 350L))
+    assert(got("b") === ("b", 3L, 3L, 1L, 10L, 10L, 30L))
+  }
+
+  test("histogramQuantiles picks the first bucket reaching the type-1 rank") {
+    // g: 1.00..10.00; width 300 cents → buckets 0:{100,200} 1:{300..500}
+    // 2:{600..800} 3:{900,1000}; cum 2,5,8,10. p50 rank 5 → bucket 1
+    // (300), p90 rank 9 → bucket 3 (900), p99 rank 10 → bucket 3.
+    val df = (1 to 10).map(i => ("g", i * 1.00)).toDF("grp", "v")
+    val got = Stats.histogramQuantiles(df, Seq("grp"), "v", 300L, Seq(50, 90, 99))
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.toSeq === Seq(("g", 300L, 900L, 900L)))
+  }
+
+  test("histogramQuantiles at width 1 equals the exact type-1 quantile in cents") {
+    val df = Seq(17, 3, 250, 42, 42, 99, 1234, 8, 60, 77)
+      .map(c => ("g", c / 100.0)).toDF("grp", "v")
+    val exact = Stats.groupQuantiles(df, Seq("grp"), "v", Seq(50, 90))
+      .as[(String, Double, Double)].collect().head
+    val est = Stats.histogramQuantiles(df, Seq("grp"), "v", 1L, Seq(50, 90))
+      .as[(String, Long, Long)].collect().head
+    assert(est._2 === math.round(exact._2 * 100))
+    assert(est._3 === math.round(exact._3 * 100))
+  }
+
+  test("nearDupLookup with an all-docs probe equals both directions of nearDupMinhash") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base, "en"),
+      (2L, base.replace("today", "tomorrow"), "en"),
+      (3L, "completely unrelated words about spark catalyst tungsten codegen", "en"),
+      (6L, base.replace("dog", "cat"), "en"))
+      .toDF("doc_id", "text", "lang")
+    val hr = Dedup.hashedShingleRows(docs)
+    val pairs = Dedup.nearDupMinhashFromHashes(hr)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs.nonEmpty)
+    val expected = pairs ++ pairs.map(p => (p._2, p._1, p._3))
+    val got = Dedup.nearDupLookup(Dedup.minhashBands(hr), hr, lit(true))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === expected)
+  }
+
+  test("nearDupLookup restricts to the probe predicate, keeping both roles") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base, "en"),
+      (2L, base.replace("today", "tomorrow"), "en"),
+      (3L, "completely unrelated words about spark catalyst tungsten here", "en"))
+      .toDF("doc_id", "text", "lang")
+    val hr = Dedup.hashedShingleRows(docs)
+    val got = Dedup.nearDupLookup(Dedup.minhashBands(hr), hr,
+        col("doc_id") === 2L)
+      .select("probe_id", "match_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((2L, 1L)))
+  }
+}
