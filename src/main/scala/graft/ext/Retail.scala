@@ -252,9 +252,9 @@ object Retail {
       .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.wb").as("c"))
       .join(e.toDF("ca", "cb").as("e3"),
         col("a") === col("e3.ca") && col("c") === col("e3.cb"), "left_semi")
-    tri.select(col("a").as("p_partkey"))
-      .unionByName(tri.select(col("b").as("p_partkey")))
-      .unionByName(tri.select(col("c").as("p_partkey")))
+    // One Generate, not a 3-way union — a union would re-run the wedge
+    // join + closure semi-join subtree once per corner.
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("p_partkey"))
       .groupBy("p_partkey").agg(count(lit(1)).as("n_triangles"))
       .orderBy(col("n_triangles").desc, col("p_partkey"))
   }
