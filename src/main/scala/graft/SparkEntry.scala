@@ -218,6 +218,31 @@ object SparkEntry {
     "multi_day_reconciliation" -> ((s, dir) =>
       MultiDayReconcile.reconcileRange(s, dir, From, To).orderBy("date_key", "sku")),
 
+    // Shrinkage trend over the reconciled month: integer least-squares
+    // slope sign of |discrepancy| per sku (see
+    // MultiDayReconcile.discrepancyTrend — no division, no FP).
+    "discrepancy_trend" -> ((s, dir) =>
+      MultiDayReconcile.discrepancyTrend(
+        MultiDayReconcile.reconcileRange(s, dir, From, To), From)
+        .orderBy("sku")),
+
+    // §2.6 — top-N per group: top-3 parts by revenue within each brand.
+    // The rank ≤ 3 filter plans as WindowGroupLimit: each task prunes
+    // its partition to ≤ 3 candidate rows per brand BEFORE the brand
+    // exchange, so the window never sorts fact-scale data.
+    "brand_top3" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("rev_cents"))
+      val w = Window.partitionBy("p_brand")
+        .orderBy(col("rev_cents").desc, col("p_partkey"))
+      rev.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .orderBy("p_brand", "rank")
+    }),
+
     // Rollup aggregate (sub-total + grand-total rows) over one month of
     // daily sales — SURVEY.md §2.5 "grouping sets/rollup: built-in".
     "sales_rollup" -> ((s, dir) => {
@@ -603,6 +628,36 @@ object SparkEntry {
 
     "multi_day_reconciliation" ->
       s"SELECT * FROM ($multiDaySql) ORDER BY date_key, sku",
+
+    "discrepancy_trend" ->
+      s"""WITH r AS ($multiDaySql),
+         |xy AS (SELECT sku,
+         |    CAST(date_key - DATE '$From' AS BIGINT) AS x,
+         |    CAST(abs(discrepancy_amount) AS BIGINT) AS y
+         |  FROM r),
+         |s AS (SELECT sku, count(*) AS n_days,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+         |  FROM xy GROUP BY 1)
+         |SELECT sku, n_days,
+         |  n_days * sxy - sx * sy AS slope_num,
+         |  n_days * sxx - sx * sx AS slope_den,
+         |  CASE WHEN n_days * sxy - sx * sy > 0 THEN 'worsening'
+         |       WHEN n_days * sxy - sx * sy < 0 THEN 'improving'
+         |       ELSE 'flat' END AS trend
+         |FROM s WHERE n_days * sxx - sx * sx > 0 ORDER BY sku""".stripMargin,
+
+    "brand_top3" ->
+      s"""WITH rev AS (SELECT p_brand, p_partkey,
+         |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         |      AS rev_cents
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1, 2),
+         |rk AS (SELECT *, CAST(row_number() OVER
+         |    (PARTITION BY p_brand ORDER BY rev_cents DESC, p_partkey) AS BIGINT)
+         |      AS rank FROM rev)
+         |SELECT p_brand, p_partkey, rev_cents, rank
+         |FROM rk WHERE rank <= 3 ORDER BY p_brand, rank""".stripMargin,
     "sales_rollup" ->
       s"""SELECT CAST(l_shipdate AS DATE) AS d, l_returnflag,
          |       CAST(sum(CAST(l_quantity AS INTEGER)) AS BIGINT) AS sum_qty

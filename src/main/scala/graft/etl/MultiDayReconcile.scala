@@ -59,4 +59,35 @@ object MultiDayReconcile {
         col("date_key"), col("sku"), col("opening_stock"), col("quantity_sold"),
         col("expected_closing_stock"), col("actual_closing_stock"), col("discrepancy_amount"))
   }
+
+  /** Shrinkage TREND detection over a reconciled range: per sku, the
+    * SIGN of the least-squares slope of |discrepancy| against the day
+    * index — "is this sku's reconciliation getting worse?". Everything
+    * stays in exact integer arithmetic: with x = day index and y =
+    * |discrepancy|, slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), and only
+    * the sign is reported, so no division ever happens — numerator and
+    * denominator are BIGINT-exact on both engines and the denominator
+    * is positive whenever a sku has ≥ 2 distinct days.
+    *
+    * Scale: one sku-keyed aggregate over the reconciled frame (five
+    * map-side-combinable sums); the classification is a pure
+    * projection. Nothing beyond the reconciliation's own exchanges.
+    */
+  def discrepancyTrend(recon: DataFrame, from: LocalDate): DataFrame =
+    recon
+      .select(col("sku"),
+        datediff(col("date_key"), lit(from.toString).cast(DateType))
+          .cast("long").as("x"),
+        abs(col("discrepancy_amount")).cast("long").as("y"))
+      .groupBy("sku")
+      .agg(count(lit(1)).as("n_days"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope_num", col("n_days") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("slope_den", col("n_days") * col("sxx") - col("sx") * col("sx"))
+      .where(col("slope_den") > 0)
+      .withColumn("trend",
+        when(col("slope_num") > 0, "worsening")
+          .when(col("slope_num") < 0, "improving")
+          .otherwise("flat"))
+      .select("sku", "n_days", "slope_num", "slope_den", "trend")
 }

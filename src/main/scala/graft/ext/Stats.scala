@@ -70,14 +70,32 @@ object Stats {
     * sorting form ([[groupQuantiles]]) is the small-group exact tool.
     */
   def histogramQuantiles(df: DataFrame, groupCols: Seq[String],
-      valueCol: String, widthCents: Long, ps: Seq[Int]): DataFrame = {
-    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
-      s"percentiles must be integers in [1, 100], got $ps")
-    val hist = df
-      .where(col(valueCol).isNotNull)
+      valueCol: String, widthCents: Long, ps: Seq[Int]): DataFrame =
+    quantilesFromHistogram(
+      histogramOf(df, groupCols, valueCol, widthCents), groupCols, widthCents, ps)
+
+  /** The histogram STORE builder — one map-combinable aggregate to
+    * `(groupCols…, bucket, n)`. This is the at-rest sketch a pipeline
+    * persists per batch/partition/day: two histograms over disjoint
+    * slices merge by summing `n` on the (group, bucket) key
+    * ([[graft.streaming.StreamingOps.mergeRollup]] with those keys),
+    * and [[quantilesFromHistogram]] probes the merged store without
+    * ever revisiting raw rows.
+    */
+  def histogramOf(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      widthCents: Long): DataFrame =
+    df.where(col(valueCol).isNotNull)
       .groupBy(groupCols.map(col) :+
         expr(s"CAST(round($valueCol * 100) AS BIGINT) div $widthCents").as("bucket"): _*)
       .agg(count(lit(1)).as("n"))
+
+  /** The probe half: type-1-rank lower-bound quantile estimates from a
+    * (possibly merged) histogram store.
+    */
+  def quantilesFromHistogram(hist: DataFrame, groupCols: Seq[String],
+      widthCents: Long, ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be integers in [1, 100], got $ps")
     val wCum = Window.partitionBy(groupCols.map(col): _*).orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(groupCols.map(col): _*)

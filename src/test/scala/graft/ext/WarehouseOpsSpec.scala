@@ -128,6 +128,37 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("histogram store halves: split-merge probe equals the one-shot quantiles") {
+    val df = (1 to 40).map(i => (if (i % 2 == 0) "a" else "b", i * 0.37)).toDF("grp", "v")
+    val oneShot = Stats.histogramQuantiles(df, Seq("grp"), "v", 5L, Seq(50, 90))
+      .collect().map(_.toSeq).toSet
+    // Two disjoint "batches" build independent histograms; the store
+    // merges them by addition (mergeRollup on the (grp, bucket) key).
+    val h1 = Stats.histogramOf(df.where(col("v") < 7.0), Seq("grp"), "v", 5L)
+    val h2 = Stats.histogramOf(df.where(col("v") >= 7.0), Seq("grp"), "v", 5L)
+    val merged = graft.streaming.StreamingOps.mergeRollup(h1, h2, Seq("grp", "bucket"), "n")
+    val probed = Stats.quantilesFromHistogram(merged, Seq("grp"), 5L, Seq(50, 90))
+      .collect().map(_.toSeq).toSet
+    assert(probed === oneShot)
+  }
+
+  test("discrepancyTrend signs the integer least-squares slope per sku") {
+    import java.sql.Date
+    val d = (i: Int) => Date.valueOf(f"1995-06-${i + 1}%02d")
+    // A worsens (|disc| 0,1,2), B improves (2,1,0), C flat (1,1,1),
+    // D has one day (excluded: slope_den = 0).
+    val recon = Seq(
+      ("A", d(0), 0L), ("A", d(1), -1L), ("A", d(2), 2L),
+      ("B", d(0), 2L), ("B", d(1), 1L), ("B", d(2), 0L),
+      ("C", d(0), -1L), ("C", d(1), 1L), ("C", d(2), -1L),
+      ("D", d(0), 5L))
+      .toDF("sku", "date_key", "discrepancy_amount")
+    val got = graft.etl.MultiDayReconcile
+      .discrepancyTrend(recon, java.time.LocalDate.parse("1995-06-01"))
+      .select("sku", "trend").as[(String, String)].collect().toMap
+    assert(got === Map("A" -> "worsening", "B" -> "improving", "C" -> "flat"))
+  }
+
   test("nearDupLookup restricts to the probe predicate, keeping both roles") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val docs = Seq(
