@@ -490,6 +490,54 @@ object SparkEntry {
     // grid; the averages are ONE long/long double division applied to
     // already-exact sums, identical on both engines (IEEE-defined for
     // a single op), never a float accumulation.
+    // §2.4 — TPC-H Q3 shape: unshipped-order revenue ranking for one
+    // market segment. Three-table join where every scan pushes its own
+    // filter (segment / order date / ship date bounds all reach the
+    // readers), revenue on the textually-mirrored per-row cents grid
+    // (the pricing_summary recipe), bounded TakeOrdered top-10. No
+    // broadcast pinned: customer and orders are fact-scale at 100 TB,
+    // so the join strategy stays size-estimated (the star_join policy).
+    "q3_shipping" -> ((s, dir) => {
+      val cut = lit("1995-06-15").cast(TimestampType)
+      val c = Tables.customer(s, dir)
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.orders(s, dir).where(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.lineitem(s, dir).where(col("l_shipdate") > cut)
+        .select(col("l_orderkey"),
+          expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
+            .as("rev_c"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum("rev_c").as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // §2.4 — TPC-H Q17 shape: revenue locked in small-quantity orders
+    // (lines with quantity below 20% of their part's average). The
+    // correlated-average subquery becomes one per-part aggregate joined
+    // back to the fact, and the 0.2·avg comparison clears its division:
+    // q < sum/(5n) ⟺ 5·q·n < sum — quantities are integral, so both
+    // engines compare exact BIGINTs. Fact-to-aggregate join: AQE
+    // broadcasts the per-part side at toy scale, SMJ on partkey at
+    // 100 TB.
+    "q17_small_qty" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_partkey"),
+        col("l_quantity").cast("long").as("q"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"))
+      val per = li.groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_li"), sum("q").as("sum_q"))
+      li.join(per, "l_partkey")
+        .where(col("q") * col("n_li") * 5 < col("sum_q"))
+        .join(Tables.part(s, dir).select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_small"), sum("price_c").as("small_rev_cents"))
+        .orderBy("p_brand")
+    }),
+
     "pricing_summary" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .where(col("l_shipdate") < lit("1998-09-01").cast(TimestampType))
@@ -832,6 +880,31 @@ object SparkEntry {
          |    * 10000 / lag(rev_cents, 1) OVER (ORDER BY month)) AS BIGINT)
          |    AS growth_bps
          |FROM m ORDER BY month""".stripMargin,
+
+    "q3_shipping" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+         |    AS BIGINT)) AS BIGINT) AS revenue_cents
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1995-06-15'
+         |  AND l_shipdate > TIMESTAMP '1995-06-15'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q17_small_qty" ->
+      s"""WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+         |  FROM lineitem),
+         |per AS (SELECT l_partkey, count(*) AS n_li,
+         |    CAST(sum(q) AS BIGINT) AS sum_q FROM li GROUP BY 1)
+         |SELECT p_brand, count(*) AS n_small,
+         |  CAST(sum(price_c) AS BIGINT) AS small_rev_cents
+         |FROM li JOIN per USING (l_partkey) JOIN part ON l_partkey = p_partkey
+         |WHERE q * n_li * 5 < sum_q
+         |GROUP BY 1 ORDER BY p_brand""".stripMargin,
 
     "pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
