@@ -284,10 +284,25 @@ object Events {
     * a pure projection of the user-scale frame. No window, no join.
     */
   def timeToConvert(events: DataFrame): DataFrame =
+    convertFromPartials(convertPartials(events))
+
+  /** The per-user anchor partials (first view / first purchase) — the
+    * STORE half of [[timeToConvert]]: conditional mins are associative
+    * and commutative, so per-batch partials merged by column-wise min
+    * ([[graft.streaming.StreamingOps.mergeConvertStore]]) equal the
+    * one-shot aggregate under any batch cut.
+    */
+  def convertPartials(events: DataFrame): DataFrame =
     events.groupBy(col("user_id"))
       .agg(
         min(when(col("event_type") === "view", col("ts"))).as("first_view"),
         min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+
+  /** The probe half: finalize a (possibly merged) partials store into
+    * the converting-users latency report.
+    */
+  def convertFromPartials(per: DataFrame): DataFrame =
+    per
       .where(col("first_view").isNotNull && col("first_purchase").isNotNull &&
         col("first_purchase") >= col("first_view"))
       .withColumn("secs_to_convert",

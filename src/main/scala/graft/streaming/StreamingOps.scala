@@ -401,6 +401,35 @@ object StreamingOps {
         sink(graft.ext.Corpus.spanCounts(batch, k), batchId)
       }
 
+  /** Streaming conversion-anchor maintenance — per arriving micro-batch
+    * of events, the batch's per-user first-view/first-purchase partials
+    * ([[graft.ext.Events.convertPartials]]) handed to the caller's
+    * `sink`, which folds them into the persisted anchor store with
+    * [[mergeConvertStore]]. Conditional MINS are associative +
+    * commutative, so any batch cut — including out-of-order arrival —
+    * converges to the one-shot aggregate; the latency report at any
+    * moment is [[graft.ext.Events.convertFromPartials]] over the
+    * user-scale store, never a replay of the event history. Per-user
+    * state is two timestamps — O(users), no window retention at all.
+    */
+  def convertIngestStream(incoming: DataFrame,
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    incoming.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.ext.Events.convertPartials(batch), batchId)
+      }
+
+  /** Fold a batch's anchor partials into the store — column-wise min on
+    * the user key (min ignores nulls, so a user seen only as a viewer
+    * merges cleanly with a later purchase-only partial).
+    */
+  def mergeConvertStore(store: DataFrame, partial: DataFrame): DataFrame =
+    store.unionByName(partial)
+      .groupBy("user_id")
+      .agg(min("first_view").as("first_view"),
+        min("first_purchase").as("first_purchase"))
+
   /** Streaming count-min maintenance — per arriving micro-batch, the
     * batch's d×w counter table ([[graft.ext.Sketches.cmsSketch]])
     * handed to the caller's `sink`, which folds it into the persisted

@@ -649,4 +649,38 @@ class StreamingOpsSpec extends SparkSpec {
       assert(streamed(2).isNullAt(4))       // p6: only stale views → null
     } finally q.stop()
   }
+
+  test("streaming conversion anchors: permuted cuts merge to the one-shot report") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // u1 converts (90 s), u2 views only, u3 purchased before any view,
+    // u4 instant. The view/purchase of u1 land in DIFFERENT batches in
+    // reverse order — the column-wise min merge must still converge.
+    val evs = Seq(
+      Ev(1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      Ev(2L, ts("2024-01-01 10:01:30"), 1L, "purchase", 5.0),
+      Ev(3L, ts("2024-01-01 10:00:00"), 2L, "view", 0.0),
+      Ev(4L, ts("2024-01-01 09:00:00"), 3L, "purchase", 7.0),
+      Ev(5L, ts("2024-01-01 10:00:00"), 3L, "view", 0.0),
+      Ev(6L, ts("2024-01-01 12:00:00"), 4L, "view", 0.0),
+      Ev(7L, ts("2024-01-01 12:00:00"), 4L, "purchase", 1.0))
+    var store = Seq.empty[(Long, Timestamp, Timestamp)]
+      .toDF("user_id", "first_view", "first_purchase")
+    val mem = MemoryStream[Ev]
+    val writer = StreamingOps.convertIngestStream(
+      mem.toDF(),
+      (partial, _) => store = StreamingOps
+        .mergeConvertStore(store, partial).localCheckpoint())
+    val q = writer.start()
+    try {
+      mem.addData(evs(1), evs(4), evs(6)); q.processAllAvailable()
+      mem.addData(evs(0), evs(2), evs(3), evs(5)); q.processAllAvailable()
+      val streamed = graft.ext.Events.convertFromPartials(store)
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      val oneShot = graft.ext.Events.timeToConvert(evs.toDF())
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(streamed === oneShot)
+      assert(streamed.map(r => (r._1, r._4)) === Set((1L, 90L), (4L, 0L)))
+    } finally q.stop()
+  }
 }
