@@ -714,6 +714,41 @@ object ExtQueries {
         .orderBy("event_id")
     }),
 
+    // X7 — NEAREST as-of join: each purchase attaches the view closest
+    // in time in either direction (tie → backward), the sensor-
+    // alignment contract; same one-exchange two-sort union+window plan
+    // (see AsOfJoin.asOfNearest).
+    "asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").as("purchase_value"))
+      val views = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("vts"))
+        .agg(max(col("event_id")).as("view_id"))
+        .withColumn("view_ts", col("vts"))
+      AsOfJoin.asOfNearest(purchases, views, "user_id", "ts", "vts",
+          Seq("view_id", "view_ts"))
+        .orderBy("event_id")
+    }),
+
+    // X6 — gaps-and-islands: longest consecutive-active-day streak per
+    // user (the classic date − row_number island key, all integer);
+    // the engagement metric next to retention_cohorts.
+    "user_streaks" -> ((s, dir) => {
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("d")
+      days
+        .withColumn("grp",
+          (datediff(col("d"), lit("1970-01-01").cast("date")) -
+            row_number().over(w)).cast("long"))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max("len").as("longest_streak"), count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
+    }),
+
     // X7 — Bloom-filter pruned equi-join: the probe side (lineitem) is
     // semi-join-reduced by a broadcast 128 KiB bit array built from the
     // filtered dim's keys BEFORE the join shuffle. Bloom filters have no
@@ -1825,6 +1860,40 @@ object ExtQueries {
          |  CASE WHEN vts >= ts - INTERVAL 30 MINUTE THEN view_id END AS view_id,
          |  CASE WHEN vts >= ts - INTERVAL 30 MINUTE THEN vts END AS view_ts
          |FROM a ORDER BY event_id""".stripMargin,
+
+    // Backward + forward ASOF joins, then the same nearer-side pick
+    // (exact micros distance, tie → backward).
+    "asof_nearest" ->
+      s"""WITH v AS (SELECT user_id, ts AS vts, max(event_id) AS view_id
+         |    FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         |p AS (SELECT event_id, user_id, ts, value AS purchase_value
+         |    FROM events WHERE event_type = 'purchase'),
+         |b AS (SELECT p.event_id, v.view_id AS b_id, v.vts AS b_ts
+         |      FROM p ASOF LEFT JOIN v
+         |        ON p.user_id = v.user_id AND p.ts >= v.vts),
+         |f AS (SELECT p.event_id, v.view_id AS f_id, v.vts AS f_ts
+         |      FROM p ASOF LEFT JOIN v
+         |        ON p.user_id = v.user_id AND p.ts <= v.vts)
+         |SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
+         |  CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR
+         |         epoch_us(p.ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(p.ts))
+         |       THEN b_id ELSE f_id END AS view_id,
+         |  CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR
+         |         epoch_us(p.ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(p.ts))
+         |       THEN b_ts ELSE f_ts END AS view_ts
+         |FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+         |ORDER BY p.event_id""".stripMargin,
+
+    "user_streaks" ->
+      s"""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         |isl AS (SELECT user_id,
+         |    CAST(d - DATE '1970-01-01' AS BIGINT)
+         |      - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+         |  FROM days),
+         |runs AS (SELECT user_id, grp, count(*) AS len
+         |         FROM isl GROUP BY 1, 2)
+         |SELECT user_id, max(len) AS longest_streak, count(*) AS n_streaks
+         |FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     "bloom_join" ->
       s"""SELECT p_brand, count(*) AS n_items,

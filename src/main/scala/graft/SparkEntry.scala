@@ -515,6 +515,23 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // §2.4 — TPC-H Q4 shape: late-order census per priority — orders
+    // with ANY line shipped more than 30 days after the order date. The
+    // correlated EXISTS is a left-semi join whose extra condition rides
+    // in the join predicate (evaluated during the probe, no
+    // post-filter); the aggregate is a bounded |priorities|-row frame.
+    "q4_late_orders" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+      o.join(l,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"),
+          "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_late"))
+        .orderBy("o_orderpriority")
+    }),
+
     // §2.4 — TPC-H Q17 shape: revenue locked in small-quantity orders
     // (lines with quantity below 20% of their part's average). The
     // correlated-average subquery becomes one per-part aggregate joined
@@ -893,6 +910,14 @@ object SparkEntry {
          |  AND l_shipdate > TIMESTAMP '1995-06-15'
          |GROUP BY 1, 2, 3
          |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q4_late_orders" ->
+      s"""SELECT o_orderpriority, count(*) AS n_late
+         |FROM orders
+         |WHERE EXISTS (SELECT 1 FROM lineitem
+         |  WHERE l_orderkey = o_orderkey
+         |    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     "q17_small_qty" ->
       s"""WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,

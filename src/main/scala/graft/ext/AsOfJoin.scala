@@ -100,4 +100,53 @@ object AsOfJoin {
       .where(col("__side") === 1)
       .select(left.columns.map(col) ++ payload.map(col): _*)
   }
+
+  /** NEAREST-neighbor as-of join: each left row gets the right row
+    * closest in time in EITHER direction, ties preferring the backward
+    * (at-or-before) match — the sensor-alignment contract ("attach the
+    * reading nearest this event"), where plain [[asOf]] is the
+    * look-back-only feature-store contract.
+    *
+    * Same single union + key exchange: TWO window passes share the one
+    * partitioning — a forward scan carrying the last at-or-before right
+    * row and a backward scan (descending time order) carrying the first
+    * at-or-after one — then a pure projection picks whichever matched
+    * time is nearer. The direction choice is made ONCE per row and all
+    * payload columns follow it, so the attached columns always come
+    * from a single right row. Cost over [[asOf]]: one extra sort within
+    * the same exchange, no extra shuffle; hot keys stay linear.
+    */
+  def asOfNearest(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payload: Seq[String]): DataFrame = {
+    val overlap = (right.columns.toSet - key).intersect(left.columns.toSet)
+    require(overlap.isEmpty, s"rename overlapping right columns: $overlap")
+    val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
+    val r = right.withColumn("__t", col(rightTime))
+      .withColumn("__rt", col(rightTime)).withColumn("__side", lit(0))
+      .drop(rightTime)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // Right rows sort ahead of left rows at equal times in BOTH scan
+    // directions, so an exact-time right row is visible to the left row
+    // as a zero-distance match both ways.
+    val wb = Window.partitionBy(key).orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(key).orderBy(col("__t").desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(
+      unioned
+        .withColumn("__bt", last(col("__rt"), ignoreNulls = true).over(wb))
+        .withColumn("__ft", last(col("__rt"), ignoreNulls = true).over(wf))) {
+      (df, c) =>
+        df.withColumn(s"__b_$c", last(col(c), ignoreNulls = true).over(wb))
+          .withColumn(s"__f_$c", last(col(c), ignoreNulls = true).over(wf))
+    }
+    val useBack = col("__bt").isNotNull && (col("__ft").isNull ||
+      (expr(s"unix_micros($leftTime)") - expr("unix_micros(__bt)")) <=
+        (expr("unix_micros(__ft)") - expr(s"unix_micros($leftTime)")))
+    payload.foldLeft(carried) { (df, c) =>
+      df.withColumn(c, when(useBack, col(s"__b_$c")).otherwise(col(s"__f_$c")))
+    }
+      .where(col("__side") === 1)
+      .select(left.columns.map(col) ++ payload.map(col): _*)
+  }
 }

@@ -88,6 +88,13 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "tolerance must not reintroduce a join")
   }
 
+  test("asof_nearest is the union plan with two sorts, never a join") {
+    val p = plan("asof_nearest")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"), "nearest must stay join-free")
+  }
+
   test("copurchase_rank unrolls Pregel rounds without cartesian fallback") {
     val p = plan("copurchase_rank")
     assert(!p.contains("CartesianProduct"))

@@ -101,4 +101,30 @@ class AsOfJoinSpec extends SparkSpec {
       .as[(Option[Long], Option[Long])].collect()
     assert(out.forall { case (p, p2) => p.isDefined === p2.isDefined })
   }
+
+  test("asOfNearest picks the closer side, backward on ties, either alone") {
+    val out = AsOfJoin.asOfNearest(left, right, "k", "t", "rt", Seq("payload"))
+      .orderBy("id")
+      .select("id", "payload").as[(Long, Option[Long])].collect()
+    assert(out === Seq(
+      1L -> Some(100L), // before any right row → forward match
+      2L -> Some(100L), // 11:00 is 1h back, 13:00 1h forward → tie → backward
+      3L -> Some(200L), // exact-time match, distance 0
+      4L -> Some(200L), // only backward exists
+      5L -> None,       // key with no right rows at all
+      6L -> Some(300L)))// only forward exists
+  }
+
+  test("asOfNearest attaches all payload columns from the SAME right row") {
+    val r2 = right.withColumn("payload2", col("payload") * 10)
+    val out = AsOfJoin.asOfNearest(left, r2, "k", "t", "rt",
+        Seq("payload", "payload2"))
+      .orderBy("id").select("payload", "payload2")
+      .as[(Option[Long], Option[Long])].collect()
+    assert(out.forall {
+      case (Some(p), Some(p2)) => p2 === p * 10
+      case (None, None) => true
+      case _ => false
+    })
+  }
 }
