@@ -871,6 +871,54 @@ object ExtQueries {
           Seq("o_orderpriority"), "o_totalprice", 10000L, Seq(50, 90, 99))
         .orderBy("o_orderpriority")),
 
+    // X2 × sketch — corpus-health drill-down: median / p90 quality
+    // score per source from the centi-score histogram (the per-source
+    // twin of quality_calibration's per-language percentiles; one
+    // histogram aggregate, bucket-scale windows).
+    "quality_by_source" -> ((s, dir) => {
+      val stats = TextOps.textStats(Tables.documents(s, dir))
+        .select(col("doc_id"), col("quality_score"))
+      val scored = Tables.documents(s, dir).select("doc_id", "source")
+        .join(stats, "doc_id")
+      ext.Stats.histogramQuantiles(scored, Seq("source"), "quality_score", 1L,
+          Seq(50, 90))
+        .orderBy("source")
+    }),
+
+    // Sketch-guided outlier scan: per-brand p99 price from the $10
+    // histogram, broadcast back (|brands| rows — bounded) onto a second
+    // fact pass that counts the tail above the estimate. The pattern a
+    // 100 TB anomaly sweep runs: sketch pass + filtered scan, never a
+    // per-group sort of the fact.
+    "price_outliers" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), col("l_extendedprice"))
+      val p99 = ext.Stats.histogramQuantiles(li, Seq("p_brand"),
+        "l_extendedprice", 1000L, Seq(99))
+      li.join(broadcast(p99), "p_brand")
+        .where(expr("CAST(round(l_extendedprice * 100) AS BIGINT)") >= col("p99_cents"))
+        .groupBy("p_brand", "p99_cents")
+        .agg(count(lit(1)).as("n_above"),
+          max(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("max_cents"))
+        .orderBy("p_brand")
+    }),
+
+    // Retail ops — fulfillment latency distribution: whole-day gap from
+    // order date to FIRST shipment, as a day histogram (per-order min
+    // aggregate + key join + bounded histogram aggregate).
+    "fulfillment_latency" -> ((s, dir) => {
+      val firstShip = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey")).agg(min(col("l_shipdate")).as("first_ship"))
+      Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
+        .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+        .select(datediff(col("first_ship").cast("date"),
+          col("o_orderdate").cast("date")).cast("long").as("days_to_ship"))
+        .groupBy("days_to_ship").agg(count(lit(1)).as("n_orders"))
+        .orderBy("days_to_ship")
+    }),
+
     // Profiling — numeric column profile of the fact table in ONE
     // melted aggregate pass (see Stats.numericProfile).
     "table_profile" -> ((s, dir) =>
@@ -2094,6 +2142,59 @@ object ExtQueries {
          |  CAST(min(CASE WHEN cum >= (nt * 99 + 99) // 100
          |    THEN bucket * 10000 END) AS BIGINT) AS p99_cents
          |FROM c GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "quality_by_source" ->
+      s"""WITH ${qualityCtes("documents")},
+         |q AS (SELECT doc_id, floor((0.4 * least(1.0, n_tokens / 50.0)
+         |    + 0.3 * (1.0 - punct_ratio)
+         |    + 0.3 * least(1.0, stopword_ratio * 5)) * 10000) / 10000
+         |    AS quality_score
+         |  FROM qs),
+         |j AS (SELECT d.source, q.quality_score
+         |      FROM documents d JOIN q USING (doc_id)),
+         |h AS (SELECT source, CAST(round(quality_score * 100) AS BIGINT) // 1
+         |    AS bucket, count(*) AS n FROM j GROUP BY 1, 2),
+         |c AS (SELECT source, bucket, n,
+         |    sum(n) OVER (PARTITION BY source ORDER BY bucket
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(n) OVER (PARTITION BY source) AS nt
+         |  FROM h)
+         |SELECT source,
+         |  CAST(min(CASE WHEN cum >= (nt * 50 + 99) // 100
+         |    THEN bucket * 1 END) AS BIGINT) AS p50_cents,
+         |  CAST(min(CASE WHEN cum >= (nt * 90 + 99) // 100
+         |    THEN bucket * 1 END) AS BIGINT) AS p90_cents
+         |FROM c GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "price_outliers" ->
+      s"""WITH li AS (SELECT p_brand,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |h AS (SELECT p_brand, price_c // 1000 AS bucket, count(*) AS n
+         |      FROM li GROUP BY 1, 2),
+         |c AS (SELECT p_brand, bucket, n,
+         |    sum(n) OVER (PARTITION BY p_brand ORDER BY bucket
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(n) OVER (PARTITION BY p_brand) AS nt
+         |  FROM h),
+         |p99 AS (SELECT p_brand,
+         |    CAST(min(CASE WHEN cum >= (nt * 99 + 99) // 100
+         |      THEN bucket * 1000 END) AS BIGINT) AS p99_cents
+         |  FROM c GROUP BY 1)
+         |SELECT li.p_brand, p99_cents, count(*) AS n_above,
+         |  max(price_c) AS max_cents
+         |FROM li JOIN p99 USING (p_brand)
+         |WHERE price_c >= p99_cents
+         |GROUP BY 1, 2 ORDER BY li.p_brand""".stripMargin,
+
+    "fulfillment_latency" ->
+      s"""WITH fs AS (SELECT l_orderkey, min(l_shipdate) AS first_ship
+         |            FROM lineitem GROUP BY 1),
+         |g AS (SELECT CAST(CAST(first_ship AS DATE) - CAST(o_orderdate AS DATE)
+         |    AS BIGINT) AS days_to_ship
+         |  FROM orders JOIN fs ON o_orderkey = l_orderkey)
+         |SELECT days_to_ship, count(*) AS n_orders
+         |FROM g GROUP BY 1 ORDER BY days_to_ship""".stripMargin,
 
     "hapax_ratio" ->
       s"""WITH tok AS (SELECT source, unnest($toksSql) AS token FROM documents),
