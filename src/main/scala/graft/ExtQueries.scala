@@ -905,6 +905,54 @@ object ExtQueries {
         .orderBy("p_brand")
     }),
 
+    // X6 × sketch — session duration percentiles from the minute-bucket
+    // histogram (centi-second grid): sessionization's one user-key
+    // exchange + a bucket-scale histogram — no per-session sort at any
+    // corpus size.
+    "session_quantiles" -> ((s, dir) => {
+      val sess = Events.sessionize(Tables.events(s, dir))
+        .select(expr(
+          "CAST((unix_micros(session_end) - unix_micros(session_start)) DIV 1000000 AS BIGINT)")
+          .as("duration_secs"))
+        .withColumn("scope", lit("all"))
+      ext.Stats.histogramQuantiles(sess, Seq("scope"), "duration_secs", 6000L,
+          Seq(50, 90, 99))
+        .orderBy("scope")
+    }),
+
+    // X6 — behavioral segmentation by event-type bitmask: per
+    // (user, day), bit_or of one bit per type (order-insensitive,
+    // merge-friendly — partial masks OR together), then the bounded
+    // mask census: which daily behavior profiles exist and how common
+    // each is. Two aggregates, the first map-side combinable.
+    "behavior_segments" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("d"), expr(
+          """CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+            |WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+            |WHEN 'error' THEN 16 ELSE 0 END""".stripMargin).as("bit"))
+        .groupBy("user_id", "d").agg(expr("bit_or(bit)").cast("long").as("mask"))
+        .groupBy("mask").agg(count(lit(1)).as("n_user_days"))
+        .orderBy("mask")),
+
+    // Retail ops — open-order backlog curve: +1 at order date, −1 at
+    // first shipment, daily net, then a running sum over the day-scale
+    // frame (the event-sourced running-balance shape; the global window
+    // sees |days| rows, never fact volume).
+    "orders_backlog" -> ((s, dir) => {
+      val opened = Tables.orders(s, dir)
+        .select(col("o_orderdate").cast("date").as("d"), lit(1L).as("delta"))
+      val shipped = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(min(col("l_shipdate")).cast("date").as("d"))
+        .select(col("d"), lit(-1L).as("delta"))
+      opened.unionByName(shipped)
+        .groupBy("d").agg(sum("delta").as("net"))
+        .withColumn("backlog", sum("net").over(
+          Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("d")
+    }),
+
     // Retail ops — fulfillment latency distribution: whole-day gap from
     // order date to FIRST shipment, as a day histogram (per-order min
     // aggregate + key join + bounded histogram aggregate).
@@ -2186,6 +2234,54 @@ object ExtQueries {
          |FROM li JOIN p99 USING (p_brand)
          |WHERE price_c >= p99_cents
          |GROUP BY 1, 2 ORDER BY li.p_brand""".stripMargin,
+
+    "session_quantiles" ->
+      s"""WITH $sessionCtes,
+         |dur AS (SELECT 'all' AS scope,
+         |    CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
+         |      AS duration_secs
+         |  FROM s GROUP BY user_id, session_no),
+         |h AS (SELECT scope,
+         |    CAST(round(duration_secs * 100) AS BIGINT) // 6000 AS bucket,
+         |    count(*) AS n
+         |  FROM dur GROUP BY 1, 2),
+         |c AS (SELECT scope, bucket, n,
+         |    sum(n) OVER (PARTITION BY scope ORDER BY bucket
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(n) OVER (PARTITION BY scope) AS nt
+         |  FROM h)
+         |SELECT scope,
+         |  CAST(min(CASE WHEN cum >= (nt * 50 + 99) // 100
+         |    THEN bucket * 6000 END) AS BIGINT) AS p50_cents,
+         |  CAST(min(CASE WHEN cum >= (nt * 90 + 99) // 100
+         |    THEN bucket * 6000 END) AS BIGINT) AS p90_cents,
+         |  CAST(min(CASE WHEN cum >= (nt * 99 + 99) // 100
+         |    THEN bucket * 6000 END) AS BIGINT) AS p99_cents
+         |FROM c GROUP BY 1 ORDER BY scope""".stripMargin,
+
+    "behavior_segments" ->
+      s"""WITH b AS (SELECT user_id, CAST(ts AS DATE) AS d,
+         |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+         |      WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+         |      WHEN 'error' THEN 16 ELSE 0 END AS bit
+         |  FROM events),
+         |m AS (SELECT user_id, d, CAST(bit_or(bit) AS BIGINT) AS mask
+         |      FROM b GROUP BY 1, 2)
+         |SELECT mask, count(*) AS n_user_days
+         |FROM m GROUP BY 1 ORDER BY mask""".stripMargin,
+
+    "orders_backlog" ->
+      s"""WITH ev AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS d, 1 AS delta FROM orders
+         |  UNION ALL
+         |  SELECT CAST(min(l_shipdate) AS DATE) AS d, -1 AS delta
+         |  FROM lineitem GROUP BY l_orderkey),
+         |net AS (SELECT d, CAST(sum(delta) AS BIGINT) AS net
+         |        FROM ev GROUP BY 1)
+         |SELECT d, net,
+         |  CAST(sum(net) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    AS backlog
+         |FROM net ORDER BY d""".stripMargin,
 
     "fulfillment_latency" ->
       s"""WITH fs AS (SELECT l_orderkey, min(l_shipdate) AS first_ship
