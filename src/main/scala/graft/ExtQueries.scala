@@ -1205,6 +1205,31 @@ object ExtQueries {
     "kmeans_assign" -> ((s, dir) =>
       Similarity.kmeansAssign(Tables.embeddings(s, dir)).orderBy("vec_id")),
 
+    // X3 — embedding drift audit: per-label centroid cosine between the
+    // two parity halves of the corpus (see Similarity.centroidShift).
+    "centroid_shift" -> ((s, dir) =>
+      Similarity.centroidShift(Tables.embeddings(s, dir)).orderBy("label")),
+
+    // X3 — ANN EVALUATION as a query: per-probe recall of the IVF
+    // search against the brute-force ground truth, in exact ppm — the
+    // "is the index good enough" gate run after every re-train, as one
+    // plan (semi-join on the two top-k tables, both bounded by
+    // probes·k rows).
+    "ann_recall" -> ((s, dir) => {
+      val brute = Similarity.topKBruteForce(Tables.embeddings(s, dir))
+        .select(col("probe_id"), col("neighbor_id"))
+      val ivf = Similarity.topKIvf(Tables.embeddings(s, dir))
+        .select(col("probe_id"), col("neighbor_id"))
+      val hits = ivf.join(brute, Seq("probe_id", "neighbor_id"), "left_semi")
+        .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
+      brute.groupBy("probe_id").agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("probe_id"), "left")
+        .na.fill(0L, Seq("n_hit"))
+        .withColumn("recall_ppm",
+          expr("CAST(n_hit * 1000000 DIV n_true AS BIGINT)"))
+        .orderBy("probe_id")
+    }),
+
     // X4 — SemDeDup: cluster-scoped semantic dedup over the trained
     // cell store (threshold tuned to this corpus's cosine scale).
     "semantic_dedup" -> ((s, dir) => {
@@ -2567,6 +2592,66 @@ object ExtQueries {
          |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
          |SELECT probe_id, rank, neighbor_id, cosine FROM r
          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "centroid_shift" ->
+      s"""WITH cxa AS (SELECT label, i - 1 AS dim, embedding[i]::DOUBLE AS x
+         |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+         |  WHERE vec_id % 2 = 0),
+         |csa AS (SELECT label, dim, sum(x::DECIMAL(30,10)) AS sx, count(*) AS n
+         |        FROM cxa GROUP BY 1, 2),
+         |ca AS (SELECT label,
+         |    list((floor(sx::DOUBLE / n * 1000000) / 1000000)::FLOAT ORDER BY dim)
+         |      AS cen_a
+         |  FROM csa GROUP BY 1),
+         |cxb AS (SELECT label, i - 1 AS dim, embedding[i]::DOUBLE AS x
+         |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+         |  WHERE vec_id % 2 = 1),
+         |csb AS (SELECT label, dim, sum(x::DECIMAL(30,10)) AS sx, count(*) AS n
+         |        FROM cxb GROUP BY 1, 2),
+         |cb AS (SELECT label,
+         |    list((floor(sx::DOUBLE / n * 1000000) / 1000000)::FLOAT ORDER BY dim)
+         |      AS cen_b
+         |  FROM csb GROUP BY 1),
+         |na AS (SELECT label, count(*) AS n_even FROM embeddings
+         |       WHERE vec_id % 2 = 0 GROUP BY 1),
+         |nb AS (SELECT label, count(*) AS n_odd FROM embeddings
+         |       WHERE vec_id % 2 = 1 GROUP BY 1)
+         |SELECT label, n_even, n_odd,
+         |  floor(
+         |    list_sum(list_transform(range(1, len(cen_a) + 1),
+         |      i -> cen_a[i]::DOUBLE * cen_b[i]::DOUBLE)) /
+         |    (sqrt(list_sum(list_transform(range(1, len(cen_a) + 1),
+         |      i -> cen_a[i]::DOUBLE * cen_a[i]::DOUBLE))) *
+         |     sqrt(list_sum(list_transform(range(1, len(cen_b) + 1),
+         |      i -> cen_b[i]::DOUBLE * cen_b[i]::DOUBLE))))
+         |    * 1000000) / 1000000 AS shift_cos
+         |FROM ca JOIN cb USING (label) JOIN na USING (label) JOIN nb USING (label)
+         |ORDER BY label""".stripMargin,
+
+    "ann_recall" ->
+      s"""WITH bp AS (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+         |  WHERE a.vec_id % 50 = 0 AND a.vec_id < ${50L * Similarity.MaxProbes}),
+         |br AS (SELECT probe_id, neighbor_id, row_number() OVER
+         |    (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM bp),
+         |bt AS (SELECT probe_id, neighbor_id FROM br WHERE rank <= 5),
+         |ip AS (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id != b.vec_id
+         |  WHERE a.vec_id % 50 = 0 AND a.vec_id < ${50L * Similarity.MaxProbes}),
+         |ir AS (SELECT probe_id, neighbor_id, row_number() OVER
+         |    (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM ip),
+         |it AS (SELECT probe_id, neighbor_id FROM ir WHERE rank <= 5),
+         |h AS (SELECT bt.probe_id, count(*) AS n_hit
+         |      FROM it JOIN bt USING (probe_id, neighbor_id) GROUP BY 1),
+         |t AS (SELECT probe_id, count(*) AS n_true FROM bt GROUP BY 1)
+         |SELECT t.probe_id, n_true, COALESCE(n_hit, 0) AS n_hit,
+         |  CAST(COALESCE(n_hit, 0) * 1000000 // n_true AS BIGINT) AS recall_ppm
+         |FROM t LEFT JOIN h USING (probe_id) ORDER BY probe_id""".stripMargin,
 
     "ann_topk_ivf" ->
       s"""WITH pairs AS (

@@ -281,6 +281,35 @@ object Similarity {
   private def centroidTable(embeddings: DataFrame, labelAlias: String): DataFrame =
     centroidsOf(embeddings.select(col("label").as("cell"), col("embedding")), labelAlias)
 
+  /** Embedding DRIFT audit: per label, the cosine between the centroids
+    * of two deterministic corpus halves (vec_id parity — the stand-in
+    * for "last month's batch vs this month's"). A shift cosine well
+    * below 1 flags a label whose two halves disagree — upstream encoder
+    * change, distribution drift, or a mislabeled ingest — BEFORE anyone
+    * retrains on the merged corpus. Output: label, n_even, n_odd,
+    * shift_cos (trunc6).
+    *
+    * Scale: two [[labelCentroids]]-shape aggregates (|labels|·dims keys,
+    * map-side combinable, exact-decimal sums) + a |labels|-row join;
+    * the corpus contributes two filtered scans and nothing larger than
+    * |labels|·dims ever shuffles. The halves generalize to any pure
+    * predicate (ingest batch, time window) at no plan change.
+    */
+  def centroidShift(embeddings: DataFrame): DataFrame = {
+    def half(p: Int): DataFrame = centroidsOf(
+      embeddings.where(pmod(col("vec_id"), lit(2)) === p)
+        .select(col("label").as("cell"), col("embedding")), "label")
+    def n(p: Int, as: String): DataFrame =
+      embeddings.where(pmod(col("vec_id"), lit(2)) === p)
+        .groupBy("label").agg(count(lit(1)).as(as))
+    half(0).withColumnRenamed("centroid", "cen_a")
+      .join(half(1).withColumnRenamed("centroid", "cen_b"), "label")
+      .join(n(0, "n_even"), "label")
+      .join(n(1, "n_odd"), "label")
+      .select(col("label"), col("n_even"), col("n_odd"),
+        TextOps.trunc6(CosineSimilarity(col("cen_a"), col("cen_b"))).as("shift_cos"))
+  }
+
   def labelCohesion(embeddings: DataFrame): DataFrame = {
     val cent = centroidTable(embeddings, "label")
     embeddings.join(broadcast(cent), "label")
