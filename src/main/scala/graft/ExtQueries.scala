@@ -544,6 +544,27 @@ object ExtQueries {
     "dataset_split" -> ((s, dir) =>
       Corpus.datasetSplit(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // Corpus — quality-weighted sampling: survival probability = the
+    // quality score, as a pure-integer ppm hash gate (see
+    // Corpus.weightedSample — the soft downsampling move).
+    "weighted_sample" -> ((s, dir) =>
+      Corpus.weightedSample(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // X6 — deterministic A/B experiment report: users hash-split into
+    // two arms, per-arm conversion in exact ppm. Two aggregates, the
+    // first collapsing events to per-user converted flags map-side.
+    "ab_split_report" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select((Dedup.hash60(col("user_id").cast("string")) % 2).as("arm"),
+          col("user_id"), col("event_type"))
+        .groupBy("arm", "user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        .groupBy("arm")
+        .agg(count(lit(1)).as("n_users"), sum("conv").as("n_converted"))
+        .withColumn("conv_ppm",
+          expr("CAST(n_converted * 1000000 DIV n_users AS BIGINT)"))
+        .orderBy("arm")),
+
     // Corpus — overlapping 64/48 token-window chunking.
     "doc_chunks" -> ((s, dir) =>
       Corpus.docChunks(Tables.documents(s, dir)).orderBy("doc_id", "chunk_no")),
@@ -1640,6 +1661,31 @@ object ExtQueries {
          |    < floor(rate * 1000000) AS keep
          |FROM base JOIN rates USING (source)
          |ORDER BY doc_id""".stripMargin,
+
+    "weighted_sample" ->
+      s"""WITH ${qualityCtes("documents")},
+         |q AS (SELECT doc_id, floor((0.4 * least(1.0, n_tokens / 50.0)
+         |    + 0.3 * (1.0 - punct_ratio)
+         |    + 0.3 * least(1.0, stopword_ratio * 5)) * 10000) / 10000
+         |    AS quality_score
+         |  FROM qs)
+         |SELECT d.doc_id, d.source, d.lang,
+         |  CAST(round(quality_score * 1000000) AS BIGINT) AS w_ppm
+         |FROM documents d JOIN q USING (doc_id)
+         |WHERE ${hash60Sql("doc_id::VARCHAR")} % 1000000
+         |  < CAST(round(quality_score * 1000000) AS BIGINT)
+         |ORDER BY doc_id""".stripMargin,
+
+    "ab_split_report" ->
+      s"""WITH u AS (SELECT ${hash60Sql("user_id::VARCHAR")} % 2 AS arm, user_id,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+         |  FROM events GROUP BY 1, 2),
+         |a AS (SELECT arm, count(*) AS n_users,
+         |    CAST(sum(conv) AS BIGINT) AS n_converted
+         |  FROM u GROUP BY 1)
+         |SELECT arm, n_users, n_converted,
+         |  CAST(n_converted * 1000000 // n_users AS BIGINT) AS conv_ppm
+         |FROM a ORDER BY arm""".stripMargin,
 
     "stratified_sample" -> {
       val bucket = s"${hash60Sql("source || ':' || doc_id::VARCHAR")} % 100"

@@ -515,6 +515,35 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // K5c — cross-fact reconciliation audit: does each order's header
+    // total equal the sum of its lines' charges? One per-order line
+    // aggregate, one left key join, one single-row verdict aggregate —
+    // the orders-vs-lineitem twin of the inventory reconciliation gate
+    // (on this synthetic data the generator does NOT maintain the
+    // invariant, which is exactly what the audit is for: the verdict
+    // row quantifies the break).
+    "order_total_audit" -> ((s, dir) => {
+      val lineSum = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(expr(
+          "CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100) AS BIGINT)"))
+          .as("line_cents"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("order_cents"))
+        .join(lineSum, col("o_orderkey") === col("l_orderkey"), "left")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(when(col("line_cents").isNull, 1L).otherwise(0L)).as("n_no_lines"),
+          sum(when(col("line_cents") === col("order_cents"), 1L).otherwise(0L))
+            .as("n_exact"),
+          sum(when(col("line_cents").isNotNull &&
+            col("line_cents") =!= col("order_cents"), 1L).otherwise(0L))
+            .as("n_mismatch"),
+          max(when(col("line_cents").isNotNull,
+            abs(col("line_cents") - col("order_cents")))).as("max_abs_diff_cents"))
+    }),
+
     // §2.4 — TPC-H Q4 shape: late-order census per priority — orders
     // with ANY line shipped more than 30 days after the order date. The
     // correlated EXISTS is a left-semi join whose extra condition rides
@@ -910,6 +939,25 @@ object SparkEntry {
          |  AND l_shipdate > TIMESTAMP '1995-06-15'
          |GROUP BY 1, 2, 3
          |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "order_total_audit" ->
+      s"""WITH ls AS (SELECT l_orderkey,
+         |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+         |      * (1.0 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS line_cents
+         |  FROM lineitem GROUP BY 1),
+         |j AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS order_cents,
+         |    line_cents
+         |  FROM orders LEFT JOIN ls ON o_orderkey = l_orderkey)
+         |SELECT count(*) AS n_orders,
+         |  CAST(sum(CASE WHEN line_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_no_lines,
+         |  CAST(sum(CASE WHEN line_cents = order_cents THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_exact,
+         |  CAST(sum(CASE WHEN line_cents IS NOT NULL AND line_cents != order_cents
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+         |  max(CASE WHEN line_cents IS NOT NULL
+         |    THEN abs(line_cents - order_cents) END) AS max_abs_diff_cents
+         |FROM j""".stripMargin,
 
     "q4_late_orders" ->
       s"""SELECT o_orderpriority, count(*) AS n_late

@@ -447,6 +447,28 @@ object Corpus {
     * and it is a pure map (zero shuffle), so re-weighting a 100 TB corpus
     * by source is one scan. Output: doc_id, source, lang, bucket.
     */
+  /** Quality-WEIGHTED sampling: each document survives with probability
+    * equal to its quality score — the soft alternative to a hard
+    * quality threshold (low-quality text is downsampled, not erased;
+    * the FineWeb-style mixing move). The coin is `hash60(doc_id) mod
+    * 10⁶ < round(score·10⁶)` — the score is trunc4, so the ppm weight
+    * is integer-exact, the gate is pure integer comparison on both
+    * engines, and re-running reproduces the same sample bit-for-bit.
+    *
+    * Scale: the textStats pass (one scan, pure map) joined back on
+    * doc_id, then a codegen'd filter — zero extra shuffles beyond the
+    * doc_id join, which AQE broadcasts when stats are computed on a
+    * filtered slice and runs as SMJ at corpus scale.
+    */
+  def weightedSample(docs: DataFrame): DataFrame = {
+    val q = TextOps.textStats(docs).select(col("doc_id"), col("quality_score"))
+    docs.select("doc_id", "source", "lang")
+      .join(q, "doc_id")
+      .withColumn("w_ppm", expr("CAST(round(quality_score * 1000000) AS BIGINT)"))
+      .where(Dedup.hash60(col("doc_id").cast("string")) % 1000000 < col("w_ppm"))
+      .select("doc_id", "source", "lang", "w_ppm")
+  }
+
   def stratifiedSample(docs: DataFrame, defaultPct: Int = 20,
       overrides: Map[String, Int] = Map.empty): DataFrame = {
     require(defaultPct >= 0 && defaultPct <= 100 &&
