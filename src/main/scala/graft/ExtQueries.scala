@@ -1284,6 +1284,29 @@ object ExtQueries {
       castLongs(Multimodal.frameSample(Tables.documents(s, dir)),
         "frame_no", "frame_offset", "out_w", "out_h")
         .orderBy("doc_id", "frame_no")),
+
+    // Multimodal × dedup — cross-video duplicate FRAME detection: hash
+    // each sampled frame's byte slice (the decode stub's stand-in for a
+    // perceptual hash), census of hashes appearing in ≥ 2 distinct
+    // docs — how video-corpus dedup finds shared segments/intro cards
+    // without ever comparing frames pairwise. Distinct + two hash
+    // aggregates; the payload never shuffles (hash computed in the
+    // scan projection).
+    // (The stand-in payload is the ASCII text, so the character slice
+    // below equals the byte slice a real frame extractor would hash —
+    // DuckDB cannot slice BLOBs, and the decode step is a stub anyway.)
+    "frame_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val frames = Multimodal.frameSample(docs)
+        .join(Multimodal.featurizeExpr(docs).select("doc_id", "frame_stride"), "doc_id")
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select(col("doc_id"),
+          md5(expr("CAST(substring(text, frame_offset + 1, frame_stride) AS BINARY)")).as("fh"))
+        .distinct()
+      frames.groupBy("fh").agg(count(lit(1)).as("n_docs"))
+        .where(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("fh"))
+    }),
   )
 
   /** Cast int-typed count/rank columns to long so Spark schemas match
@@ -2842,5 +2865,19 @@ object ExtQueries {
          |  CAST((height * 224) // greatest(width, height) AS BIGINT) AS out_h
          |FROM f, unnest(range(0, n_frames, 2)) AS t(frame_no)
          |ORDER BY doc_id, frame_no""".stripMargin,
+
+    "frame_dedup" ->
+      s"""WITH f AS (SELECT doc_id, text,
+         |    1 + ascii(substr(md5(text), 3, 1)) % 8 AS n_frames,
+         |    octet_length(encode(text)) // (1 + ascii(substr(md5(text), 3, 1)) % 8)
+         |      AS frame_stride
+         |  FROM documents),
+         |fr AS (SELECT DISTINCT doc_id,
+         |    md5(substr(text, CAST(t.frame_no * frame_stride + 1 AS BIGINT),
+         |      frame_stride)) AS fh
+         |  FROM f, unnest(range(0, n_frames, 2)) AS t(frame_no))
+         |SELECT fh, count(*) AS n_docs
+         |FROM fr GROUP BY 1 HAVING count(*) >= 2
+         |ORDER BY n_docs DESC, fh""".stripMargin,
   )
 }
