@@ -957,7 +957,7 @@ object SparkEntry {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
          |  max(CASE WHEN line_cents IS NOT NULL
          |    THEN abs(line_cents - order_cents) END) AS max_abs_diff_cents
-         |FROM j""".stripMargin,
+         |FROM j ORDER BY n_orders""".stripMargin,
 
     "q4_late_orders" ->
       s"""SELECT o_orderpriority, count(*) AS n_late
