@@ -635,7 +635,7 @@ object SparkEntry {
         .groupBy("sku")
         .agg(count(lit(1)).as("n_days"), sum("quantity_sold").cast("long").as("phantom_qty"))
         .orderBy("sku")),
-  ) ++ ExtQueries.queries
+  ) ++ ExtQueries.queries ++ TpchShapes.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1022,7 +1022,7 @@ object SparkEntry {
          |FROM ($multiDaySql)
          |WHERE opening_stock = 0 AND quantity_sold > 0
          |GROUP BY 1 ORDER BY sku""".stripMargin,
-  ) ++ ExtQueries.oracleSql
+  ) ++ ExtQueries.oracleSql ++ TpchShapes.oracleSql
 
   /** The SCD2 fixture history shared by `scd2_dim` and `scd2_temporal`:
     * day-1 initial load of the part dim at `d1`, one delta at `d2`
