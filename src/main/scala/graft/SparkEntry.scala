@@ -635,6 +635,51 @@ object SparkEntry {
         .groupBy("sku")
         .agg(count(lit(1)).as("n_days"), sum("quantity_sold").cast("long").as("phantom_qty"))
         .orderBy("sku")),
+    // §2.5 — one-pass MULTI-distinct census: three distinct-key counts
+    // plus plain aggregates per group in a single scan. Catalyst plans
+    // multiple DISTINCT aggregates as one Expand (3× row multiply, one
+    // per distinct clause) feeding a two-level aggregate — ONE pass over
+    // the fact instead of three self-joined single-distinct scans. At
+    // 100 TB the 3× expand is map-local (no extra shuffle beyond the
+    // group key), which beats three full scans whenever the fact
+    // dominates — the alternative (per-key pre-aggregates unioned)
+    // only wins when one distinct column has tiny cardinality.
+    "multi_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_lines"),
+          sum(expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"))
+            .as("revenue_cents"))
+        .orderBy("l_returnflag")),
+
+    // §2.8 — SQL set operators: month-over-month assortment churn via
+    // INTERSECT / EXCEPT (distinct set semantics — the logical
+    // Intersect/Except operators, which Spark plans as left-semi /
+    // left-anti over pre-distincted sides). Both month scans are
+    // filter-pruned; the three set results are |distinct parts|-scale,
+    // and the final frame is three 1-row aggregates unioned — the
+    // assortment-management question ("what entered/left the catalog")
+    // asked set-theoretically instead of via joins.
+    "part_set_ops" -> ((s, dir) => {
+      def month(from: String, until: String) =
+        Tables.lineitem(s, dir)
+          .where(col("l_shipdate") >= lit(from).cast(TimestampType) &&
+            col("l_shipdate") < lit(until).cast(TimestampType))
+          .select("l_partkey").distinct()
+      val jun = month("1996-06-01", "1996-07-01")
+      val jul = month("1996-07-01", "1996-08-01")
+      def tagged(df: DataFrame, tag: String) =
+        df.agg(count(lit(1)).as("n_parts"))
+          .select(lit(tag).as("bucket"), col("n_parts"))
+      tagged(jun.intersect(jul), "both")
+        .unionByName(tagged(jun.except(jul), "june_only"))
+        .unionByName(tagged(jul.except(jun), "july_only"))
+        .orderBy("bucket")
+    }),
   ) ++ ExtQueries.queries ++ TpchShapes.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1022,6 +1067,32 @@ object SparkEntry {
          |FROM ($multiDaySql)
          |WHERE opening_stock = 0 AND quantity_sold > 0
          |GROUP BY 1 ORDER BY sku""".stripMargin,
+    "multi_distinct" ->
+      s"""SELECT l_returnflag,
+         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+         |  count(*) AS n_lines,
+         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+         |    AS BIGINT)) AS BIGINT) AS revenue_cents
+         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "part_set_ops" ->
+      s"""WITH a AS (SELECT DISTINCT l_partkey FROM lineitem
+         |    WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+         |      AND l_shipdate < TIMESTAMP '1996-07-01'),
+         |b AS (SELECT DISTINCT l_partkey FROM lineitem
+         |    WHERE l_shipdate >= TIMESTAMP '1996-07-01'
+         |      AND l_shipdate < TIMESTAMP '1996-08-01')
+         |SELECT 'both' AS bucket, count(*) AS n_parts
+         |  FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+         |UNION ALL
+         |SELECT 'june_only', count(*)
+         |  FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+         |UNION ALL
+         |SELECT 'july_only', count(*)
+         |  FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+         |ORDER BY bucket""".stripMargin,
   ) ++ ExtQueries.oracleSql ++ TpchShapes.oracleSql
 
   /** The SCD2 fixture history shared by `scd2_dim` and `scd2_temporal`:

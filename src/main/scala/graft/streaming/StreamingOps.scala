@@ -137,6 +137,41 @@ object StreamingOps {
         attributeUser(toleranceSec.map(_ * 1000000L)))
   }
 
+  /** NATIVE stream-stream interval join — the Structured Streaming twin
+    * of [[graft.ext.RangeJoin.pointInInterval]]'s semantics restricted
+    * to the conversion window: every (purchase ⋈ view) pair of the same
+    * user with the view inside `[purchase − windowSeconds, purchase]`.
+    * Unlike [[attributionStream]] (custom state picking ONE latest
+    * view), this emits ALL qualifying pairs through Spark's built-in
+    * stream-stream inner join: both sides carry a watermark and the
+    * join condition is an equi key (user) PLUS an event-time range, so
+    * the state store holds only rows inside `lateness + windowSeconds`
+    * of the watermark — Spark derives the state eviction bound from the
+    * range predicate itself. At 100 TB/day this is the scalable shape:
+    * state is O((lateness + window) × rate) per side, partitioned by
+    * user across executors, with no custom state code to get wrong.
+    *
+    * The range predicate must reference the two watermarked time
+    * columns directly (an `unix_micros` rewrite would defeat the
+    * constraint detection), hence the INTERVAL literal arithmetic.
+    */
+  def viewPurchaseJoinStream(events: DataFrame, windowSeconds: Long = 3600L,
+      lateness: String = "30 minutes"): DataFrame = {
+    val views = events.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+        col("user_id").as("view_user"))
+      .withWatermark("view_ts", lateness)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("value").as("purchase_value"))
+      .withWatermark("ts", lateness)
+    purchases.join(views,
+      col("view_user") === col("user_id") &&
+        col("view_ts") <= col("ts") &&
+        col("view_ts") >= col("ts") - expr(s"INTERVAL $windowSeconds SECOND"))
+      .select("event_id", "user_id", "ts", "purchase_value", "view_id", "view_ts")
+  }
+
   /** Streaming POINT-IN-TIME rolling features — the stateful twin of
     * [[graft.ext.Events.rollingFeatures]]: per purchase (label) event,
     * the user's preceding-hour activity (count + exact integer-cents

@@ -683,4 +683,48 @@ class StreamingOpsSpec extends SparkSpec {
       assert(streamed.map(r => (r._1, r._4)) === Set((1L, 90L), (4L, 0L)))
     } finally q.stop()
   }
+
+  test("native stream-stream interval join matches the batch join, out-of-order") {
+    implicit val sqlCtx = spark.sqlContext
+    // u1: two views inside the 1h window of its purchase (both pairs
+    // emit), one view after the purchase (excluded). u2: view exactly
+    // AT the window boundary (inclusive). u3: view 61m before the
+    // purchase (outside). u4: purchase with no view. Delivery is split
+    // across batches with the purchase arriving BEFORE its views.
+    val evs = Seq(
+      Ev(1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      Ev(2L, ts("2024-01-01 10:30:00"), 1L, "view", 0.0),
+      Ev(3L, ts("2024-01-01 10:45:00"), 1L, "purchase", 9.0),
+      Ev(4L, ts("2024-01-01 11:00:00"), 1L, "view", 0.0),
+      Ev(5L, ts("2024-01-01 09:00:00"), 2L, "view", 0.0),
+      Ev(6L, ts("2024-01-01 10:00:00"), 2L, "purchase", 5.0),
+      Ev(7L, ts("2024-01-01 09:59:00"), 3L, "view", 0.0),
+      Ev(8L, ts("2024-01-01 11:00:00"), 3L, "purchase", 7.0),
+      Ev(9L, ts("2024-01-01 12:00:00"), 4L, "purchase", 1.0))
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.viewPurchaseJoinStream(mem.toDF())
+      .writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(evs(2), evs(5), evs(7), evs(8)) // purchases first
+      q.processAllAvailable()
+      mem.addData(evs(0), evs(1), evs(3), evs(4), evs(6))
+      q.processAllAvailable()
+      val streamed = spark.table("ssjoin_out")
+        .select("event_id", "view_id").as[(Long, Long)].collect().toSet
+      // Batch equivalent: same inner join on the static frame.
+      val df = evs.toDF()
+      val v = df.where($"event_type" === "view")
+        .select($"event_id".as("view_id"), $"ts".as("view_ts"),
+          $"user_id".as("view_user"))
+      val p = df.where($"event_type" === "purchase")
+        .select($"event_id", $"ts", $"user_id")
+      val batched = p.join(v, $"view_user" === $"user_id" &&
+          $"view_ts" <= $"ts" &&
+          $"view_ts" >= $"ts" - org.apache.spark.sql.functions.expr("INTERVAL 3600 SECOND"))
+        .select("event_id", "view_id").as[(Long, Long)].collect().toSet
+      assert(streamed === batched)
+      assert(streamed === Set((3L, 1L), (3L, 2L), (6L, 5L)))
+    } finally q.stop()
+  }
 }
