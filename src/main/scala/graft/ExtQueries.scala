@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsOfJoin, BloomJoin, Corpus, Dedup, Events, Multimodal, Privacy, RangeJoin, Retail, SaltedJoin, Similarity, Sketches, TextOps}
+import graft.ext.{AsOfJoin, BloomJoin, Corpus, Dedup, Events, Hierarchy, Multimodal, Privacy, RangeJoin, Retail, SaltedJoin, Similarity, Sketches, TextOps}
 import graft.etl.ZOrder
 
 /** Extension-surface queries (SURVEY.md §2.11 X1–X6 + the LLM-data-
@@ -52,6 +52,15 @@ object ExtQueries {
   private def copurchasePairStore(s: SparkSession, dir: String): DataFrame =
     store(s, dir, "copurchase_pairs")(
       Retail.copurchasePairCounts(copurchaseItemsStore(s, dir)))
+
+  /** The synthetic decimal category forest over the part keys:
+    * parent(p) = p div 10, keys < 10 are roots — the in-plan stand-in
+    * for a real category edge table (shared by the hierarchy queries).
+    */
+  private def partForest(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir).where(col("p_partkey") >= 10)
+      .select(col("p_partkey").as("node"),
+        expr("p_partkey div 10").as("parent"))
 
   /** The minhash SIGNATURE STORE (hashed shingle rows — the per-doc
     * pure function every X4 operator consumes; `Dedup.minhashBands`
@@ -830,6 +839,43 @@ object ExtQueries {
       Retail.copurchaseRank(Tables.lineitem(s, dir), minCount = 3, iters = 3,
         itemsStore = Some(copurchaseItemsStore(s, dir)),
         pairStore = Some(copurchasePairStore(s, dir)))),
+
+    // Retail graph — weighted label-propagation communities (2
+    // synchronous rounds, weighted argmax vote with min-label tiebreak;
+    // see Retail.labelPropagation for the determinism contract and why
+    // a bridge edge doesn't merge clusters the way CC would). Shares
+    // the pair stage through the session store.
+    "copurchase_communities" -> ((s, dir) =>
+      Retail.labelPropagation(copurchasePairStore(s, dir), minCount = 3,
+        iters = 2)),
+
+    // Hierarchy — pointer-doubling flatten of the synthetic decimal
+    // category forest (parent = key div 10): per-depth census. Four
+    // rounds resolve depth ≤ 16 in four key-shuffles total — O(log
+    // depth), never O(depth) — the distributed answer to a recursive
+    // CTE (see Hierarchy scaladoc).
+    "hierarchy_flatten" -> ((s, dir) =>
+      Hierarchy.flatten(partForest(s, dir))
+        .groupBy("depth")
+        .agg(count(lit(1)).as("n_nodes"), countDistinct(col("root")).as("n_roots"))
+        .orderBy("depth")),
+
+    // Hierarchy — revenue rolled up the same forest to its roots: the
+    // category-level sales report. The fact joins the flattened (node →
+    // root) map on the part key — one key shuffle — then aggregates on
+    // the root-scale frame; top-10 is a TakeOrdered.
+    "hierarchy_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey"),
+          expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
+            .as("rev_c"))
+        .join(Hierarchy.flatten(partForest(s, dir)),
+          col("l_partkey") === col("node"))
+        .groupBy("root")
+        .agg(sum("rev_c").as("revenue_cents"),
+          countDistinct(col("node")).as("n_parts"))
+        .orderBy(col("revenue_cents").desc, col("root"))
+        .limit(10)),
 
     // Retail — RFM customer segmentation: deterministic quintile scores
     // over the per-customer order aggregate (see Retail.rfmSegments for
@@ -2181,6 +2227,60 @@ object ExtQueries {
          |SELECT node AS p_partkey, rank_ppm FROM r3
          |ORDER BY rank_ppm DESC, p_partkey""".stripMargin
     },
+
+    "copurchase_communities" -> {
+      val rounds = (1 to 2).map { i =>
+        s"""v$i AS (SELECT e.src, l.label, CAST(sum(e.n_ab) AS BIGINT) AS w
+           |  FROM edges e JOIN l${i - 1} l ON e.dst = l.node GROUP BY 1, 2),
+           |l$i AS (SELECT src AS node, label FROM (
+           |  SELECT src, label,
+           |    row_number() OVER (PARTITION BY src ORDER BY w DESC, label) AS rn
+           |  FROM v$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |und AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         |    count(*) AS n_ab
+         |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |edges AS (SELECT pa AS src, pb AS dst, n_ab FROM und
+         |          UNION ALL SELECT pb, pa, n_ab FROM und),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+         |$rounds
+         |SELECT label AS community, count(*) AS n_members FROM l2
+         |GROUP BY 1 ORDER BY n_members DESC, community""".stripMargin
+    },
+
+    "hierarchy_flatten" ->
+      s"""WITH RECURSIVE e AS (SELECT p_partkey AS node, p_partkey // 10 AS parent
+         |    FROM part WHERE p_partkey >= 10),
+         |n AS (SELECT DISTINCT node FROM (
+         |  SELECT node FROM e UNION ALL SELECT parent FROM e)),
+         |w AS (SELECT node AS node0, node AS cur, CAST(0 AS BIGINT) AS d FROM n
+         |  UNION ALL
+         |  SELECT w.node0, e.parent, w.d + 1 FROM w JOIN e ON w.cur = e.node),
+         |flat AS (SELECT node0 AS node, cur AS root, d AS depth FROM w
+         |  WHERE cur NOT IN (SELECT node FROM e))
+         |SELECT depth, count(*) AS n_nodes,
+         |  CAST(count(DISTINCT root) AS BIGINT) AS n_roots
+         |FROM flat GROUP BY 1 ORDER BY depth""".stripMargin,
+
+    "hierarchy_rollup" ->
+      s"""WITH RECURSIVE e AS (SELECT p_partkey AS node, p_partkey // 10 AS parent
+         |    FROM part WHERE p_partkey >= 10),
+         |n AS (SELECT DISTINCT node FROM (
+         |  SELECT node FROM e UNION ALL SELECT parent FROM e)),
+         |w AS (SELECT node AS node0, node AS cur, CAST(0 AS BIGINT) AS d FROM n
+         |  UNION ALL
+         |  SELECT w.node0, e.parent, w.d + 1 FROM w JOIN e ON w.cur = e.node),
+         |flat AS (SELECT node0 AS node, cur AS root, d AS depth FROM w
+         |  WHERE cur NOT IN (SELECT node FROM e))
+         |SELECT root,
+         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+         |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+         |  CAST(count(DISTINCT node) AS BIGINT) AS n_parts
+         |FROM lineitem JOIN flat ON l_partkey = node
+         |GROUP BY 1 ORDER BY revenue_cents DESC, root LIMIT 10""".stripMargin,
 
     "rfm_segments" ->
       s"""WITH per AS (

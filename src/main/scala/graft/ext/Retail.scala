@@ -154,6 +154,45 @@ object Retail {
       .orderBy(col("rank_ppm").desc, col("p_partkey"))
   }
 
+  /** Weighted LABEL PROPAGATION over the co-purchase graph — community
+    * detection ("which parts form a merchandising cluster"), the
+    * non-component counterpart of the dedup family's connected
+    * components: labels spread by WEIGHTED neighbor vote (Σ n_ab per
+    * label), not mere reachability, so a bridge edge between two dense
+    * clusters does not merge them the way CC would.
+    *
+    * Determinism contract (what makes it oracle-exact): synchronous
+    * rounds (every node votes on the PREVIOUS round's labels), weights
+    * are exact BIGINT co-purchase counts, and the argmax breaks ties on
+    * the smaller label. Each round is one edge⨝label join + one
+    * (node, label) aggregate + one per-node top-1 window — the rank ≤ 1
+    * filter plans as WindowGroupLimit, pruning per-task before the node
+    * exchange. Rounds unrolled into one plan; at 100 TB each round
+    * shuffles on the node key only, and the label frame never exceeds
+    * the node count.
+    */
+  def labelPropagation(pairCounts: DataFrame, minCount: Long = 3,
+      iters: Int = 2): DataFrame = {
+    val und = pairCounts.where(col("n_ab") >= minCount)
+    val edges = und.select(col("part_a").as("src"), col("part_b").as("dst"), col("n_ab"))
+      .unionByName(und.select(col("part_b").as("src"), col("part_a").as("dst"), col("n_ab")))
+    val start = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val byVote = Window.partitionBy("src")
+      .orderBy(col("w").desc, col("label"))
+    val labeled = (1 to iters).foldLeft(start) { (lab, _) =>
+      edges
+        .join(lab.withColumnRenamed("node", "dst"), "dst")
+        .groupBy("src", "label").agg(sum("n_ab").as("w"))
+        .withColumn("rn", row_number().over(byVote))
+        .where(col("rn") === 1)
+        .select(col("src").as("node"), col("label"))
+    }
+    labeled.groupBy("label").agg(count(lit(1)).as("n_members"))
+      .select(col("label").as("community"), col("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+  }
+
   /** Trailing 7-day demand per (brand, ship-day): daily quantities
     * aggregated once, then a RANGE frame over the integer day index sums
     * the last 7 calendar days (gaps included — a day with no sales still
