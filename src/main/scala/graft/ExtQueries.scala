@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsOfJoin, BloomJoin, Corpus, Dedup, Events, Hierarchy, Multimodal, Privacy, RangeJoin, Retail, SaltedJoin, Similarity, Sketches, TextOps}
+import graft.ext.{AsOfJoin, BloomJoin, Corpus, Dedup, Events, Hierarchy, Multimodal, Privacy, RangeJoin, Retail, SaltedJoin, Similarity, Sketches, StockSim, TextOps}
 import graft.etl.ZOrder
 
 /** Extension-surface queries (SURVEY.md §2.11 X1–X6 + the LLM-data-
@@ -876,6 +876,55 @@ object ExtQueries {
           countDistinct(col("node")).as("n_parts"))
         .orderBy(col("revenue_cents").desc, col("root"))
         .limit(10)),
+
+    // Typed sorted-group fold — clamped replenishment simulation (see
+    // StockSim: the clamp makes the recurrence non-associative, so no
+    // window frame expresses it; flatMapSortedGroups is the scale-safe
+    // per-key sequential scan). Oracle replays the fold as a
+    // day-indexed recursive CTE.
+    "stock_sim" -> ((s, dir) => {
+      import s.implicits._
+      StockSim.simulate(StockSim.juneGrid(Tables.lineitem(s, dir)),
+          opening = 50L, inflow = 8L)
+        .toDF().orderBy("part")
+    }),
+
+    // Ops/DQ — partition-key skew profile: the top-20 heaviest event
+    // keys with exact-ppm traffic share. THE pre-flight check before
+    // any user-keyed shuffle (pairs with salted_rollup, which is the
+    // fix): one map-combinable aggregate, a 1-row total broadcast, a
+    // TakeOrdered — nothing fact-scale crosses the wire twice.
+    "key_skew" -> ((s, dir) => {
+      val per = Tables.events(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+      val tot = per.agg(sum("n_events").as("total"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("share_ppm",
+          expr("CAST(n_events * 1000000 DIV total AS BIGINT)"))
+        .select("user_id", "n_events", "share_ppm")
+        .orderBy(col("n_events").desc, col("user_id"))
+        .limit(20)
+    }),
+
+    // DQ — Benford first-significant-digit profile of order totals:
+    // the classic fabricated-data smell test. The digit is extracted
+    // from the cents-grid BIGINT's decimal string (no float log10 —
+    // portable across engines); output is the 9-row digit census with
+    // exact-ppm shares.
+    "benford_digits" -> ((s, dir) => {
+      val d = Tables.orders(s, dir)
+        .where(col("o_totalprice") > 0)
+        .select(substring(
+          expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"),
+          1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+      val tot = d.agg(sum("n_orders").as("total"))
+      d.crossJoin(broadcast(tot))
+        .withColumn("obs_ppm",
+          expr("CAST(n_orders * 1000000 DIV total AS BIGINT)"))
+        .select("digit", "n_orders", "obs_ppm")
+        .orderBy("digit")
+    }),
 
     // Retail — RFM customer segmentation: deterministic quintile scores
     // over the per-customer order aggregate (see Retail.rfmSegments for
@@ -2281,6 +2330,53 @@ object ExtQueries {
          |  CAST(count(DISTINCT node) AS BIGINT) AS n_parts
          |FROM lineitem JOIN flat ON l_partkey = node
          |GROUP BY 1 ORDER BY revenue_cents DESC, root LIMIT 10""".stripMargin,
+
+    "stock_sim" ->
+      s"""WITH RECURSIVE sold AS (SELECT l_partkey AS part,
+         |    CAST(datepart('day', l_shipdate) AS INTEGER) AS day,
+         |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sold
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+         |    AND l_shipdate < TIMESTAMP '1996-07-01'
+         |  GROUP BY 1, 2),
+         |parts AS (SELECT DISTINCT part FROM sold),
+         |g AS (SELECT p.part, t.d AS day, COALESCE(s.sold, 0) AS sold
+         |  FROM parts p CROSS JOIN range(1, 31) t(d)
+         |  LEFT JOIN sold s ON p.part = s.part AND s.day = t.d),
+         |sim AS (
+         |  SELECT part, 0 AS day, CAST(50 AS BIGINT) AS bal,
+         |    CAST(0 AS BIGINT) AS so, CAST(0 AS BIGINT) AS unmet FROM parts
+         |  UNION ALL
+         |  SELECT g.part, g.day,
+         |    CASE WHEN sim.bal + 8 - g.sold < 0 THEN 0
+         |         ELSE sim.bal + 8 - g.sold END,
+         |    sim.so + CASE WHEN sim.bal + 8 - g.sold < 0 THEN 1 ELSE 0 END,
+         |    sim.unmet + CASE WHEN sim.bal + 8 - g.sold < 0
+         |         THEN -(sim.bal + 8 - g.sold) ELSE 0 END
+         |  FROM sim JOIN g ON g.part = sim.part AND g.day = sim.day + 1)
+         |SELECT part, bal AS final_balance, so AS n_stockouts,
+         |  unmet AS total_unmet
+         |FROM sim WHERE day = 30 ORDER BY part""".stripMargin,
+
+    "key_skew" ->
+      s"""WITH per AS (SELECT user_id, count(*) AS n_events
+         |  FROM events GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM per)
+         |SELECT user_id, n_events,
+         |  CAST(n_events * 1000000 // total AS BIGINT) AS share_ppm
+         |FROM per CROSS JOIN tot
+         |ORDER BY n_events DESC, user_id LIMIT 20""".stripMargin,
+
+    "benford_digits" ->
+      s"""WITH d AS (SELECT CAST(substring(
+         |      CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+         |      1, 1) AS INTEGER) AS digit
+         |  FROM orders WHERE o_totalprice > 0),
+         |per AS (SELECT digit, count(*) AS n_orders FROM d GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM per)
+         |SELECT digit, n_orders,
+         |  CAST(n_orders * 1000000 // total AS BIGINT) AS obs_ppm
+         |FROM per CROSS JOIN tot ORDER BY digit""".stripMargin,
 
     "rfm_segments" ->
       s"""WITH per AS (
