@@ -100,4 +100,38 @@ object DataQuality {
   /** True iff no rule fired — the load gate. */
   def passes(verdicts: DataFrame): Boolean =
     verdicts.where(col("violations") > 0).isEmpty
+
+  /** IN-FLIGHT quality counters via Spark's Observation API — the
+    * zero-cost sibling of [[check]]: rather than a second scan over the
+    * fact, `observe` attaches the row-local rule aggregates to the
+    * WRITE plan itself, so the counters accumulate on the executors
+    * while the job's real action runs and surface on the driver when it
+    * finishes. This is how a 100 TB load self-reports — [[check]] costs
+    * a full extra pass at that scale; an observation costs nothing but
+    * the per-row predicate.
+    *
+    * Returns the instrumented frame plus the [[org.apache.spark.sql
+    * .Observation]] handle; after ANY action on the returned frame,
+    * `obs.get` yields `Map(ruleName -> violationCount)`. Only row-local
+    * rules apply (key-uniqueness and FK rules need their own shuffles
+    * and stay in [[check]]).
+    */
+  def observed(df: DataFrame, rules: Seq[Rule])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val rowRules = rules.collect {
+      case r: NotNull => (r.name, col(r.col).isNull)
+      case r: InRange => (r.name, col(r.col) < r.lo || col(r.col) > r.hi)
+      case r: Accepted => (r.name,
+        col(r.col).isNotNull && !col(r.col).isInCollection(r.values))
+    }
+    require(rowRules.nonEmpty, "observed() needs at least one row-local rule")
+    require(rowRules.size == rules.size,
+      "observed() accepts row-local rules only (NotNull/InRange/Accepted); " +
+        "UniqueKey/ForeignKey need their own passes — use check()")
+    val obs = org.apache.spark.sql.Observation("dq")
+    val aggs = rowRules.map { case (n, pred) =>
+      sum(when(pred, 1L).otherwise(0L)).as(n)
+    }
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
 }

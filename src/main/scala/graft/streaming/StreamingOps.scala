@@ -155,8 +155,17 @@ object StreamingOps {
     * columns directly (an `unix_micros` rewrite would defeat the
     * constraint detection), hence the INTERVAL literal arithmetic.
     */
+  /** `joinType` "inner" (default) emits matched pairs as they meet;
+    * "left_outer" ALSO emits a null-extended row for every purchase the
+    * watermark has proven viewless — the streaming census of
+    * unattributed conversions. Outer rows can only emit once the
+    * watermark passes `purchase_ts + window` (before that a matching
+    * view could still arrive), so they trail the event time by
+    * `lateness + window` — the price of a correct outer result on an
+    * unbounded stream.
+    */
   def viewPurchaseJoinStream(events: DataFrame, windowSeconds: Long = 3600L,
-      lateness: String = "30 minutes"): DataFrame = {
+      lateness: String = "30 minutes", joinType: String = "inner"): DataFrame = {
     val views = events.where(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
         col("user_id").as("view_user"))
@@ -168,7 +177,8 @@ object StreamingOps {
     purchases.join(views,
       col("view_user") === col("user_id") &&
         col("view_ts") <= col("ts") &&
-        col("view_ts") >= col("ts") - expr(s"INTERVAL $windowSeconds SECOND"))
+        col("view_ts") >= col("ts") - expr(s"INTERVAL $windowSeconds SECOND"),
+      joinType)
       .select("event_id", "user_id", "ts", "purchase_value", "view_id", "view_ts")
   }
 

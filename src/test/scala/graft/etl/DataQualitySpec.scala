@@ -59,4 +59,22 @@ class DataQualitySpec extends SparkSpec {
     assert(verdicts.as[(String, Long)].collect().toMap.values.forall(_ == 0L))
     assert(DataQuality.passes(verdicts))
   }
+
+  test("observed() counts in-flight, matching check() with no second pass") {
+    val rowRules = rules.take(3) // the row-local subset
+    val (instrumented, obs) = DataQuality.observed(fact, rowRules)
+    // The "real action" — a write-shaped count, NOT a DQ scan.
+    assert(instrumented.count() === 6L)
+    val got = obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
+    val viaCheck = DataQuality.check(fact, rowRules)
+      .as[(String, Long)].collect().toMap
+    assert(got === viaCheck)
+    assert(got === Map("not_null:k" -> 1L, "range:v" -> 1L, "accepted:flag" -> 1L))
+  }
+
+  test("observed() rejects rules that need their own shuffle") {
+    intercept[IllegalArgumentException] {
+      DataQuality.observed(fact, rules) // includes UniqueKey/ForeignKey
+    }
+  }
 }

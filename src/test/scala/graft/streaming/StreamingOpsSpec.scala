@@ -727,4 +727,46 @@ class StreamingOpsSpec extends SparkSpec {
       assert(streamed === Set((3L, 1L), (3L, 2L), (6L, 5L)))
     } finally q.stop()
   }
+
+  test("left-outer stream-stream join emits viewless purchases after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    // u1 purchase with a view in-window (matches); u2 purchase with no
+    // view at all. The outer row for u2 may only emit once the
+    // watermark proves no view can still arrive — advanced by a late
+    // sentinel event far in the future.
+    val evs = Seq(
+      Ev(1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      Ev(2L, ts("2024-01-01 10:30:00"), 1L, "purchase", 9.0),
+      Ev(3L, ts("2024-01-01 10:40:00"), 2L, "purchase", 5.0))
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.viewPurchaseJoinStream(mem.toDF(),
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("ssouter_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      // Watermark still at 10:40 − 30m: only the inner match is out.
+      val early = spark.table("ssouter_out")
+        .select("event_id").as[Long].collect().toSet
+      assert(early === Set(2L))
+      // Push the GLOBAL watermark (min across both sides) past
+      // 10:40 + 1h window + 30m lateness: sentinels on BOTH streams,
+      // distinct users so they never join each other.
+      mem.addData(
+        Ev(98L, ts("2024-01-01 14:00:00"), 8L, "view", 0.0),
+        Ev(99L, ts("2024-01-01 14:00:00"), 9L, "purchase", 0.0))
+      q.processAllAvailable()
+      mem.addData(
+        Ev(100L, ts("2024-01-01 15:00:00"), 8L, "view", 0.0),
+        Ev(101L, ts("2024-01-01 15:00:00"), 9L, "purchase", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("ssouter_out")
+        .where(col("user_id") <= 2L) // drop watermark sentinels
+        .select("event_id", "view_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toSet
+      assert(out === Set((2L, Some(1L)), (3L, None)))
+    } finally q.stop()
+  }
 }
