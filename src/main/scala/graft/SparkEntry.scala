@@ -635,6 +635,27 @@ object SparkEntry {
         .groupBy("sku")
         .agg(count(lit(1)).as("n_days"), sum("quantity_sold").cast("long").as("phantom_qty"))
         .orderBy("sku")),
+    // §2.4 — NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM): the
+    // status-code dim carries an explicit NULL row meaning "pending
+    // classification", and the fact's pending orders (status masked to
+    // NULL in-plan) must MATCH it — a plain `=` would silently drop
+    // them, the classic fact-to-codebook bug. EqualNullSafe keys remain
+    // hash-joinable (NULL hashes like any value under null-safe
+    // semantics), so the plan is an ordinary broadcast/shuffled hash
+    // join, not a nested loop.
+    "nullsafe_join" -> ((s, dir) => {
+      import s.implicits._
+      val statusDim = Seq(("O", "open"), ("F", "finished"),
+        (null.asInstanceOf[String], "pending")).toDF("d_st", "status_label")
+      Tables.orders(s, dir)
+        .select(expr("nullif(o_orderstatus, 'P')").as("st"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("total_c"))
+        .join(broadcast(statusDim), col("st") <=> col("d_st"))
+        .groupBy("status_label")
+        .agg(count(lit(1)).as("n_orders"), sum("total_c").as("total_cents"))
+        .orderBy("status_label")
+    }),
+
     // §2.5 — one-pass MULTI-distinct census: three distinct-key counts
     // plus plain aggregates per group in a single scan. Catalyst plans
     // multiple DISTINCT aggregates as one Expand (3× row multiply, one
@@ -1067,6 +1088,17 @@ object SparkEntry {
          |FROM ($multiDaySql)
          |WHERE opening_stock = 0 AND quantity_sold > 0
          |GROUP BY 1 ORDER BY sku""".stripMargin,
+    "nullsafe_join" ->
+      s"""WITH dim(d_st, status_label) AS (VALUES
+         |    ('O', 'open'), ('F', 'finished'), (NULL, 'pending')),
+         |f AS (SELECT nullif(o_orderstatus, 'P') AS st,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS total_c
+         |  FROM orders)
+         |SELECT status_label, count(*) AS n_orders,
+         |  CAST(sum(total_c) AS BIGINT) AS total_cents
+         |FROM f JOIN dim ON st IS NOT DISTINCT FROM d_st
+         |GROUP BY 1 ORDER BY status_label""".stripMargin,
+
     "multi_distinct" ->
       s"""SELECT l_returnflag,
          |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
