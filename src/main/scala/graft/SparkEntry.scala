@@ -656,6 +656,34 @@ object SparkEntry {
         .orderBy("status_label")
     }),
 
+    // §2.6 — window-function breadth on one bounded frame: monthly
+    // brand quantities with first/last/nth_value (explicit full frame —
+    // last_value under the default frame is the current row, the
+    // classic silent bug), lead/lag, and a delta against the window
+    // head. All windows run over the (brand × month) POST-aggregate
+    // frame — the fact collapses first, so the sort inside each window
+    // partition is dozens of rows regardless of fact scale.
+    "window_shapes" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("p_brand").orderBy("month")
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
+        .join(Tables.part(s, dir).select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), month(col("l_shipdate")).as("month"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+        .select(col("p_brand"), col("month"), col("qty"),
+          first("qty").over(full).as("first_qty"),
+          last("qty").over(full).as("last_qty"),
+          nth_value(col("qty"), 3).over(full).as("third_qty"),
+          lag("qty", 1).over(w).as("prev_qty"),
+          lead("qty", 1).over(w).as("next_qty"),
+          (col("qty") - first("qty").over(full)).as("delta_from_first"))
+        .orderBy("p_brand", "month")
+    }),
+
     // §2.5 — one-pass MULTI-distinct census: three distinct-key counts
     // plus plain aggregates per group in a single scan. Catalyst plans
     // multiple DISTINCT aggregates as one Expand (3× row multiply, one
@@ -1088,6 +1116,26 @@ object SparkEntry {
          |FROM ($multiDaySql)
          |WHERE opening_stock = 0 AND quantity_sold > 0
          |GROUP BY 1 ORDER BY sku""".stripMargin,
+    "window_shapes" ->
+      s"""WITH m AS (SELECT p_brand, CAST(month(l_shipdate) AS INTEGER) AS month,
+         |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  GROUP BY 1, 2)
+         |SELECT p_brand, month, qty,
+         |  first_value(qty) OVER wf AS first_qty,
+         |  last_value(qty) OVER wf AS last_qty,
+         |  nth_value(qty, 3) OVER wf AS third_qty,
+         |  lag(qty, 1) OVER w AS prev_qty,
+         |  lead(qty, 1) OVER w AS next_qty,
+         |  qty - first_value(qty) OVER wf AS delta_from_first
+         |FROM m
+         |WINDOW w AS (PARTITION BY p_brand ORDER BY month),
+         |  wf AS (PARTITION BY p_brand ORDER BY month
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |ORDER BY p_brand, month""".stripMargin,
+
     "nullsafe_join" ->
       s"""WITH dim(d_st, status_label) AS (VALUES
          |    ('O', 'open'), ('F', 'finished'), (NULL, 'pending')),

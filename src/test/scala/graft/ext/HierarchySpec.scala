@@ -47,6 +47,13 @@ class HierarchySpec extends SparkSpec {
     assert(out === Map(1L -> 3L, 10L -> 3L))
   }
 
+  test("empty inputs: flatten and label propagation return empty, not errors") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("node", "parent")
+    assert(Hierarchy.flatten(noEdges).count() === 0L)
+    val noPairs = Seq.empty[(Long, Long, Long)].toDF("part_a", "part_b", "n_ab")
+    assert(Retail.labelPropagation(noPairs).count() === 0L)
+  }
+
   test("label propagation is synchronous and deterministic on ties") {
     // Square 1-2-3-4 with equal weights: every vote ties and the
     // min-label tiebreak must win identically on both neighbors.

@@ -39,6 +39,11 @@ class StockSimSpec extends SparkSpec {
     assert(clamped === 7L)
   }
 
+  test("empty input simulates to empty, not an error") {
+    val empty = Seq.empty[StockDay].toDS()
+    assert(StockSim.simulate(empty, 50L, 8L).count() === 0L)
+  }
+
   test("juneGrid zero-fills missing days so inflow accrues on them") {
     val li = Seq(
       (1L, java.sql.Timestamp.valueOf("1996-06-05 00:00:00"), 4.0),
