@@ -725,6 +725,45 @@ object ExtQueries {
         .orderBy("event_id")
     }),
 
+    // X7 — multi-touch attribution: all views in the purchase's 1h
+    // lookback share exact-ppm credit (latest view absorbs the
+    // remainder so every purchase credits exactly 1e6; see
+    // Events.multiTouchAttribution).
+    "multi_touch" -> ((s, dir) =>
+      Events.multiTouchAttribution(Tables.events(s, dir))
+        .orderBy("event_id", "view_id")),
+
+    // X6 — top-15 3-step session paths (trigram census; two leads on
+    // the sessionizer's existing window, zero extra exchanges).
+    "event_paths" -> ((s, dir) =>
+      Events.eventPaths(Tables.events(s, dir))),
+
+    // X5b — JSON parse audit with PLANTED corruption (every 97th
+    // event's props gains LEADING garbage in-plan — leading, because
+    // Spark's Jackson parser accepts trailing bytes after a complete
+    // document while DuckDB's json_valid does not; prefix corruption is
+    // malformed under both): from_json with a
+    // pinned schema nulls the malformed struct, and the per-type audit
+    // counts recovered vs quarantined rows — the JSON twin of the CSV
+    // corrupt-record quarantine. At scale this is one projection + one
+    // bounded aggregate; no second pass over the raw zone.
+    "json_parse_audit" -> ((s, dir) => {
+      val raw = Tables.events(s, dir)
+        .withColumn("raw", when(col("event_id") % 97 === 0,
+          concat(lit("broken{"), col("props"))).otherwise(col("props")))
+        .withColumn("p", from_json(col("raw"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "k INT, _corrupt_record STRING"),
+          java.util.Map.of("mode", "PERMISSIVE",
+            "columnNameOfCorruptRecord", "_corrupt_record")))
+      raw.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("p._corrupt_record").isNotNull, 1L).otherwise(0L))
+            .as("n_malformed"),
+          sum(coalesce(col("p.k").cast("long"), lit(0L))).as("sum_k"))
+        .orderBy("event_type")
+    }),
+
     // X7 — as-of join with a staleness tolerance (feature-store TTL):
     // same attribution, but a view more than 30 minutes before the
     // purchase no longer counts. Same single union + window pass as
@@ -2009,6 +2048,50 @@ object ExtQueries {
       s"""SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
          |  count(*) AS n_events, round(sum(value), 4) AS sum_value
          |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "multi_touch" ->
+      s"""WITH p AS (SELECT event_id, user_id, ts FROM events
+         |    WHERE event_type = 'purchase'),
+         |v AS (SELECT event_id AS view_id, user_id AS v_user, ts AS view_ts
+         |    FROM events WHERE event_type = 'view'),
+         |pr AS (SELECT p.event_id, p.user_id, v.view_id, v.view_ts
+         |  FROM p JOIN v ON v_user = user_id
+         |    AND view_ts <= ts AND view_ts >= ts - INTERVAL 3600 SECOND),
+         |c AS (SELECT *,
+         |    count(*) OVER (PARTITION BY event_id) AS n_views,
+         |    row_number() OVER (PARTITION BY event_id
+         |      ORDER BY view_ts DESC, view_id DESC) AS rn
+         |  FROM pr)
+         |SELECT event_id, user_id, view_id,
+         |  CAST(1000000 // n_views
+         |    + CASE WHEN rn = 1 THEN 1000000 % n_views ELSE 0 END
+         |    AS BIGINT) AS credit_ppm
+         |FROM c ORDER BY event_id, view_id""".stripMargin,
+
+    "event_paths" ->
+      s"""WITH $sessionCtes,
+         |t AS (SELECT event_type,
+         |    lead(event_type, 1) OVER w AS t1,
+         |    lead(event_type, 2) OVER w AS t2
+         |  FROM s WINDOW w AS (PARTITION BY user_id, session_no
+         |    ORDER BY ts, event_id))
+         |SELECT event_type || '>' || t1 || '>' || t2 AS path,
+         |  count(*) AS n_paths
+         |FROM t WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+         |GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 15""".stripMargin,
+
+    "json_parse_audit" ->
+      s"""WITH r AS (SELECT event_type,
+         |    CASE WHEN event_id % 97 = 0 THEN 'broken{' || props
+         |         ELSE props END AS raw
+         |  FROM events)
+         |SELECT event_type, count(*) AS n_events,
+         |  CAST(sum(CASE WHEN NOT json_valid(raw) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_malformed,
+         |  CAST(sum(CASE WHEN json_valid(raw)
+         |    THEN CAST(json_extract_string(raw, '$$.k') AS BIGINT)
+         |    ELSE 0 END) AS BIGINT) AS sum_k
+         |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "sessionize" ->
       s"""WITH $sessionCtes

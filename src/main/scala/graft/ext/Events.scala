@@ -308,4 +308,63 @@ object Events {
       .withColumn("secs_to_convert",
         expr("CAST((unix_micros(first_purchase) - unix_micros(first_view)) DIV 1000000 AS BIGINT)"))
       .select("user_id", "first_view", "first_purchase", "secs_to_convert")
+
+  /** X6 — top-k 3-step behavior paths: the trigram census over
+    * session-ordered event types (session_transitions' bigram big
+    * sibling — three-step paths separate "browse→view→purchase" intent
+    * from "view→view→view" drift). Two `lead`s on the SAME
+    * (user, session) window the sessionizer already sorts — zero
+    * additional exchanges past [[withSessions]] — then one bounded
+    * |distinct paths| aggregate and a TakeOrdered.
+    */
+  def eventPaths(events: DataFrame, k: Int = 15): DataFrame = {
+    val bySess = Window.partitionBy("user_id", "session_no")
+      .orderBy("ts", "event_id")
+    withSessions(events)
+      .withColumn("t1", lead("event_type", 1).over(bySess))
+      .withColumn("t2", lead("event_type", 2).over(bySess))
+      .where(col("t1").isNotNull && col("t2").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t1"), col("t2")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path"))
+      .limit(k)
+  }
+
+  /** X7 — MULTI-touch attribution: every view inside the purchase's
+    * lookback window shares the credit (the as-of join is last-touch —
+    * one winner; marketing mix wants the full pair set weighted). The
+    * split is exact integer ppm: each view gets ⌊1e6 / n⌋ and the
+    * LATEST view absorbs the remainder, so per-purchase credit sums to
+    * exactly 1 000 000 — no float drift, deterministic tiebreak on
+    * (view_ts, view_id).
+    *
+    * Scale: the pair join is an equi-join on user_id with the time
+    * range as residual — per-user pair volume is bounded by activity ×
+    * window, the same state bound the streaming twin
+    * ([[graft.streaming.StreamingOps.viewPurchaseJoinStream]]) gets
+    * from its watermark; both windows run per-purchase over handfuls
+    * of rows.
+    */
+  def multiTouchAttribution(events: DataFrame,
+      windowSeconds: Long = 3600L): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = events.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+    val pairs = purchases.join(views,
+      col("v_user") === col("user_id") &&
+        col("view_ts") <= col("ts") &&
+        col("view_ts") >= col("ts") - expr(s"INTERVAL $windowSeconds SECOND"))
+    val byPurchase = Window.partitionBy("event_id")
+    val latestFirst = Window.partitionBy("event_id")
+      .orderBy(col("view_ts").desc, col("view_id").desc)
+    pairs
+      .withColumn("n_views", count(lit(1)).over(byPurchase))
+      .withColumn("rn", row_number().over(latestFirst))
+      .select(col("event_id"), col("user_id"), col("view_id"),
+        (expr("1000000 DIV n_views") +
+          when(col("rn") === 1, expr("1000000 % n_views")).otherwise(0L))
+          .cast("long").as("credit_ppm"))
+  }
 }
