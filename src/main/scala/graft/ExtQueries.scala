@@ -1266,6 +1266,43 @@ object ExtQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // X3 — hard-negative mining: per anchor, top-3 most-similar
+    // DIFFERENT-label vectors within its trained cell (the contrastive-
+    // training pair miner; see Similarity.hardNegatives). Shares the
+    // IVF cell store with knn_join.
+    "hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val asg = store(s, dir, "ivf_cells")(Similarity.kmeansCells(emb))
+      castLongs(Similarity.hardNegatives(emb, assignments = Some(asg)), "rank")
+        .orderBy("probe_id", "rank")
+    }),
+
+    // X1/X4 × corpus — LEAKAGE-SAFE dataset split: the hash split keyed
+    // by each document's near-dup COMPONENT label instead of its own id,
+    // so near-duplicates always land in the same split (doc-id hashing
+    // puts a train copy of a test document in the training set — the
+    // classic eval leak). Components come from the shared signature
+    // store; singletons anchor on themselves. Output is the per-split
+    // census; LeakageSpec pins the zero-leak invariant itself.
+    "leakage_safe_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val groups = Dedup.dupGroupsFromHashes(minhashStore(s, dir),
+        bands = Some(minhashBandsStore(s, dir)))
+      docs.select("doc_id")
+        .join(groups.select("doc_id", "group_id"), Seq("doc_id"), "left")
+        .withColumn("anchor", coalesce(col("group_id"), col("doc_id")))
+        .withColumn("bucket",
+          Dedup.hash60(col("anchor").cast("string")) % 100)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("anchor")).as("n_components"))
+        .orderBy("split")
+    }),
+
     // X3 — random-hyperplane LSH-bucketed top-k (the trained-index-free
     // scale path), probing the ingest-time signature store.
     "ann_topk_lsh" -> ((s, dir) => {
@@ -2854,6 +2891,32 @@ object ExtQueries {
          |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
          |SELECT probe_id, rank, neighbor_id, cosine FROM r
          |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    "hard_negatives" ->
+      s"""WITH ${kmeansCtes(Similarity.IvfTrainRounds)},
+         |e2 AS (SELECT e.vec_id, e.embedding, e.label, a.cell
+         |  FROM embeddings e JOIN a${Similarity.IvfTrainRounds} a USING (vec_id)),
+         |pairs AS (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
+         |  FROM e2 a JOIN e2 b ON a.cell = b.cell AND a.label != b.label),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
+         |SELECT probe_id, rank, neighbor_id, cosine FROM r
+         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    "leakage_safe_split" ->
+      s"""WITH RECURSIVE ${minhashCtes()},
+         |$dupGroupCtes,
+         |an AS (SELECT d.doc_id, COALESCE(lbl.group_id, d.doc_id) AS anchor
+         |  FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.doc_id),
+         |sp AS (SELECT doc_id, anchor,
+         |    CASE WHEN ${hash60Sql("anchor::VARCHAR")} % 100 < 80 THEN 'train'
+         |         WHEN ${hash60Sql("anchor::VARCHAR")} % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM an)
+         |SELECT split, count(*) AS n_docs,
+         |  CAST(count(DISTINCT anchor) AS BIGINT) AS n_components
+         |FROM sp GROUP BY 1 ORDER BY split""".stripMargin,
 
     // Trained cells + final-assignment centroids; each probe searches
     // its 2 nearest cells — Similarity.topKIvfMultiProbe.

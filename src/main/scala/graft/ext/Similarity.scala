@@ -540,6 +540,32 @@ object Similarity {
       k)
   }
 
+  /** HARD-NEGATIVE MINING for contrastive training — [[knnJoin]]'s
+    * different-label restriction: per anchor, the k most-similar
+    * vectors carrying a DIFFERENT label. Nearest wrong-label examples
+    * are exactly the pairs a contrastive loss learns most from (random
+    * negatives are trivially separable); mining them corpus-wide is a
+    * batch retrieval job, not a per-row lookup. Same scale shape as
+    * knnJoin: candidate volume is Σ|cell|² within trained cells, the
+    * label-differs condition rides the cell equi-join as a residual,
+    * and the per-anchor top-k is a WindowGroupLimit — nothing
+    * broadcast, nothing corpus².
+    */
+  def hardNegatives(embeddings: DataFrame, k: Int = 3,
+      rounds: Int = IvfTrainRounds,
+      assignments: Option[DataFrame] = None): DataFrame = {
+    val asg = assignments.getOrElse(kmeansCells(embeddings, rounds))
+    val e = embeddings.join(asg.select(col("vec_id"), col("cell")), "vec_id")
+      .select(col("vec_id"), col("cell"), col("label"), col("embedding"))
+    topK(
+      e.as("a").join(e.as("b"),
+          col("a.cell") === col("b.cell") &&
+            col("a.label") =!= col("b.label"))
+        .select(col("a.vec_id").as("probe_id"),
+          col("b.vec_id").as("neighbor_id"), cos6.as("cosine")),
+      k)
+  }
+
   /** The CENTROID half of the trained-IVF store: per-cell float-array
     * centroids of an `assignments` table (a [[kmeansCells]] output, or
     * any `(vec_id, cell)` frame) — written beside the assignment at
