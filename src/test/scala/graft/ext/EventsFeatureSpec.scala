@@ -138,4 +138,64 @@ class EventsFeatureSpec extends SparkSpec {
     assert(got === expected)
     assert(got.contains(901L) && got.contains(902L))
   }
+
+  test("multiTouch: per-purchase credit sums to exactly 1e6; latest view takes the remainder") {
+    val events = Seq(
+      // user 1: three views in-window → 333333+333333+333334.
+      ev(1, 1, "2024-01-01 10:00:00", "view", 0),
+      ev(2, 1, "2024-01-01 10:10:00", "view", 0),
+      ev(3, 1, "2024-01-01 10:20:00", "view", 0),
+      ev(4, 1, "2024-01-01 10:30:00", "purchase", 9),
+      // user 2: one view exactly at the window boundary (inclusive).
+      ev(5, 2, "2024-01-01 09:00:00", "view", 0),
+      ev(6, 2, "2024-01-01 10:00:00", "purchase", 5),
+      // user 3: view outside the window → purchase gets no rows.
+      ev(7, 3, "2024-01-01 08:00:00", "view", 0),
+      ev(8, 3, "2024-01-01 10:00:00", "purchase", 7))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.multiTouchAttribution(events)
+    val perPurchase = out.groupBy("event_id")
+      .agg(sum("credit_ppm").as("total")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(perPurchase === Map(4L -> 1000000L, 6L -> 1000000L))
+    val credits = out.orderBy("event_id", "view_id")
+      .select("event_id", "view_id", "credit_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(credits.toSeq === Seq(
+      (4L, 1L, 333333L), (4L, 2L, 333333L), (4L, 3L, 333334L),
+      (6L, 5L, 1000000L)))
+  }
+
+  test("multiTouch: the remainder-taking view IS the as-of tolerance match") {
+    val events = Seq(
+      ev(1, 1, "2024-01-01 10:00:00", "view", 0),
+      ev(2, 1, "2024-01-01 10:20:00", "view", 0),
+      ev(3, 1, "2024-01-01 10:30:00", "purchase", 9),
+      ev(4, 2, "2024-01-01 09:30:00", "view", 0),
+      ev(5, 2, "2024-01-01 10:00:00", "purchase", 5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val mt = Events.multiTouchAttribution(events)
+    // The view holding the remainder is the LATEST in-window view —
+    // exactly what the single-touch as-of join (with the same 1h
+    // tolerance) attributes each purchase to.
+    val latest = mt
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_id")
+          .orderBy(col("credit_ppm").desc, col("view_id").desc)))
+      .where(col("rk") === 1)
+      .select("event_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val purchases = events.where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value".as("purchase_value"))
+    val views = events.where($"event_type" === "view")
+      .groupBy($"user_id", $"ts".as("vts"))
+      .agg(max($"event_id").as("view_id"))
+    val asOf = AsOfJoin.asOfTolerance(purchases, views, "user_id", "ts", "vts",
+        Seq("view_id"), toleranceSec = 3600L)
+      .where(col("view_id").isNotNull)
+      .select("event_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(latest === asOf)
+    assert(latest === Map(3L -> 2L, 5L -> 4L))
+  }
 }
