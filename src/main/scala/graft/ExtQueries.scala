@@ -725,6 +725,15 @@ object ExtQueries {
         .orderBy("event_id")
     }),
 
+    // Privacy — k-anonymity audit of the customer quasi-identifiers
+    // (nation × market segment, k = 10): equivalence classes smaller
+    // than k are re-identification risks. One tuple-keyed aggregate +
+    // a 1-row summary (see Privacy.kAnonymity).
+    "k_anonymity" -> ((s, dir) =>
+      Privacy.kAnonymity(Tables.customer(s, dir),
+          Seq("c_nationkey", "c_mktsegment"), k = 10L)
+        .orderBy("n_classes")),
+
     // X7 — multi-touch attribution: all views in the purchase's 1h
     // lookback share exact-ppm credit (latest view absorbs the
     // remainder so every purchase credits exactly 1e6; see
@@ -2085,6 +2094,17 @@ object ExtQueries {
       s"""SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
          |  count(*) AS n_events, round(sum(value), 4) AS sum_value
          |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "k_anonymity" ->
+      s"""WITH c AS (SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+         |  FROM customer GROUP BY 1, 2)
+         |SELECT count(*) AS n_classes,
+         |  CAST(sum(CASE WHEN class_size < 10 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_violating_classes,
+         |  CAST(sum(CASE WHEN class_size < 10 THEN class_size ELSE 0 END)
+         |    AS BIGINT) AS n_rows_at_risk,
+         |  CAST(min(class_size) AS BIGINT) AS min_class_size
+         |FROM c ORDER BY n_classes""".stripMargin,
 
     "multi_touch" ->
       s"""WITH p AS (SELECT event_id, user_id, ts FROM events

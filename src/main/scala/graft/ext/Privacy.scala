@@ -64,4 +64,29 @@ object Privacy {
     docs.select(col("doc_id"), redacted.as("redacted"),
       total.as("n_redacted"))
   }
+
+  /** K-ANONYMITY audit over a set of quasi-identifier columns: a row is
+    * k-anonymous when at least k−1 OTHER rows share its full
+    * quasi-identifier tuple, so any equivalence class smaller than k is
+    * a re-identification risk and a suppression candidate. Reports the
+    * risk surface, not the rows: number of violating classes, rows
+    * inside them, the worst (smallest) class size, and the total class
+    * count — bounded output at any scale.
+    *
+    * Scale: ONE hash aggregate on the quasi-identifier tuple (map-side
+    * partials collapse the fact), then two 1-row aggregates over the
+    * |classes| frame. The class frame itself (for suppression joins)
+    * is the same aggregate un-summarized — callers reuse it without a
+    * second scan.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    val classes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+    classes.agg(
+      count(lit(1)).as("n_classes"),
+      sum(when(col("class_size") < k, 1L).otherwise(0L)).as("n_violating_classes"),
+      sum(when(col("class_size") < k, col("class_size")).otherwise(0L))
+        .as("n_rows_at_risk"),
+      min("class_size").as("min_class_size"))
+  }
 }

@@ -46,4 +46,20 @@ class PrivacySpec extends SparkSpec {
     assert(!out.getString(1).contains("555"))
     assert(out.getString(1) === "x <EMAIL> y")
   }
+
+  test("kAnonymity counts classes below k and the rows inside them") {
+    import spark.implicits._
+    // Classes: (A,1)×5, (A,2)×2, (B,1)×1 → with k=3: two violating
+    // classes holding 3 rows total; min class size 1.
+    val df = (Seq.fill(5)(("A", 1)) ++ Seq.fill(2)(("A", 2)) ++ Seq(("B", 1)))
+      .toDF("seg", "region")
+    val out = Privacy.kAnonymity(df, Seq("seg", "region"), k = 3L)
+      .collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3))
+      === ((3L, 2L, 3L, 1L)))
+    // k = 1 is vacuously satisfied: nothing violates.
+    val clean = Privacy.kAnonymity(df, Seq("seg", "region"), k = 1L)
+      .collect().head
+    assert((clean.getLong(1), clean.getLong(2)) === ((0L, 0L)))
+  }
 }
