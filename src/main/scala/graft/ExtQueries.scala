@@ -655,6 +655,12 @@ object ExtQueries {
     "event_windows" -> ((s, dir) =>
       Events.hourlyRollup(Tables.events(s, dir)).orderBy("hour_start", "event_type")),
 
+    // X6 — sliding-window trending counts (1h every 15m; see
+    // Events.slidingCounts for the epoch-aligned grid contract).
+    "sliding_windows" -> ((s, dir) =>
+      Events.slidingCounts(Tables.events(s, dir))
+        .orderBy("window_start", "event_type")),
+
     // X6 — cohort retention matrix (first-seen day × return-day offset).
     "retention_cohorts" -> ((s, dir) =>
       Events.retentionCohorts(Tables.events(s, dir))
@@ -2105,6 +2111,15 @@ object ExtQueries {
          |    AS BIGINT) AS n_rows_at_risk,
          |  CAST(min(class_size) AS BIGINT) AS min_class_size
          |FROM c ORDER BY n_classes""".stripMargin,
+
+    "sliding_windows" ->
+      s"""WITH x AS (SELECT event_type, epoch_us(ts) AS eus FROM events),
+         |w AS (SELECT event_type,
+         |    make_timestamp((eus // 900000000) * 900000000
+         |      - t.k * 900000000) AS window_start
+         |  FROM x CROSS JOIN range(0, 4) t(k))
+         |SELECT window_start, event_type, count(*) AS n_events
+         |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "multi_touch" ->
       s"""WITH p AS (SELECT event_id, user_id, ts FROM events

@@ -309,6 +309,23 @@ object Events {
         expr("CAST((unix_micros(first_purchase) - unix_micros(first_view)) DIV 1000000 AS BIGINT)"))
       .select("user_id", "first_view", "first_purchase", "secs_to_convert")
 
+  /** X6 — SLIDING-window activity counts (1h windows every 15min): the
+    * overlapping-window shape behind "trending now" dashboards, where
+    * tumbling windows quantize away a burst that straddles a boundary.
+    * Spark's `window(ts, dur, slide)` expands each event to its
+    * dur/slide covering windows map-side (a bounded 4× multiply here —
+    * the same Expand discipline as multi_distinct) and aggregates on
+    * the (window, type) key; the window grid is epoch-aligned, which
+    * the oracle reproduces with integer-microsecond floor arithmetic.
+    */
+  def slidingCounts(events: DataFrame, windowDur: String = "1 hour",
+      slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowDur, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"))
+
   /** X6 — top-k 3-step behavior paths: the trigram census over
     * session-ordered event types (session_transitions' bigram big
     * sibling — three-step paths separate "browse→view→purchase" intent

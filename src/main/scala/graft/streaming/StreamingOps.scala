@@ -63,6 +63,22 @@ object StreamingOps {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** SLIDING-window trending counts — the streaming twin of
+    * [[graft.ext.Events.slidingCounts]]: overlapping 1h windows every
+    * 15min, so a burst straddling a tumbling boundary still surfaces.
+    * State is (windows-in-flight × types) — the watermark closes
+    * windows older than the lateness bound, exactly as for the
+    * tumbling rollup, just with dur/slide× more live windows.
+    */
+  def trendingStream(events: DataFrame, windowDur: String = "1 hour",
+      slide: String = "15 minutes", lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowDur, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"))
+
   /** Streaming exact dedup — the X1 twin for unbounded sources: an
     * at-least-once stream becomes effectively-once by key.
     * `dropDuplicatesWithinWatermark` keeps per-key state only until the

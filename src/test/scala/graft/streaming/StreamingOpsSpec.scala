@@ -56,6 +56,26 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding trending windows over a stream match the batch sliding counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.trendingStream(mem.toDF())
+      .writeStream.format("memory").queryName("trend_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(batch: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("trend_out")
+        .orderBy("window_start", "event_type").collect()
+      val batched = graft.ext.Events.slidingCounts(batch.toDF())
+        .orderBy("window_start", "event_type").collect()
+      assert(streamed.toSeq === batched.toSeq)
+      // 10:05 view sits in 4 overlapping 1h/15m windows: starts 09:15..10:00.
+      assert(streamed.count(r => r.getString(1) == "view" &&
+        r.getTimestamp(0).toString.startsWith("2024-01-01 09:15")) === 1)
+    } finally q.stop()
+  }
+
   test("streaming dedup emits each event_id once despite duplicate delivery") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
