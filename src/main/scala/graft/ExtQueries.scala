@@ -894,6 +894,13 @@ object ExtQueries {
         itemsStore = Some(copurchaseItemsStore(s, dir)),
         pairStore = Some(copurchasePairStore(s, dir)))),
 
+    // Retail — SEQUENTIAL basket affinity: "bought A, came back for B"
+    // across consecutive orders (time-ordered sibling of co-purchase;
+    // see Retail.repeatAffinity). Shares the distinct-items store.
+    "repeat_affinity" -> ((s, dir) =>
+      Retail.repeatAffinity(Tables.orders(s, dir), Tables.lineitem(s, dir),
+        itemsStore = Some(copurchaseItemsStore(s, dir)))),
+
     // Retail graph — weighted label-propagation communities (2
     // synchronous rounds, weighted argmax vote with min-label tiebreak;
     // see Retail.labelPropagation for the determinism contract and why
@@ -2431,6 +2438,22 @@ object ExtQueries {
          |SELECT node AS p_partkey, rank_ppm FROM r3
          |ORDER BY rank_ppm DESC, p_partkey""".stripMargin
     },
+
+    "repeat_affinity" ->
+      s"""WITH c AS (SELECT o_custkey, o_orderkey, o_orderdate,
+         |    lead(o_orderkey) OVER (PARTITION BY o_custkey
+         |      ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+         |  FROM orders),
+         |items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |p AS (SELECT a.l_partkey AS part_first, b.l_partkey AS part_next
+         |  FROM c
+         |  JOIN items a ON a.l_orderkey = c.o_orderkey
+         |  JOIN items b ON b.l_orderkey = c.next_orderkey
+         |  WHERE c.next_orderkey IS NOT NULL
+         |    AND a.l_partkey != b.l_partkey)
+         |SELECT part_first, part_next, count(*) AS n_sequences
+         |FROM p GROUP BY 1, 2 HAVING count(*) >= 3
+         |ORDER BY n_sequences DESC, part_first, part_next LIMIT 25""".stripMargin,
 
     "copurchase_communities" -> {
       val rounds = (1 to 2).map { i =>

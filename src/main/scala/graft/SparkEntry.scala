@@ -425,6 +425,34 @@ object SparkEntry {
         .orderBy("sku")
     }),
 
+    // K-family — incremental JOIN-view maintenance: the enriched-orders
+    // MV (orders ⋈ customer segment) maintained by appending only the
+    // new month's DELTA joined to the dim — the join-MV identity
+    // Δ(A⋈B) = ΔA⋈B when the dim side is static for the interval
+    // (rollup_maintenance's aggregate-MV sibling). The stored MV is a
+    // real parquet table (written once here to model the warehouse
+    // state); the query's work is one month-pruned scan + one dim join
+    // + the merge — the seven prior years are never rescanned. The
+    // oracle IS the full recompute, so the equality check is the IVM
+    // identity itself.
+    "join_maintenance" -> ((s, dir) => {
+      val cut = lit("2001-07-01").cast(TimestampType)
+      val cust = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+      def enrich(o: DataFrame): DataFrame =
+        o.join(cust, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_mktsegment"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft-jmv-${java.util.UUID.randomUUID}"
+      enrich(Tables.orders(s, dir).where(col("o_orderdate") < cut))
+        .write.mode("overwrite").parquet(tmp)
+      val stored = s.read.parquet(tmp)
+      val delta = enrich(Tables.orders(s, dir).where(col("o_orderdate") >= cut))
+      stored.unionByName(delta)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("total_cents"))
+        .orderBy("c_mktsegment")
+    }),
+
     // S2 variant — schema-evolution read: day D's snapshot predates the
     // feed carrying `channel`; day D+1 adds it. mergeSchema unifies the
     // parquet footers (nulls where absent) — the scan-level twin of
@@ -1116,6 +1144,13 @@ object SparkEntry {
          |FROM ($multiDaySql)
          |WHERE opening_stock = 0 AND quantity_sold > 0
          |GROUP BY 1 ORDER BY sku""".stripMargin,
+    "join_maintenance" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |    AS total_cents
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
     "window_shapes" ->
       s"""WITH m AS (SELECT p_brand, CAST(month(l_shipdate) AS INTEGER) AS month,
          |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty

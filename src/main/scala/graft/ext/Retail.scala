@@ -154,6 +154,41 @@ object Retail {
       .orderBy(col("rank_ppm").desc, col("p_partkey"))
   }
 
+  /** SEQUENTIAL market-basket affinity — "bought A, came back for B":
+    * part pairs across a customer's CONSECUTIVE orders, the time-ordered
+    * sibling of same-basket co-purchase. Consecutive order pairs come
+    * from one lag window over the (customer, order-date) frame; each
+    * pair's basket product is bounded by Σ|basket_i|·|basket_i+1| — the
+    * co-purchase Σ|basket|² discipline, never orders² — and the pair
+    * explode joins the distinct-items frame twice on the order key.
+    * Self-pairs (A then A again — plain repurchase) are excluded; the
+    * A→B direction is kept (sequence matters, unlike co-purchase).
+    */
+  def repeatAffinity(orders: DataFrame, lineitem: DataFrame,
+      minCount: Long = 3, k: Int = 25,
+      itemsStore: Option[DataFrame] = None): DataFrame = {
+    val byCust = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+    val consec = orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("next_orderkey", lead("o_orderkey", 1).over(byCust))
+      .where(col("next_orderkey").isNotNull)
+      .select(col("o_orderkey").as("first_order"),
+        col("next_orderkey").as("next_order"))
+    val items = itemsStore.getOrElse(copurchaseItems(lineitem))
+    consec
+      .join(items.select(col("l_orderkey").as("first_order"),
+        col("l_partkey").as("part_first")), "first_order")
+      .join(items.select(col("l_orderkey").as("next_order"),
+        col("l_partkey").as("part_next")), "next_order")
+      .where(col("part_first") =!= col("part_next"))
+      .groupBy("part_first", "part_next")
+      .agg(count(lit(1)).as("n_sequences"))
+      .where(col("n_sequences") >= minCount)
+      .orderBy(col("n_sequences").desc, col("part_first"), col("part_next"))
+      .limit(k)
+  }
+
   /** Weighted LABEL PROPAGATION over the co-purchase graph — community
     * detection ("which parts form a merchandising cluster"), the
     * non-component counterpart of the dedup family's connected
