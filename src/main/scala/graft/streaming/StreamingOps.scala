@@ -25,6 +25,12 @@ case class AsOfBuf(views: Seq[AsOfView], pending: Seq[AsOfPending])
 case class Attribution(event_id: Long, user_id: Long, ts: Timestamp,
     purchase_value: Double, view_id: Option[Long], view_ts: Option[Timestamp])
 
+/** Output row of [[StreamingOps.multiTouchStream]] — the streaming twin
+  * of the batch `multi_touch` columns plus the view timestamp.
+  */
+case class TouchCredit(event_id: Long, user_id: Long, ts: Timestamp,
+    view_id: Long, view_ts: Timestamp, credit_ppm: Long)
+
 /** Input / state / output rows of [[StreamingOps.rollingFeaturesStream]]
   * (top-level for Encoder derivation, like the AsOf* family).
   */
@@ -686,6 +692,70 @@ object StreamingOps {
   /** Per-user state transition; also invoked on event-time timeout with
     * an empty iterator.
     */
+  /** Streaming MULTI-touch attribution — the stateful twin of
+    * [[graft.ext.Events.multiTouchAttribution]]: once the watermark
+    * finalizes a purchase, ALL views inside its lookback window emit
+    * with exact-ppm credit (⌊1e6/n⌋ each, latest view + remainder —
+    * per-purchase credit sums to exactly 1 000 000, the batch
+    * conservation law). Unlike [[attributionStream]] (one winner), the
+    * full pair set emits, so the per-user state must hold every view
+    * still inside `watermark − window` — O((lateness + window) × rate),
+    * the same bound the native stream-stream join derives from its
+    * range condition; this operator adds what the join cannot: the
+    * per-purchase VIEW COUNT, which is only final when the watermark
+    * passes the purchase.
+    */
+  def multiTouchStream(events: DataFrame, windowSeconds: Long = 3600L,
+      lateness: String = "30 minutes"): Dataset[TouchCredit] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .where(col("event_type").isin("view", "purchase"))
+      .withWatermark("ts", lateness)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[AsOfEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        creditUser(windowSeconds * 1000000L))
+  }
+
+  private def creditUser(winMicros: Long)(userId: Long,
+      rows: Iterator[AsOfEvent],
+      state: GroupState[AsOfBuf]): Iterator[TouchCredit] = {
+    val prev = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+    val in = rows.toVector
+    val views = prev.views ++
+      in.filter(_.event_type == "view").map(e => AsOfView(e.event_id, e.ts))
+    val pending = prev.pending ++
+      in.filter(_.event_type == "purchase").map(e => AsOfPending(e.event_id, e.ts, e.value))
+    val wm = state.getCurrentWatermarkMs()
+    // A purchase strictly before the watermark is final: any view that
+    // could still arrive for it would be dropped as late.
+    val (ready, stillPending) = pending.partition(_.ts.getTime < wm)
+    val out = ready.sortBy(p => (p.ts.getTime, p.event_id)).flatMap { p =>
+      val ms = views
+        .filter(v => !v.view_ts.after(p.ts) &&
+          micros(v.view_ts) >= micros(p.ts) - winMicros)
+        .sortBy(v => (v.view_ts.getTime, v.view_id))
+      val n = ms.size.toLong
+      ms.zipWithIndex.map { case (v, i) =>
+        val credit = 1000000L / n + (if (i == n - 1) 1000000L % n else 0L)
+        TouchCredit(p.event_id, userId, p.ts, v.view_id, v.view_ts, credit)
+      }
+    }
+    // A view can still credit a purchase at or after the watermark iff
+    // view_ts ≥ wm − window; everything older evicts (pending purchases
+    // all sit at-or-after the watermark, so the same bound covers them).
+    val keep = views.filter(v => micros(v.view_ts) >= wm * 1000L - winMicros)
+    if (keep.isEmpty && stillPending.isEmpty) state.remove()
+    else {
+      state.update(AsOfBuf(keep, stillPending))
+      if (stillPending.nonEmpty)
+        state.setTimeoutTimestamp(math.max(wm + 1, stillPending.map(_.ts.getTime).min + 1))
+    }
+    out.iterator
+  }
+
   private def attributeUser(tolMicros: Option[Long])(userId: Long,
       rows: Iterator[AsOfEvent],
       state: GroupState[AsOfBuf]): Iterator[Attribution] = {

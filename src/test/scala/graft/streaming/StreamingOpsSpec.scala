@@ -748,6 +748,49 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming multi-touch credits match the batch operator and conserve 1e6") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: three in-window views (333333+333333+333334); user 2: one
+    // boundary view; user 3: view outside the window (no rows).
+    val evs = Seq(
+      Ev(1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      Ev(2L, ts("2024-01-01 10:10:00"), 1L, "view", 0.0),
+      Ev(3L, ts("2024-01-01 10:20:00"), 1L, "view", 0.0),
+      Ev(4L, ts("2024-01-01 10:30:00"), 1L, "purchase", 9.0),
+      Ev(5L, ts("2024-01-01 09:00:00"), 2L, "view", 0.0),
+      Ev(6L, ts("2024-01-01 10:00:00"), 2L, "purchase", 5.0),
+      Ev(7L, ts("2024-01-01 08:00:00"), 3L, "view", 0.0),
+      Ev(8L, ts("2024-01-01 10:00:00"), 3L, "purchase", 7.0))
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.multiTouchStream(mem.toDF())
+      .writeStream.format("memory").queryName("mtouch_out")
+      .outputMode("append").start()
+    try {
+      // One batch, scrambled: purchases listed before their views —
+      // in-batch disorder is the out-of-order case the state must
+      // absorb (cross-batch, views behind an already-advanced watermark
+      // would be DROPPED AS LATE, by design — that is watermark
+      // semantics, not an operator property to test around).
+      mem.addData(evs(3), evs(5), evs(7), evs(0), evs(1), evs(2), evs(4), evs(6))
+      q.processAllAvailable()
+      // Advance the watermark decisively past every purchase.
+      mem.addData(Ev(99L, ts("2024-01-01 12:00:00"), 9L, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Ev(100L, ts("2024-01-01 13:00:00"), 9L, "view", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("mtouch_out")
+        .select("event_id", "view_id", "credit_ppm")
+        .as[(Long, Long, Long)].collect().toSet
+      val batched = graft.ext.Events.multiTouchAttribution(evs.toDF())
+        .select("event_id", "view_id", "credit_ppm")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed === batched)
+      assert(streamed === Set(
+        (4L, 1L, 333333L), (4L, 2L, 333333L), (4L, 3L, 333334L),
+        (6L, 5L, 1000000L)))
+    } finally q.stop()
+  }
+
   test("left-outer stream-stream join emits viewless purchases after the watermark") {
     implicit val sqlCtx = spark.sqlContext
     // u1 purchase with a view in-window (matches); u2 purchase with no
