@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsOfJoin, BloomJoin, Corpus, Dedup, Events, Hierarchy, Multimodal, Privacy, RangeJoin, Retail, SaltedJoin, Similarity, Sketches, StockSim, TextOps}
+import graft.ext.{AsOfJoin, BloomJoin, Corpus, Dedup, Events, Hierarchy, Multimodal, Privacy, RangeJoin, Retail, SaltedJoin, Similarity, Sketches, Stats, StockSim, TextOps}
 import graft.etl.ZOrder
 
 /** Extension-surface queries (SURVEY.md §2.11 X1–X6 + the LLM-data-
@@ -731,6 +731,19 @@ object ExtQueries {
         .orderBy("event_id")
     }),
 
+    // Stats — Pearson correlation of quantity vs discount per return
+    // flag, from EXACT integer moments (bit-identical cross-engine;
+    // only the final r touches FP, and IEEE exactly-rounded ops on
+    // identical integers give identical doubles — see Stats.exactCorr
+    // for why built-in corr() is avoided).
+    "qty_discount_corr" -> ((s, dir) =>
+      Stats.exactCorr(
+          Tables.lineitem(s, dir).select(col("l_returnflag"),
+            col("l_quantity").cast("long").as("x"),
+            expr("CAST(round(l_discount * 10000) AS BIGINT)").as("y")),
+          Seq("l_returnflag"), "x", "y")
+        .orderBy("l_returnflag")),
+
     // Privacy — k-anonymity audit of the customer quasi-identifiers
     // (nation × market segment, k = 10): equivalence classes smaller
     // than k are re-identification risks. One tuple-keyed aggregate +
@@ -900,6 +913,13 @@ object ExtQueries {
     "repeat_affinity" -> ((s, dir) =>
       Retail.repeatAffinity(Tables.orders(s, dir), Tables.lineitem(s, dir),
         itemsStore = Some(copurchaseItemsStore(s, dir)))),
+
+    // Retail graph — single-source BFS distance census from the
+    // minimum-id seed part (min-plus propagation, 3 unrolled rounds;
+    // see Retail.reachLevels). Shares the pair store.
+    "reach_levels" -> ((s, dir) =>
+      Retail.reachLevels(copurchasePairStore(s, dir), minCount = 3,
+        maxHops = 3)),
 
     // Retail graph — weighted label-propagation communities (2
     // synchronous rounds, weighted argmax vote with min-label tiebreak;
@@ -2108,6 +2128,21 @@ object ExtQueries {
          |  count(*) AS n_events, round(sum(value), 4) AS sum_value
          |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
 
+    "qty_discount_corr" ->
+      s"""WITH g AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+         |    CAST(round(l_discount * 10000) AS BIGINT) AS y FROM lineitem),
+         |m AS (SELECT l_returnflag, count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM g GROUP BY 1)
+         |SELECT l_returnflag, n, sx, sy, sxy, sxx, syy,
+         |  floor(((n * sxy - sx * sy)::DOUBLE
+         |    / sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE))
+         |    * 1000000) / 1000000 AS corr_6dp
+         |FROM m ORDER BY l_returnflag""".stripMargin,
+
     "k_anonymity" ->
       s"""WITH c AS (SELECT c_nationkey, c_mktsegment, count(*) AS class_size
          |  FROM customer GROUP BY 1, 2)
@@ -2454,6 +2489,32 @@ object ExtQueries {
          |SELECT part_first, part_next, count(*) AS n_sequences
          |FROM p GROUP BY 1, 2 HAVING count(*) >= 3
          |ORDER BY n_sequences DESC, part_first, part_next LIMIT 25""".stripMargin,
+
+    "reach_levels" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""r$i AS (SELECT e.dst AS node, min(d.dist + 1) AS nd
+           |  FROM edges e JOIN d${i - 1} d ON e.src = d.node
+           |  WHERE d.dist IS NOT NULL GROUP BY 1),
+           |d$i AS (SELECT n.node,
+           |    CASE WHEN n.dist IS NOT NULL AND (r.nd IS NULL OR n.dist <= r.nd)
+           |         THEN n.dist ELSE r.nd END AS dist
+           |  FROM d${i - 1} n LEFT JOIN r$i r ON n.node = r.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |und AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |edges AS (SELECT pa AS src, pb AS dst FROM und
+         |          UNION ALL SELECT pb, pa FROM und),
+         |seedv AS (SELECT min(src) AS seed FROM edges),
+         |d0 AS (SELECT DISTINCT e.src AS node,
+         |    CASE WHEN e.src = s.seed THEN CAST(0 AS BIGINT) END AS dist
+         |  FROM edges e CROSS JOIN seedv s),
+         |$rounds
+         |SELECT COALESCE(dist, -1) AS distance, count(*) AS n_parts
+         |FROM d3 GROUP BY 1 ORDER BY distance""".stripMargin
+    },
 
     "copurchase_communities" -> {
       val rounds = (1 to 2).map { i =>

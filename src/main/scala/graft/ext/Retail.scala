@@ -228,6 +228,48 @@ object Retail {
       .orderBy(col("n_members").desc, col("community"))
   }
 
+  /** Single-source BFS over the co-purchase graph — exact hop distance
+    * from the (deterministic, minimum-id) seed part, capped at
+    * `maxHops`, reported as a distance census. The third iterative-
+    * graph primitive beside PageRank (mass propagation) and label
+    * propagation (vote): BFS is min-plus propagation, the kernel under
+    * "how far does an anchor product's influence reach".
+    *
+    * Each round relaxes dist(v) = min(dist(v), 1 + min over in-
+    * neighbors) — one edge⨝frontier join + one min aggregate + one
+    * left join back, all keyed on the node — and rounds unroll into a
+    * single plan. Frontier rows are the only ones that propagate
+    * (`dist IS NOT NULL` filter), so early rounds ship tiny frames.
+    * Unreached nodes report distance −1.
+    */
+  def reachLevels(pairCounts: DataFrame, minCount: Long = 3,
+      maxHops: Int = 3): DataFrame = {
+    val und = pairCounts.where(col("n_ab") >= minCount)
+    val edges = und.select(col("part_a").as("src"), col("part_b").as("dst"))
+      .unionByName(und.select(col("part_b").as("src"), col("part_a").as("dst")))
+    val seed = edges.agg(min(col("src")).as("seed"))
+    val start = edges.select(col("src").as("node")).distinct()
+      .crossJoin(broadcast(seed))
+      .select(col("node"),
+        when(col("node") === col("seed"), lit(0L)).as("dist"))
+    val done = (1 to maxHops).foldLeft(start) { (d, _) =>
+      val nbr = edges
+        .join(d.withColumnRenamed("node", "src"), "src")
+        .where(col("dist").isNotNull)
+        .select(col("dst").as("node"), (col("dist") + 1L).as("nd"))
+        .groupBy("node").agg(min("nd").as("nd"))
+      d.join(nbr, Seq("node"), "left")
+        .select(col("node"),
+          when(col("dist").isNotNull &&
+            (col("nd").isNull || col("dist") <= col("nd")), col("dist"))
+            .otherwise(col("nd")).as("dist"))
+    }
+    done
+      .groupBy(coalesce(col("dist"), lit(-1L)).as("distance"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy("distance")
+  }
+
   /** Trailing 7-day demand per (brand, ship-day): daily quantities
     * aggregated once, then a RANGE frame over the integer day index sums
     * the last 7 calendar days (gaps included — a day with no sales still

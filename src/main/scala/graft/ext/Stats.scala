@@ -139,4 +139,45 @@ object Stats {
         sum("v_cents").as("sum_cents"))
       .orderBy("column_name")
   }
+
+  /** Pearson correlation from EXACT integer moments: the five sums
+    * (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as BIGINTs on an integer
+    * grid (caller pre-scales, e.g. cents / basis points), so the
+    * moment table is order-insensitive and bit-identical cross-engine;
+    * only the final r = (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²))
+    * touches floating point — and each step (int→double conversion,
+    * multiply, sqrt, divide) is IEEE exactly-rounded, so two engines
+    * computing from the SAME integers produce the SAME double;
+    * truncation to 6dp makes the value safely portable. This is why
+    * built-in `corr()` is avoided: its per-row FP accumulation is
+    * reduce-order dependent and drifts under Spark's nondeterministic
+    * partition merge.
+    *
+    * Output: one row per group — the moments (exact) plus `corr_6dp`.
+    * Scale: ONE map-combinable aggregate; the FP finish runs on the
+    * |groups|-scale frame. Overflow contract: the caller's grid must
+    * keep n·Σ(x·y) < 2⁶³ (e.g. qty ≤ 50 × discount ≤ 1000 bp holds to
+    * ~10¹¹ rows per group); beyond that, shard the group or drop the
+    * grid a decimal.
+    */
+  def exactCorr(df: DataFrame, groupCols: Seq[String],
+      xCol: String, yCol: String): DataFrame = {
+    val grouped =
+      if (groupCols.isEmpty) df.agg(
+        count(lit(1)).as("n"),
+        sum(col(xCol)).as("sx"), sum(col(yCol)).as("sy"),
+        sum(col(xCol) * col(yCol)).as("sxy"),
+        sum(col(xCol) * col(xCol)).as("sxx"),
+        sum(col(yCol) * col(yCol)).as("syy"))
+      else df.groupBy(groupCols.map(col): _*).agg(
+        count(lit(1)).as("n"),
+        sum(col(xCol)).as("sx"), sum(col(yCol)).as("sy"),
+        sum(col(xCol) * col(yCol)).as("sxy"),
+        sum(col(xCol) * col(xCol)).as("sxx"),
+        sum(col(yCol) * col(yCol)).as("syy"))
+    grouped.withColumn("corr_6dp", TextOps.trunc6(
+      (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+          (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+  }
 }

@@ -795,4 +795,24 @@ object StreamingOps {
     }
     out.iterator
   }
+
+  /** EXACTLY-ONCE guard for addition-merge sinks: `foreachBatch`
+    * guarantees at-LEAST-once — after a crash between the sink's commit
+    * and the checkpoint's, the same batchId REPLAYS, and a non-
+    * idempotent merge (mergeRollup, KMV/CMS folds — addition is not
+    * idempotent) would double-count it. The standard fix is a batchId
+    * LEDGER committed atomically with the store: wrap the sink so a
+    * batchId already in the ledger is skipped. This class is the
+    * in-memory form of that contract (a real deployment puts ledger +
+    * store in one transactional table write); `StreamingOpsSpec`
+    * asserts replay is a no-op through it.
+    */
+  final class IdempotentSink(inner: (DataFrame, Long) => Unit)
+      extends ((DataFrame, Long) => Unit) {
+    private val applied = scala.collection.mutable.Set.empty[Long]
+    def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (applied.add(batchId)) inner(batch, batchId)
+    }
+    def appliedBatches: Set[Long] = synchronized(applied.toSet)
+  }
 }

@@ -748,6 +748,28 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("IdempotentSink: a replayed batchId is a no-op for addition merges") {
+    import org.apache.spark.sql.DataFrame
+    var store = Seq.empty[(String, Long)].toDF("k", "v")
+    val sink = new StreamingOps.IdempotentSink((partial: DataFrame, _: Long) =>
+      store = StreamingOps.mergeRollup(store, partial, Seq("k"), "v")
+        .localCheckpoint())
+    val b0 = Seq(("a", 2L), ("b", 3L)).toDF("k", "v")
+    val b1 = Seq(("a", 5L)).toDF("k", "v")
+    sink(b0, 0L); sink(b1, 1L)
+    sink(b0, 0L) // crash-replay of batch 0 — must not double-count
+    val got = store.as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 7L, "b" -> 3L))
+    assert(sink.appliedBatches === Set(0L, 1L))
+    // Without the ledger the same replay WOULD corrupt the store.
+    var naive = Seq.empty[(String, Long)].toDF("k", "v")
+    def rawSink(partial: DataFrame): Unit =
+      naive = StreamingOps.mergeRollup(naive, partial, Seq("k"), "v")
+        .localCheckpoint()
+    rawSink(b0); rawSink(b1); rawSink(b0)
+    assert(naive.as[(String, Long)].collect().toMap === Map("a" -> 9L, "b" -> 6L))
+  }
+
   test("streaming multi-touch credits match the batch operator and conserve 1e6") {
     implicit val sqlCtx = spark.sqlContext
     // user 1: three in-window views (333333+333333+333334); user 2: one
