@@ -105,6 +105,66 @@ object TpchShapes {
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
+    // Q6 — the forecast-revenue-change scan: one fully-pushed filter
+    // (year × discount band × quantity cap) and a 1-row sum of
+    // l_extendedprice·l_discount on the cents grid. The simplest TPC-H
+    // shape, kept because it is the purest pushdown/codegen probe: the
+    // whole query is scan → filter → partial/final agg with no
+    // exchange beyond the final 1-row merge.
+    "q6_forecast_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1997-01-01") &&
+          expr("CAST(round(l_discount * 100) AS BIGINT)").between(5L, 7L) &&
+          col("l_quantity") < 24)
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(expr("CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)"))
+            .as("revenue_effect_cents"))
+        .orderBy("n_lines")),
+
+    // Q8 — national market share: of one region's revenue for one part
+    // type across two years, the ppm slice delivered by suppliers of
+    // one nation, per order year. The share is a conditional-sum DIV
+    // total on the cents grid (exact ppm, like Q14); customer-side
+    // nation chain restricts the market region, supplier-side nation
+    // provides the numerator flag. nation/region broadcast; everything
+    // else key equi-joins.
+    "q8_market_share" -> ((s, dir) => {
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
+      val marketNations = broadcast(n
+        .join(Tables.region(s, dir).where(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("mkt_nationkey")))
+      val supNation = broadcast(n.select(col("n_nationkey").as("s_nkey"),
+        col("n_name").as("supp_nation")))
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= ts("1996-01-01") &&
+          col("o_orderdate") < ts("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year"))
+      val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val p = Tables.part(s, dir).where(col("p_type") === "PROMO")
+        .select("p_partkey")
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), revC.as("rev_c"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(marketNations, col("c_nationkey") === col("mkt_nationkey"))
+        .join(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(supNation, col("s_nationkey") === col("s_nkey"))
+        .groupBy("o_year")
+        .agg(
+          sum(when(col("supp_nation") === "NATION_2", col("rev_c")).otherwise(0L))
+            .as("nation_cents"),
+          sum("rev_c").as("total_cents"))
+        .withColumn("share_ppm",
+          expr("CAST(nation_cents * 1000000 DIV total_cents AS BIGINT)"))
+        .orderBy("o_year")
+    }),
+
     // Q10 — returned-item reporting: top 20 customers by revenue lost
     // to returns in one quarter. Quarter filter pushed to the orders
     // scan, returnflag filter pushed to the lineitem scan; grouping
@@ -323,6 +383,39 @@ object TpchShapes {
          |  AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
          |    OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
          |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      s"""SELECT count(*) AS n_lines,
+         |  CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+         |    AS BIGINT) AS revenue_effect_cents
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+         |  AND l_quantity < 24
+         |ORDER BY n_lines""".stripMargin,
+
+    "q8_market_share" ->
+      s"""WITH rev AS (SELECT year(o_orderdate) AS o_year,
+         |    sn.n_name AS supp_nation, $revCSql AS rev_c
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01'),
+         |m AS (SELECT o_year,
+         |    CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev_c ELSE 0 END)
+         |      AS BIGINT) AS nation_cents,
+         |    CAST(sum(rev_c) AS BIGINT) AS total_cents
+         |  FROM rev GROUP BY 1)
+         |SELECT o_year, nation_cents, total_cents,
+         |  CAST(nation_cents * 1000000 // total_cents AS BIGINT) AS share_ppm
+         |FROM m ORDER BY o_year""".stripMargin,
 
     "q10_returned_items" ->
       s"""SELECT c_custkey, c_name,
