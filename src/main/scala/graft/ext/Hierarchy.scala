@@ -42,11 +42,17 @@ object Hierarchy {
       .select(col("node"),
         coalesce(col("parent"), col("node")).as("ptr"),
         when(col("parent").isNull, 0L).otherwise(1L).as("d"))
-    val done = (1 to rounds).foldLeft(init) { (st, _) =>
+    val done = (1 to rounds).foldLeft(init) { (st0, _) =>
       // Jump: compose each pointer with the pointer OF its pointer —
       // one shuffled equi-join on the ancestor key per round. Converged
       // states (ptr at a root) compose with the root's identity state
-      // and stay fixed.
+      // and stay fixed. The state is localCheckpoint'd first: the
+      // self-join references it TWICE, so composing lazily would double
+      // the plan tree every round (2^r − 1 joins by round r — measured
+      // 31 at r=4 before the cut); materializing the node-scale state
+      // keeps each round one join, the same lineage discipline as the
+      // connected-components loop.
+      val st = st0.localCheckpoint()
       val nxt = st.select(col("node").as("j_node"), col("ptr").as("j_ptr"),
         col("d").as("j_d"))
       st.join(nxt, col("ptr") === col("j_node"))

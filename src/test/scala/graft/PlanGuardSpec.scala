@@ -125,4 +125,84 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.lastIndexOf("HashAggregate") > winIdx,
       "expected the per-customer aggregate below the ntile window")
   }
+
+  test("q5/q7/q8 push their date filters and never go cartesian") {
+    for (q <- Seq("q5_local_volume", "q7_volume_shipping", "q8_market_share")) {
+      val p = plan(q)
+      assert(p.contains("PushedFilters"), s"$q: no pushed scan filters")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian join")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: nested loop")
+    }
+  }
+
+  test("q18 filters the per-order aggregate BEFORE joining back") {
+    val p = plan("q18_large_orders")
+    // The qty > 300 filter must sit over the aggregate, below the join:
+    // plans print top-down, so the aggregate-side filter appears after
+    // the first join node.
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0)
+    assert(p.lastIndexOf("HashAggregate") > joinIdx,
+      "per-order aggregate not below the join (probe side would be full fact)")
+  }
+
+  test("q21 plans orderkey-clustered aggregates, no semi/anti pair joins") {
+    val p = plan("q21_sole_late")
+    assert(!p.contains("LeftSemi"), "decorrelated form regressed to semi join")
+    assert(!p.contains("LeftAnti"), "decorrelated form regressed to anti join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("multi_distinct plans one Expand, not three scans") {
+    val p = plan("multi_distinct")
+    assert(p.contains("Expand"), "multi-distinct lost its Expand plan")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected one lineitem scan, got $scans")
+  }
+
+  test("nullsafe_join stays a hash join (EqualNullSafe keys)") {
+    val p = plan("nullsafe_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "null-safe join fell out of the hash/merge families")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("window_shapes runs its windows over the post-aggregate frame") {
+    val p = plan("window_shapes")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0)
+    assert(p.lastIndexOf("HashAggregate") > winIdx,
+      "windows must sit above the (brand, month) aggregate")
+  }
+
+  test("hierarchy_flatten's final plan is ONE join over checkpointed state") {
+    val p = plan("hierarchy_flatten")
+    assert(!p.contains("CartesianProduct"))
+    // Earlier doubling rounds materialize via localCheckpoint (lineage
+    // cut — composing lazily doubles the tree to 2^r − 1 joins); the
+    // visible plan is the LAST round's single self-join over the
+    // checkpointed state.
+    val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r.findAllIn(p).size
+    assert(joins === 1, s"expected 1 join over checkpointed state, got $joins")
+  }
+
+  test("stock_sim plans one part-key exchange for the sorted-group fold") {
+    val p = plan("stock_sim")
+    assert(p.contains("FlatMapGroupsInR") || p.contains("MapGroups") ||
+      p.contains("mapGroups") || p.contains("FlatMapGroups"),
+      "sorted-group fold operator missing from plan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("repeat_affinity joins on order keys only (no part-pair cartesian)") {
+    val p = plan("repeat_affinity")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("multi_touch's pair join is user-keyed with the range as residual") {
+    val p = plan("multi_touch")
+    assert(!p.contains("CartesianProduct"), "range predicate lost its equi key")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }
