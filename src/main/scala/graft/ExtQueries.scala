@@ -1007,6 +1007,26 @@ object ExtQueries {
         .orderBy("digit")
     }),
 
+    // Hierarchy — percent-of-parent rollup: each part's exact-ppm share
+    // of its ROOT category's revenue (the drill-down report the flatten
+    // exists for). Revenue aggregates once on (node, root); the root
+    // totals reuse that frame; the share is integer DIV ppm.
+    "hierarchy_share" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .select(col("l_partkey"),
+          expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
+            .as("rev_c"))
+        .join(Hierarchy.flatten(partForest(s, dir)),
+          col("l_partkey") === col("node"))
+        .groupBy("node", "root").agg(sum("rev_c").as("node_cents"))
+      val roots = rev.groupBy("root").agg(sum("node_cents").as("root_cents"))
+      rev.join(roots, "root")
+        .withColumn("share_ppm",
+          expr("CAST(node_cents * 1000000 DIV root_cents AS BIGINT)"))
+        .select("root", "node", "node_cents", "root_cents", "share_ppm")
+        .orderBy("root", "node")
+    }),
+
     // Retail — RFM customer segmentation: deterministic quintile scores
     // over the per-customer order aggregate (see Retail.rfmSegments for
     // the ntile determinism argument and the global-window scale note).
@@ -2569,6 +2589,27 @@ object ExtQueries {
          |  CAST(count(DISTINCT node) AS BIGINT) AS n_parts
          |FROM lineitem JOIN flat ON l_partkey = node
          |GROUP BY 1 ORDER BY revenue_cents DESC, root LIMIT 10""".stripMargin,
+
+    "hierarchy_share" ->
+      s"""WITH RECURSIVE e AS (SELECT p_partkey AS node, p_partkey // 10 AS parent
+         |    FROM part WHERE p_partkey >= 10),
+         |n AS (SELECT DISTINCT node FROM (
+         |  SELECT node FROM e UNION ALL SELECT parent FROM e)),
+         |w AS (SELECT node AS node0, node AS cur, CAST(0 AS BIGINT) AS d FROM n
+         |  UNION ALL
+         |  SELECT w.node0, e.parent, w.d + 1 FROM w JOIN e ON w.cur = e.node),
+         |flat AS (SELECT node0 AS node, cur AS root, d AS depth FROM w
+         |  WHERE cur NOT IN (SELECT node FROM e)),
+         |rev AS (SELECT node, root,
+         |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+         |      AS BIGINT)) AS BIGINT) AS node_cents
+         |  FROM lineitem JOIN flat ON l_partkey = node GROUP BY 1, 2),
+         |roots AS (SELECT root, CAST(sum(node_cents) AS BIGINT) AS root_cents
+         |  FROM rev GROUP BY 1)
+         |SELECT rev.root, node, node_cents, root_cents,
+         |  CAST(node_cents * 1000000 // root_cents AS BIGINT) AS share_ppm
+         |FROM rev JOIN roots ON rev.root = roots.root
+         |ORDER BY rev.root, node""".stripMargin,
 
     "stock_sim" ->
       s"""WITH RECURSIVE sold AS (SELECT l_partkey AS part,
