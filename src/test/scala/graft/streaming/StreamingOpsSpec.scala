@@ -748,6 +748,31 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late data past the watermark is DROPPED and ACCOUNTED, not silently merged") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.hourlyRollupStream(mem.toDF())
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("update").start()
+    try {
+      // Advance the watermark to 11:30 (12:00 − 30m lateness).
+      mem.addData(Ev(1L, ts("2024-01-01 12:00:00"), 1L, "view", 1.0))
+      q.processAllAvailable()
+      // 09:00 is hopelessly late → dropped, and the drop must be
+      // VISIBLE in the progress metrics (the ops contract: silent loss
+      // is unacceptable on a 100 TB/day feed — this metric is what a
+      // monitor alerts on).
+      mem.addData(Ev(2L, ts("2024-01-01 09:00:00"), 1L, "view", 5.0))
+      q.processAllAvailable()
+      val hours = spark.table("late_out")
+        .select("hour_start").as[Timestamp].collect().map(_.toString).toSet
+      assert(hours.forall(_.startsWith("2024-01-01 12")), s"late row leaked: $hours")
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped === 1L, s"expected 1 accounted drop, metrics said $dropped")
+    } finally q.stop()
+  }
+
   test("IdempotentSink: a replayed batchId is a no-op for addition merges") {
     import org.apache.spark.sql.DataFrame
     var store = Seq.empty[(String, Long)].toDF("k", "v")
