@@ -731,6 +731,30 @@ object ExtQueries {
         .orderBy("event_id")
     }),
 
+    // X3 DQ — embedding-store audit: the pre-flight QA before any ANN
+    // index build. Dimension consistency, zero vectors (cosine is
+    // undefined — they poison centroid training), and non-finite
+    // elements (the portable predicate NOT(x − x = 0) catches BOTH NaN
+    // and ±Inf on either engine), plus the norm envelope. One per-row
+    // projection + a 1-row aggregate; norm² is the same sequential
+    // left-fold both engines use for the green cosine family.
+    "embedding_audit" -> ((s, dir) => {
+      val per = Tables.embeddings(s, dir).select(
+        size(col("embedding")).as("dims"),
+        expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+          .as("norm2"),
+        expr("exists(embedding, x -> NOT (x - x = CAST(0 AS FLOAT)))")
+          .as("nonfinite"))
+      per.agg(
+        count(lit(1)).as("n_vectors"),
+        min("dims").as("min_dims"), max("dims").as("max_dims"),
+        sum(when(col("norm2") === 0d, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("nonfinite"), 1L).otherwise(0L)).as("n_nonfinite"),
+        TextOps.trunc6(min(sqrt(col("norm2")))).as("min_norm_6dp"),
+        TextOps.trunc6(max(sqrt(col("norm2")))).as("max_norm_6dp"))
+        .orderBy("n_vectors")
+    }),
+
     // Stats — Pearson correlation of quantity vs discount per return
     // flag, from EXACT integer moments (bit-identical cross-engine;
     // only the final r touches FP, and IEEE exactly-rounded ops on
@@ -2147,6 +2171,22 @@ object ExtQueries {
       s"""SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
          |  count(*) AS n_events, round(sum(value), 4) AS sum_value
          |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "embedding_audit" ->
+      s"""WITH per AS (SELECT len(embedding) AS dims,
+         |    list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))
+         |      AS norm2,
+         |    len(list_filter(embedding, x -> NOT (x - x = 0))) > 0
+         |      AS nonfinite
+         |  FROM embeddings)
+         |SELECT count(*) AS n_vectors,
+         |  min(dims) AS min_dims, max(dims) AS max_dims,
+         |  CAST(sum(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |  CAST(sum(CASE WHEN nonfinite THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_nonfinite,
+         |  floor(min(sqrt(norm2)) * 1000000) / 1000000 AS min_norm_6dp,
+         |  floor(max(sqrt(norm2)) * 1000000) / 1000000 AS max_norm_6dp
+         |FROM per ORDER BY n_vectors""".stripMargin,
 
     "qty_discount_corr" ->
       s"""WITH g AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
