@@ -755,6 +755,47 @@ object ExtQueries {
         .orderBy("n_vectors")
     }),
 
+    // Stats — supplier revenue CONCENTRATION (Gini index in exact ppm):
+    // G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted
+    // per-supplier revenue. Everything stays BIGINT on the DOLLAR grid
+    // (cents would push 2·Σi·x·1e6 past 2⁶³ at scale — the documented
+    // rescale) until the single ppm DIV. One supplier-scale aggregate,
+    // one rank window over the |suppliers| frame, one 1-row finish.
+    "supplier_concentration" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .groupBy("l_suppkey")
+        .agg(expr(
+          "CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) DIV 100 AS BIGINT)")
+          .as("dollars"))
+      val ranked = rev.withColumn("i", row_number().over(
+        Window.orderBy(col("dollars"), col("l_suppkey"))).cast("long"))
+      ranked.agg(
+        count(lit(1)).as("n_suppliers"),
+        sum("dollars").as("total_dollars"),
+        sum(col("i") * col("dollars")).as("s1"))
+        .withColumn("gini_ppm", expr(
+          "CAST((2 * s1 - (n_suppliers + 1) * total_dollars) * 1000000" +
+            " DIV (n_suppliers * total_dollars) AS BIGINT)"))
+        .select("n_suppliers", "total_dollars", "gini_ppm")
+        .orderBy("n_suppliers")
+    }),
+
+    // X4 DQ — near-dup rate per corpus source: which feed pollutes the
+    // pool. Documents left-join the component labels (only docs WITH
+    // near-dups carry one); the per-source census reports the exact-ppm
+    // dup share. Shares the signature store.
+    "dup_rate_by_source" -> ((s, dir) => {
+      val groups = Dedup.dupGroupsFromHashes(minhashStore(s, dir),
+        bands = Some(minhashBandsStore(s, dir)))
+      Tables.documents(s, dir).select("doc_id", "source")
+        .join(groups.select("doc_id", "group_id"), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("group_id").isNotNull, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_ppm", expr("CAST(n_dup * 1000000 DIV n_docs AS BIGINT)"))
+        .orderBy("source")
+    }),
+
     // Stats — Pearson correlation of quantity vs discount per return
     // flag, from EXACT integer moments (bit-identical cross-engine;
     // only the final r touches FP, and IEEE exactly-rounded ops on
@@ -2187,6 +2228,33 @@ object ExtQueries {
          |  floor(min(sqrt(norm2)) * 1000000) / 1000000 AS min_norm_6dp,
          |  floor(max(sqrt(norm2)) * 1000000) / 1000000 AS max_norm_6dp
          |FROM per ORDER BY n_vectors""".stripMargin,
+
+    "supplier_concentration" ->
+      s"""WITH rev AS (SELECT l_suppkey,
+         |    CAST(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+         |      AS BIGINT)) AS BIGINT) // 100 AS BIGINT) AS dollars
+         |  FROM lineitem GROUP BY 1),
+         |r AS (SELECT dollars, CAST(row_number() OVER (
+         |    ORDER BY dollars, l_suppkey) AS BIGINT) AS i FROM rev),
+         |m AS (SELECT count(*) AS n_suppliers,
+         |    CAST(sum(dollars) AS BIGINT) AS total_dollars,
+         |    CAST(sum(i * dollars) AS BIGINT) AS s1 FROM r)
+         |SELECT n_suppliers, total_dollars,
+         |  CAST((2 * s1 - (n_suppliers + 1) * total_dollars) * 1000000
+         |    // (n_suppliers * total_dollars) AS BIGINT) AS gini_ppm
+         |FROM m ORDER BY n_suppliers""".stripMargin,
+
+    "dup_rate_by_source" -> {
+      s"""WITH RECURSIVE ${minhashCtes()},
+         |$dupGroupCtes
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN lbl.group_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dup,
+         |  CAST(CAST(sum(CASE WHEN lbl.group_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+         |FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.doc_id
+         |GROUP BY 1 ORDER BY source""".stripMargin
+    },
 
     "qty_discount_corr" ->
       s"""WITH g AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
