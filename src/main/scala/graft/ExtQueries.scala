@@ -1092,6 +1092,30 @@ object ExtQueries {
         .orderBy("root", "node")
     }),
 
+    // Retail — cohort REVENUE curve (the CLV face of retention_cohorts'
+    // activity matrix): customers anchor on their first-order month;
+    // every later order lands in (cohort_month, months_since) on the
+    // exact integer month grid (y·12+m arithmetic — no date
+    // subtraction ambiguity), then a cumulative window per cohort turns
+    // per-offset revenue into the lifetime-value curve. The windows run
+    // over the (cohorts × offsets) POST-aggregate frame.
+    "cohort_revenue" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("ym"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val anchor = o.groupBy("o_custkey").agg(min("ym").as("anchor_ym"))
+      val cells = o.join(anchor, "o_custkey")
+        .groupBy(col("anchor_ym").as("cohort_ym"),
+          (col("ym") - col("anchor_ym")).as("months_since"))
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("rev_cents"))
+      cells
+        .withColumn("cum_rev_cents", sum("rev_cents").over(
+          Window.partitionBy("cohort_ym").orderBy("months_since")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("cohort_ym", "months_since")
+    }),
+
     // Retail — RFM customer segmentation: deterministic quintile scores
     // over the per-customer order aggregate (see Retail.rfmSegments for
     // the ntile determinism argument and the global-window scale note).
@@ -2228,6 +2252,22 @@ object ExtQueries {
          |  floor(min(sqrt(norm2)) * 1000000) / 1000000 AS min_norm_6dp,
          |  floor(max(sqrt(norm2)) * 1000000) / 1000000 AS max_norm_6dp
          |FROM per ORDER BY n_vectors""".stripMargin,
+
+    "cohort_revenue" ->
+      s"""WITH o AS (SELECT o_custkey,
+         |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders),
+         |a AS (SELECT o_custkey, min(ym) AS anchor_ym FROM o GROUP BY 1),
+         |cells AS (SELECT anchor_ym AS cohort_ym, ym - anchor_ym AS months_since,
+         |    count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS rev_cents
+         |  FROM o JOIN a USING (o_custkey) GROUP BY 1, 2)
+         |SELECT cohort_ym, months_since, n_orders, rev_cents,
+         |  CAST(sum(rev_cents) OVER (PARTITION BY cohort_ym
+         |    ORDER BY months_since
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_rev_cents
+         |FROM cells ORDER BY cohort_ym, months_since""".stripMargin,
 
     "supplier_concentration" ->
       s"""WITH rev AS (SELECT l_suppkey,
