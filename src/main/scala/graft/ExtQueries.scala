@@ -602,10 +602,10 @@ object ExtQueries {
 
     // S-ext — sharded-JSONL round trip: the LLM-corpus interchange path
     // (exportJsonl's gzip shards → pinned-schema readJsonl) must be an
-    // identity on the document table. Unique tmp dir per invocation —
-    // the csv_roundtrip concurrency rule.
+    // identity on the document table. Deterministic per-run dir — the
+    // csv_roundtrip rule (see [[graft.Scratch]]).
     "jsonl_roundtrip" -> ((s, dir) => {
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft-jsonl-${java.util.UUID.randomUUID}"
+      val tmp = Scratch.dir("jsonl")
       val docs = Tables.documents(s, dir)
       Corpus.exportJsonl(docs, tmp)
       Corpus.readJsonl(s, tmp, docs.schema)
@@ -616,7 +616,7 @@ object ExtQueries {
     // S-ext — ORC round trip: the second Spark-native columnar codec
     // (warehouse interchange), schema carried by the format itself.
     "orc_roundtrip" -> ((s, dir) => {
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft-orc-${java.util.UUID.randomUUID}"
+      val tmp = Scratch.dir("orc")
       Tables.documents(s, dir).write.mode("overwrite").orc(tmp)
       s.read.orc(tmp)
         .select("doc_id", "text", "lang", "source", "n_chars")

@@ -2,7 +2,14 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc plan/timing probe (not part of the driver contract). */
+/** Ad-hoc plan/timing probe (not part of the driver contract).
+  *
+  * DEV-ONLY entry point: never invoked by Verify/Bench or any query
+  * path. The whole-result `collect()` below is deliberate — the point
+  * is to force execution and read the final AQE plan on a sf0.1 frame
+  * small enough to hold on the driver; nothing here informs the
+  * engine's scale posture.
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = Tables.sessionDefaults.foldLeft(SparkSession.builder()

@@ -113,9 +113,10 @@ object SparkEntry {
     // Round-trips one day of raw sales through CSV to exercise the real
     // text parse path; result must equal stage_sales exactly.
     "csv_roundtrip" -> ((s, dir) => {
-      // Unique per-invocation dir: a fixed shared path would let
-      // concurrent Bench/Verify runs clobber each other mid-read.
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft-csv-${java.util.UUID.randomUUID}"
+      // Per-run deterministic dir (PID-namespaced, exit-cleaned):
+      // repeated Verify/Bench passes overwrite in place, concurrent
+      // JVMs land in different roots. See [[graft.Scratch]].
+      val tmp = Scratch.dir("csv")
       RetailMapping.rawSales(s, dir, D)
         .write.mode("overwrite").option("header", "true").csv(tmp)
       val raw = graft.sources.CsvIngest.read(s, tmp, Schemas.posSalesRaw)
@@ -129,7 +130,7 @@ object SparkEntry {
     // DATE by the pinned schema, then staged per day. At scale this is
     // what makes a one-day run a partition-pruned read of the raw zone.
     "csv_partitioned" -> ((s, dir) => {
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft-csvpart-${java.util.UUID.randomUUID}"
+      val tmp = Scratch.dir("csvpart")
       Seq(D, N).foreach { d =>
         RetailMapping.rawSales(s, dir, d)
           .write.mode("overwrite").option("header", "true").csv(s"$tmp/date=$d")
@@ -414,7 +415,7 @@ object SparkEntry {
     // stands in for the warehouse's stored MV; at 100 TB the delta is
     // one partition of the raw zone and the store is facts/day-sized.
     "rollup_maintenance" -> ((s, dir) => {
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft-mv-${java.util.UUID.randomUUID}"
+      val tmp = Scratch.dir("mv")
       RetailMapping.dailyQty(s, dir, From, D)
         .groupBy("sku").agg(sum("qty").as("qty"))
         .write.mode("overwrite").parquet(tmp)
@@ -442,7 +443,7 @@ object SparkEntry {
         o.join(cust, col("o_custkey") === col("c_custkey"))
           .select(col("o_orderkey"), col("c_mktsegment"),
             expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft-jmv-${java.util.UUID.randomUUID}"
+      val tmp = Scratch.dir("jmv")
       enrich(Tables.orders(s, dir).where(col("o_orderdate") < cut))
         .write.mode("overwrite").parquet(tmp)
       val stored = s.read.parquet(tmp)
@@ -460,7 +461,7 @@ object SparkEntry {
     // At scale schema merge is a footer-only planning cost; production
     // pins the merged schema once discovered.
     "schema_evolution" -> ((s, dir) => {
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft-evo-${java.util.UUID.randomUUID}"
+      val tmp = Scratch.dir("evo")
       RetailMapping.rawSales(s, dir, D)
         .write.mode("overwrite").parquet(s"$tmp/day=$D")
       RetailMapping.rawSales(s, dir, N)

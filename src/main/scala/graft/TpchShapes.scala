@@ -276,8 +276,11 @@ object TpchShapes {
     // derives the common `p_size >= 1` + quantity-range bounds as
     // pushed scan filters. One 1-row aggregate out.
     "q19_flex_predicate" -> ((s, dir) => {
+      // Raw (uncast) quantity in the band predicates — the oracle
+      // compares raw l_quantity, and a long cast would truncate 20.5
+      // into the 10–20 band here while DuckDB rejects it.
       val li = Tables.lineitem(s, dir).select(col("l_partkey"),
-        col("l_quantity").cast("long").as("q"), revC.as("rev_c"))
+        col("l_quantity").as("q"), revC.as("rev_c"))
       val p = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
       li.join(p, col("l_partkey") === col("p_partkey"))
         .where(

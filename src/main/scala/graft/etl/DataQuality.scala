@@ -129,8 +129,11 @@ object DataQuality {
       "observed() accepts row-local rules only (NotNull/InRange/Accepted); " +
         "UniqueKey/ForeignKey need their own passes — use check()")
     val obs = org.apache.spark.sql.Observation("dq")
+    // coalesce matches check()'s empty-input contract: a bare sum over
+    // an empty micro-batch/load is NULL, and callers reading the
+    // observation as Long would NPE.
     val aggs = rowRules.map { case (n, pred) =>
-      sum(when(pred, 1L).otherwise(0L)).as(n)
+      coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).as(n)
     }
     (df.observe(obs, aggs.head, aggs.tail: _*), obs)
   }

@@ -683,8 +683,18 @@ object StreamingOps {
     if (keep.isEmpty && stillPending.isEmpty) state.remove()
     else {
       state.update(RollBuf(keep, stillPending))
-      if (stillPending.nonEmpty)
-        state.setTimeoutTimestamp(math.max(wm + 1, stillPending.map(_.ts.getTime).min + 1))
+      // Event-only state must self-evict too: without a timeout a key
+      // whose last arrival is a non-purchase event holds its buffer
+      // until new data happens to arrive for it, breaking the
+      // O((frame)×rate) state bound. The expiry instant is when the
+      // newest kept event falls out of every possible future frame.
+      val evictAt =
+        if (keep.isEmpty) Long.MaxValue
+        else (keep.map(e => micros(e.ts)).max + frameUs) / 1000L + 1
+      val pendAt =
+        if (stillPending.isEmpty) Long.MaxValue
+        else stillPending.map(_.ts.getTime).min + 1
+      state.setTimeoutTimestamp(math.max(wm + 1, math.min(evictAt, pendAt)))
     }
     out.iterator
   }
@@ -750,8 +760,20 @@ object StreamingOps {
     if (keep.isEmpty && stillPending.isEmpty) state.remove()
     else {
       state.update(AsOfBuf(keep, stillPending))
-      if (stillPending.nonEmpty)
-        state.setTimeoutTimestamp(math.max(wm + 1, stillPending.map(_.ts.getTime).min + 1))
+      // View-only state self-evicts: a kept view dies once
+      // micros(view_ts) < wm·1000 − window, so schedule the timeout at
+      // that instant (the timeout callback re-runs this handler with an
+      // empty iterator, the keep filter drops it, state removes).
+      // Without this, a user whose last events are views pins the
+      // buffer forever — the O((lateness+window)×rate) bound only
+      // holds if eviction is watermark-driven, not arrival-driven.
+      val evictAt =
+        if (keep.isEmpty) Long.MaxValue
+        else (keep.map(v => micros(v.view_ts)).max + winMicros) / 1000L + 1
+      val pendAt =
+        if (stillPending.isEmpty) Long.MaxValue
+        else stillPending.map(_.ts.getTime).min + 1
+      state.setTimeoutTimestamp(math.max(wm + 1, math.min(evictAt, pendAt)))
     }
     out.iterator
   }
@@ -790,8 +812,24 @@ object StreamingOps {
     if (keep.isEmpty && stillPending.isEmpty) state.remove()
     else {
       state.update(AsOfBuf(keep, stillPending))
-      if (stillPending.nonEmpty)
-        state.setTimeoutTimestamp(math.max(wm + 1, stillPending.map(_.ts.getTime).min + 1))
+      // With a tolerance, every kept view has a finite horizon
+      // (micros ≥ wm·1000 − tol), so schedule eviction at that instant;
+      // the timeout re-invokes this handler with no rows and the keep
+      // filter clears the buffer. Without a tolerance the newest view
+      // legitimately lives forever (it matches any future purchase) —
+      // that state is a single view per key, O(1), and only a pending
+      // purchase needs a wake-up.
+      val evictAt = tolMicros match {
+        case Some(t) if keep.nonEmpty =>
+          (keep.map(v => micros(v.view_ts)).max + t) / 1000L + 1
+        case _ => Long.MaxValue
+      }
+      val pendAt =
+        if (stillPending.isEmpty) Long.MaxValue
+        else stillPending.map(_.ts.getTime).min + 1
+      val at = math.min(evictAt, pendAt)
+      if (at != Long.MaxValue)
+        state.setTimeoutTimestamp(math.max(wm + 1, at))
     }
     out.iterator
   }

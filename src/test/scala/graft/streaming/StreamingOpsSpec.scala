@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -878,5 +879,45 @@ class StreamingOpsSpec extends SparkSpec {
         .toSet
       assert(out === Set((2L, Some(1L)), (3L, None)))
     } finally q.stop()
+  }
+
+  test("view-only user state self-evicts once the watermark passes its window") {
+    // Regression: a user whose LAST events are views used to pin its
+    // buffer in the state store forever (no timeout was armed unless a
+    // purchase was pending), breaking the O((lateness+window)×rate)
+    // state bound. Eviction must be watermark-driven, not
+    // arrival-driven — assert via the state-operator row count.
+    implicit val sqlCtx = spark.sqlContext
+    def evictedRows(mk: DataFrame => org.apache.spark.sql.streaming.DataStreamWriter[_],
+        name: String): Long = {
+      val mem = MemoryStream[Ev]
+      val q = mk(mem.toDF()).queryName(name).start()
+      try {
+        // User 1 only ever views — nothing will ever emit for it.
+        mem.addData(Ev(1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0))
+        q.processAllAvailable()
+        // Far-future sentinels (distinct user) march the watermark days
+        // past 10:00 + window + lateness; the armed timeout must fire
+        // and clear user 1. Two extra batches: one to advance the
+        // watermark, one for the timeout to run against it.
+        Seq("12:00:00", "13:00:00", "14:00:00").foreach { t =>
+          mem.addData(Ev(99L, ts(s"2024-01-05 $t"), 999L, "view", 0.0))
+          q.processAllAvailable()
+        }
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      } finally q.stop()
+    }
+    // Only the still-live sentinel key may remain in each store.
+    assert(evictedRows(df => StreamingOps.multiTouchStream(df)
+      .writeStream.format("memory").outputMode("append"), "mt_evict") === 1L)
+    assert(evictedRows(df => StreamingOps.rollingFeaturesStream(df)
+      .writeStream.format("memory").outputMode("append"), "roll_evict") === 1L)
+    assert(evictedRows(df => StreamingOps.attributionStream(df,
+        toleranceSec = Some(20 * 60))
+      .writeStream.format("memory").outputMode("append"), "attr_tol_evict") === 1L)
+    // WITHOUT a tolerance the newest view legitimately lives forever
+    // (it matches any future purchase): 2 keys is the designed bound.
+    assert(evictedRows(df => StreamingOps.attributionStream(df)
+      .writeStream.format("memory").outputMode("append"), "attr_evict") === 2L)
   }
 }
