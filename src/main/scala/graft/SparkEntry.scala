@@ -376,18 +376,18 @@ object SparkEntry {
 
     // §2.6 — decile segmentation (ntile + per-decile re-aggregate):
     // customers ranked by lifetime order value, cut into 10 equal-count
-    // buckets. The global ntile window runs over the POST-aggregate
-    // frame — one row per customer, orders of magnitude smaller than
-    // the fact table — so the distributed work (orders scan + agg) is
-    // done before the single range-sorted pass. At extreme dim
-    // cardinality, swap the window for broadcast percentile boundaries;
-    // ntile's equal-count contract is what the oracle checks here.
+    // buckets. The cut runs through Stats.ntileExact — range-partition
+    // + per-partition row_number + P-row offset merge — which is
+    // BIT-IDENTICAL to the global ntile window (the oracle checks
+    // exactly that) but never moves the frame through one task: the
+    // old single-partition sort is gone at ANY customer cardinality,
+    // not just the post-aggregate scale that made it tolerable here.
     "customer_deciles" -> ((s, dir) => {
       val rev = Tables.orders(s, dir)
         .groupBy("o_custkey")
         .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev_cents"))
-      val w = Window.orderBy(col("rev_cents").desc, col("o_custkey"))
-      rev.withColumn("decile", ntile(10).over(w))
+      graft.ext.Stats.ntileExact(rev, 10,
+          Seq(col("rev_cents").desc, col("o_custkey")), tileCol = "decile")
         .groupBy("decile")
         .agg(count(lit(1)).as("n_customers"), sum("rev_cents").as("decile_cents"))
         .orderBy("decile")

@@ -398,14 +398,21 @@ object Retail {
         count(lit(1)).as("n_orders"),
         sum(cents(col("o_totalprice"))).as("total_cents"))
     val anchor = orders.agg(max(col("o_orderdate").cast("date")).as("anchor"))
-    val rW = Window.orderBy(col("recency_days"), col("o_custkey"))
-    val fW = Window.orderBy(col("n_orders").desc, col("o_custkey"))
-    val mW = Window.orderBy(col("total_cents").desc, col("o_custkey"))
-    per.crossJoin(broadcast(anchor))
+    val base = per.crossJoin(broadcast(anchor))
       .withColumn("recency_days", datediff(col("anchor"), col("last_order")).cast("long"))
-      .withColumn("r", ntile(5).over(rW).cast("long"))
-      .withColumn("f", ntile(5).over(fW).cast("long"))
-      .withColumn("m", ntile(5).over(mW).cast("long"))
+    // Each quintile cut through Stats.ntileExact: bit-identical to the
+    // global ntile window the oracle computes, but range-partitioned —
+    // three parallel passes over the customer frame, zero
+    // single-partition sorts at any cardinality.
+    val r = Stats.ntileExact(base, 5,
+      Seq(col("recency_days"), col("o_custkey")), "__t")
+      .withColumn("r", col("__t").cast("long")).drop("__t")
+    val f = Stats.ntileExact(r, 5,
+      Seq(col("n_orders").desc, col("o_custkey")), "__t")
+      .withColumn("f", col("__t").cast("long")).drop("__t")
+    Stats.ntileExact(f, 5,
+      Seq(col("total_cents").desc, col("o_custkey")), "__t")
+      .withColumn("m", col("__t").cast("long")).drop("__t")
       .withColumn("segment", concat(col("r"), col("f"), col("m")))
       .select("o_custkey", "recency_days", "n_orders", "total_cents",
         "r", "f", "m", "segment")

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -108,6 +108,84 @@ object Stats {
     cum
       .groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** EXACT global row numbers WITHOUT a single-partition sort — the
+    * scale-safe form of `row_number() OVER (ORDER BY …)`. A global
+    * window moves the whole frame through one task; this instead:
+    *
+    *  1. `repartitionByRange` on the order key — Spark's range exchange
+    *     samples the key distribution and assigns every row to one of P
+    *     ORDERED, NON-OVERLAPPING key ranges (each partition's keys all
+    *     precede the next partition's);
+    *  2. a PER-PARTITION `row_number` window (P-way parallel — the
+    *     window's partition spec is the materialized range-partition
+    *     id, never empty);
+    *  3. per-partition counts collapse to a P-row frame whose running
+    *     sum gives each partition's global offset — the only global
+    *     sort left runs over P rows (the partition COUNT, a planner
+    *     constant, not the data), and joins back broadcast.
+    *
+    * global rank = partition offset + local row number, exactly the
+    * single-partition answer as long as `order` is a TOTAL order
+    * (include a unique tiebreaker; with ties the split across a range
+    * boundary would be arbitrary). Cost: one range exchange + one hash
+    * exchange of the frame, both fully parallel — at 1000 executors the
+    * former 1-task sort becomes 1000 tasks.
+    *
+    * Returns the input plus `rankCol` (1-based, BIGINT) and a
+    * `__gr_n`-named total-count column (callers deriving ntile/percent
+    * rank need n anyway; drop it otherwise).
+    */
+  def globalRowNumber(df: DataFrame, order: Seq[Column],
+      rankCol: String = "rank", partitions: Int = 0): DataFrame = {
+    require(order.nonEmpty, "globalRowNumber needs at least one order column")
+    val p = if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(p, order: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+    val wLocal = Window.partitionBy("__gr_pid").orderBy(order: _*)
+    val local = ranged.withColumn("__gr_lrn", row_number().over(wLocal))
+    // P-row side frame: per-range counts → exclusive running offsets.
+    // The empty-partition-spec windows here are deliberate and safe:
+    // they sort P rows, not the data.
+    val counts = ranged.groupBy("__gr_pid").agg(count(lit(1)).as("__gr_cnt"))
+    val wOff = Window.orderBy("__gr_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__gr_off", coalesce(sum("__gr_cnt").over(wOff), lit(0L)))
+      .withColumn("__gr_n", sum("__gr_cnt").over(
+        Window.orderBy("__gr_pid").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("__gr_pid", "__gr_off", "__gr_n")
+    local.join(broadcast(offsets), "__gr_pid")
+      .withColumn(rankCol, col("__gr_off") + col("__gr_lrn"))
+      .drop("__gr_pid", "__gr_lrn", "__gr_off")
+  }
+
+  /** EXACT `ntile(k) OVER (ORDER BY …)` without the single-partition
+    * sort: ntile is a pure function of (global rank, total count) —
+    * with n rows the first n mod k buckets take ⌈n/k⌉ rows and the rest
+    * ⌊n/k⌋ — so it reconstructs from [[globalRowNumber]] by integer
+    * arithmetic, bit-identical to the window function (the oracle's
+    * ntile checks that, not an approximation). Requires a total order
+    * for the same reason. For percentile CUTS (not equal-count tiles)
+    * at even larger scale, [[histogramQuantiles]] stays the
+    * sketch-based alternative.
+    */
+  def ntileExact(df: DataFrame, k: Int, order: Seq[Column],
+      tileCol: String = "tile"): DataFrame = {
+    require(k >= 1, "ntile needs k >= 1")
+    val qq = s"(__gr_n div $k)"          // floor bucket size
+    val rem = s"(__gr_n % $k)"           // buckets that take one extra
+    val thr = s"($rem * ($qq + 1))"      // rows covered by the big buckets
+    globalRowNumber(df, order, rankCol = "__gr_rank")
+      .withColumn(tileCol,
+        when(expr(s"__gr_rank <= $thr"),
+          expr(s"(__gr_rank - 1) div ($qq + 1) + 1"))
+          .otherwise(expr(s"$rem + (__gr_rank - $thr - 1) div $qq + 1"))
+          .cast("int"))
+      .drop("__gr_rank", "__gr_n")
   }
 
   /** Numeric column profile — the data-profiling sweep a warehouse runs

@@ -114,16 +114,28 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("PushedFilters"), "shipdate bound not pushed")
   }
 
-  test("customer_deciles aggregates before its global ntile window") {
+  test("customer_deciles cuts deciles distributed — no global ntile sort") {
     val p = plan("customer_deciles")
-    // the single-partition ntile window must sit ABOVE a per-customer
-    // hash aggregate (a window over raw orders would serialize the
-    // fact scan); plans print top-down, so an aggregate BELOW the
-    // window appears AFTER it in the string
-    val winIdx = p.indexOf("Window")
-    assert(winIdx >= 0, "no window in plan")
-    assert(p.lastIndexOf("HashAggregate") > winIdx,
-      "expected the per-customer aggregate below the ntile window")
+    // r9: the cut goes through Stats.ntileExact — a range exchange plus
+    // a row_number window PARTITIONED by the range-partition id. The
+    // old plan's single-partition ntile window over the whole customer
+    // frame must never come back.
+    assert(!p.contains("ntile("), "global ntile window reappeared")
+    assert(p.contains("rangepartitioning"),
+      "expected the range exchange of the distributed rank")
+    assert(p.contains("__gr_pid"),
+      "expected the row_number window keyed by the range-partition id")
+    // the per-customer aggregate still runs below the rank machinery
+    assert(p.contains("HashAggregate"), "per-customer aggregate missing")
+  }
+
+  test("rfm_segments runs its three quintile cuts distributed") {
+    val p = plan("rfm_segments")
+    assert(!p.contains("ntile("), "global ntile window reappeared")
+    assert(p.contains("rangepartitioning"),
+      "expected range exchanges for the distributed quintile cuts")
+    assert(p.contains("__gr_pid"),
+      "expected range-partition-keyed row_number windows")
   }
 
   test("q5/q7/q8 push their date filters and never go cartesian") {

@@ -1,5 +1,7 @@
 package graft.ext
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 /** [[Stats.groupQuantiles]] — discrete type-1 quantiles: hand-computed
@@ -60,5 +62,38 @@ class StatsSpec extends SparkSpec {
     val got = Stats.groupQuantiles(df, Seq("g"), "v", Seq(100))
       .as[(String, Double)].collect().head
     assert(got === (("g", 3.0)))
+  }
+
+  test("globalRowNumber equals the single-partition row_number window") {
+    import org.apache.spark.sql.expressions.Window
+    // Sizes straddling the partition count (32), including n < P,
+    // n = P, and a frame much larger than P, plus duplicate VALUES
+    // (the unique id tiebreaker keeps the order total).
+    for (n <- Seq(1, 7, 32, 33, 1000)) {
+      val df = (1 to n).map(i => (i.toLong, (i * 7919) % 97)).toDF("id", "v")
+      val order = Seq(col("v").desc, col("id"))
+      val got = Stats.globalRowNumber(df, order)
+        .select("id", "rank").as[(Long, Long)].collect().toMap
+      val want = df.withColumn("rank",
+          row_number().over(Window.orderBy(col("v").desc, col("id"))).cast("long"))
+        .select("id", "rank").as[(Long, Long)].collect().toMap
+      assert(got === want, s"rank mismatch at n=$n")
+    }
+  }
+
+  test("ntileExact is bit-identical to the ntile window for every k and n") {
+    import org.apache.spark.sql.expressions.Window
+    // Covers n < k (each row its own tile), n = k, remainder buckets
+    // (n mod k != 0), and exact division.
+    for (n <- Seq(3, 10, 25, 100, 1001); k <- Seq(4, 5, 10)) {
+      val df = (1 to n).map(i => (i.toLong, (i * 6151) % 53)).toDF("id", "v")
+      val order = Seq(col("v"), col("id"))
+      val got = Stats.ntileExact(df, k, order)
+        .select("id", "tile").as[(Long, Int)].collect().toMap
+      val want = df.withColumn("tile",
+          ntile(k).over(Window.orderBy(col("v"), col("id"))))
+        .select("id", "tile").as[(Long, Int)].collect().toMap
+      assert(got === want, s"tile mismatch at n=$n k=$k")
+    }
   }
 }
