@@ -43,7 +43,12 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
+    // Optional comma-separated name filter — local iteration and the
+    // scale-up validation run (top-N subset at sf1) use it; the driver
+    // never sets it, so driver benches always cover the full set.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)

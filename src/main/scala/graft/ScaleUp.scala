@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up synthesizer — builds an sf1-equivalent (~10×)
+  * dataset from the sf0.1 seed ENTIRELY inside Spark, for the scale-up
+  * validation run (VERDICT r9 "Next round" #1). No RNG: copy `i` of each
+  * fact/dim row is the seed row with its keys shifted by `i × stride`
+  * (stride = the seed table's dense key-domain size), so every foreign
+  * key lands on the same-copy parent and all join/aggregate semantics of
+  * the seed replay exactly, 10× over. Per-copy content transforms keep
+  * the INTRA-copy statistics of the seed while preventing spurious
+  * CROSS-copy duplicates (which would turn a 10× corpus into a 90%-dup
+  * corpus and measure a different regime than "10× more data"):
+  *
+  *   - `documents.text`: every token gets a `_i` suffix for copy i>0 —
+  *     token/shingle sets become disjoint across copies, so the seed's
+  *     dup-rate and group-size distribution is preserved at 10× rows
+  *     (what a real 10× crawl looks like), not inflated to all-dups.
+  *   - `embeddings.embedding`: the vector is ROTATED by `(i·7) mod 64`
+  *     positions — norm-preserving, deterministic, and rotated copies
+  *     decorrelate, so ANN cell occupancy grows ~10× instead of every
+  *     cell holding 10 identical points.
+  *   - names (`c_name`/`p_name`/`s_name`) get a `-i` suffix so
+  *     name-keyed ops (fuzzy match blocking, dim dedup) keep one
+  *     distinct name per key.
+  *
+  * region/nation stay fixed (TPC-H semantics: they never scale), which
+  * is exactly what makes the BHJ-vs-SMJ flip observable: bounded dims
+  * stay broadcastable at any sf while customer/supplier cross the
+  * autoBroadcast threshold.
+  *
+  * Writes one parquet dir per table under the target dir (same layout
+  * the Tables loader expects). Usage:
+  *   SPARK_GRAFT_SCALE_FACTOR=10 sbt "runMain graft.ScaleUp"
+  */
+object ScaleUp {
+  // Dense 0-based key-domain sizes of the sf0.1 seed (verified against
+  // the data: max key + 1).
+  private val strides = Map(
+    "orders" -> 150000L, "customer" -> 15000L, "supplier" -> 1000L,
+    "part" -> 20000L, "events" -> 100000L, "user" -> 1500L,
+    "documents" -> 5000L, "embeddings" -> 2000L)
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
+    val dst = sys.env.getOrElse("SPARK_GRAFT_SCALE_DST", "/root/repo/scale-data/sf1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.sessionDefaults.foldLeft(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false"))((b, kv) => b.config(kv._1, kv._2))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    write(spark, src, dst, factor)
+    spark.stop()
+  }
+
+  def write(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+    def save(name: String, df: DataFrame, files: Int): Unit =
+      df.repartition(files).write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    // Fixed dims: copy through unchanged.
+    for (t <- Seq("region", "nation"))
+      Tables(spark, src, t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    save("customer", replicate(spark, src, "customer", factor) { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * strides("customer")))
+        .withColumn("c_name", suffixed(col("c_name"), i))
+    }, 8)
+    save("supplier", replicate(spark, src, "supplier", factor) { (df, i) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(i * strides("supplier")))
+        .withColumn("s_name", suffixed(col("s_name"), i))
+    }, 4)
+    save("part", replicate(spark, src, "part", factor) { (df, i) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(i * strides("part")))
+        .withColumn("p_name", suffixed(col("p_name"), i))
+    }, 8)
+    save("orders", replicate(spark, src, "orders", factor) { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * strides("orders")))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * strides("customer")))
+    }, 16)
+    save("lineitem", replicate(spark, src, "lineitem", factor) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * strides("orders")))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * strides("part")))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * strides("supplier")))
+    }, 32)
+    save("events", replicate(spark, src, "events", factor) { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * strides("events")))
+        .withColumn("user_id", col("user_id") + lit(i * strides("user")))
+    }, 16)
+    save("documents", replicate(spark, src, "documents", factor) { (df, i) =>
+      val text = if (i == 0) col("text")
+        else regexp_replace(col("text"), "(\\S+)", "$1_" + i)
+      df.withColumn("doc_id", col("doc_id") + lit(i * strides("documents")))
+        .withColumn("text", text)
+    }, 16)
+    save("embeddings", replicate(spark, src, "embeddings", factor) { (df, i) =>
+      val rot = (i * 7) % 64
+      val emb = if (rot == 0) col("embedding")
+        else concat(slice(col("embedding"), rot + 1, 64 - rot),
+          slice(col("embedding"), 1, rot))
+      df.withColumn("vec_id", col("vec_id") + lit(i * strides("embeddings")))
+        .withColumn("embedding", emb)
+    }, 8)
+  }
+
+  /** factor key-shifted copies of the seed table, unioned by name. */
+  private def replicate(spark: SparkSession, src: String, name: String,
+      factor: Int)(remap: (DataFrame, Int) => DataFrame): DataFrame = {
+    val seed = Tables(spark, src, name)
+    (0 until factor).map(i => remap(seed, i)).reduce(_.unionByName(_))
+  }
+
+  /** `name` → `name-i` for copy i>0; identity on copy 0. */
+  private def suffixed(c: Column, i: Int): Column =
+    if (i == 0) c else concat(c, lit(s"-$i"))
+}

@@ -142,8 +142,24 @@ object Stats {
     require(order.nonEmpty, "globalRowNumber needs at least one order column")
     val p = if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // PINNED fan-out (ADVICE r9): the window branch and the counts
+    // branch below must observe IDENTICAL range-partition assignments,
+    // but `spark_partition_id()` is nondeterministic and range-boundary
+    // sampling depends on upstream row order — correctness previously
+    // hung on Spark's exchange-reuse dedup'ing the two identical range
+    // exchanges. An EAGER localCheckpoint materializes the ranged frame
+    // (pid included) exactly once and truncates lineage, so both
+    // consumers read the same frozen blocks regardless of plan
+    // canonicalization or AQE re-planning; a lost block fails the job
+    // instead of silently recomputing with different boundaries. (Not
+    // `persist()`: CacheManager entries outlive the query, and its
+    // canonicalized-plan matching would let a later identical query hit
+    // the cache — Bench passes would time cache hits, not plans.)
+    // Cost: one extra materialization of the frame, which is
+    // rank-operator input scale (post-aggregate), not fact scale.
     val ranged = df.repartitionByRange(p, order: _*)
       .withColumn("__gr_pid", spark_partition_id())
+      .localCheckpoint()
     val wLocal = Window.partitionBy("__gr_pid").orderBy(order: _*)
     val local = ranged.withColumn("__gr_lrn", row_number().over(wLocal))
     // P-row side frame: per-range counts → exclusive running offsets.
@@ -179,11 +195,15 @@ object Stats {
     val qq = s"(__gr_n div $k)"          // floor bucket size
     val rem = s"(__gr_n % $k)"           // buckets that take one extra
     val thr = s"($rem * ($qq + 1))"      // rows covered by the big buckets
+    // greatest(qq, 1): when n < k the otherwise-branch is unreachable
+    // (every rank ≤ thr = n), but its divisor must still be nonzero so
+    // correctness never depends on CaseWhen laziness surviving future
+    // ANSI/codegen changes (VERDICT r9 residual note).
     globalRowNumber(df, order, rankCol = "__gr_rank")
       .withColumn(tileCol,
         when(expr(s"__gr_rank <= $thr"),
           expr(s"(__gr_rank - 1) div ($qq + 1) + 1"))
-          .otherwise(expr(s"$rem + (__gr_rank - $thr - 1) div $qq + 1"))
+          .otherwise(expr(s"$rem + (__gr_rank - $thr - 1) div greatest($qq, 1) + 1"))
           .cast("int"))
       .drop("__gr_rank", "__gr_n")
   }

@@ -119,23 +119,42 @@ class PlanGuardSpec extends SparkSpec {
     // r9: the cut goes through Stats.ntileExact — a range exchange plus
     // a row_number window PARTITIONED by the range-partition id. The
     // old plan's single-partition ntile window over the whole customer
-    // frame must never come back.
+    // frame must never come back. r10: the ranged frame is PINNED by an
+    // eager localCheckpoint (ADVICE r9 — both fan-out consumers must
+    // see one frozen partition assignment), so the range exchange runs
+    // in the checkpoint job and the final plan reads the pinned RDD.
     assert(!p.contains("ntile("), "global ntile window reappeared")
-    assert(p.contains("rangepartitioning"),
-      "expected the range exchange of the distributed rank")
+    assert(p.contains("ExistingRDD"),
+      "expected the scan of the pinned (localCheckpoint'd) ranged frame")
     assert(p.contains("__gr_pid"),
       "expected the row_number window keyed by the range-partition id")
-    // the per-customer aggregate still runs below the rank machinery
-    assert(p.contains("HashAggregate"), "per-customer aggregate missing")
   }
 
   test("rfm_segments runs its three quintile cuts distributed") {
     val p = plan("rfm_segments")
     assert(!p.contains("ntile("), "global ntile window reappeared")
-    assert(p.contains("rangepartitioning"),
-      "expected range exchanges for the distributed quintile cuts")
+    assert(p.contains("ExistingRDD"),
+      "expected scans of the pinned ranged frames")
     assert(p.contains("__gr_pid"),
       "expected range-partition-keyed row_number windows")
+  }
+
+  test("ntileExact's range exchange is pinned — exactly one materialization") {
+    // The ADVICE r9 invariant, locked: globalRowNumber's two consumers
+    // (per-range row_number; per-range counts) must observe identical
+    // range-partition assignments. The implementation pins the ranged
+    // frame with an EAGER localCheckpoint, so (a) the checkpointed
+    // plan's RDD is shared — the final plan holds ExistingRDD scans,
+    // and (b) no rangepartitioning exchange remains in the final plan
+    // to be re-executed with resampled boundaries.
+    val df = spark.range(100).selectExpr("id", "id % 7 AS v")
+    val p = ext.Stats.globalRowNumber(df,
+      Seq(org.apache.spark.sql.functions.col("v"),
+        org.apache.spark.sql.functions.col("id")))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ExistingRDD"), "ranged frame no longer pinned")
+    assert(!p.contains("rangepartitioning"),
+      "unpinned range exchange resurfaced in the consuming plan")
   }
 
   test("q5/q7/q8 push their date filters and never go cartesian") {
