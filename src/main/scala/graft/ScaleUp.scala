@@ -60,10 +60,14 @@ object ScaleUp {
   }
 
   def write(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
-    def save(name: String, df: DataFrame, files: Int): Unit =
-      df.repartition(files).write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    // Optional table subset (comma-separated) — the BHJ→SMJ flip capture
+    // only needs the relational star at factor 100, not a 500k-doc corpus.
+    val wanted = sys.env.get("SPARK_GRAFT_SCALE_TABLES").map(_.split(",").toSet)
+    def save(name: String, df: => DataFrame, files: Int): Unit =
+      if (wanted.forall(_.contains(name)))
+        df.repartition(files).write.mode("overwrite").parquet(s"$dst/$name.parquet")
     // Fixed dims: copy through unchanged.
-    for (t <- Seq("region", "nation"))
+    for (t <- Seq("region", "nation") if wanted.forall(_.contains(t)))
       Tables(spark, src, t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
     save("customer", replicate(spark, src, "customer", factor) { (df, i) =>
       df.withColumn("c_custkey", col("c_custkey") + lit(i * strides("customer")))
@@ -91,8 +95,16 @@ object ScaleUp {
         .withColumn("user_id", col("user_id") + lit(i * strides("user")))
     }, 16)
     save("documents", replicate(spark, src, "documents", factor) { (df, i) =>
+      // The per-copy suffix must SURVIVE the text pipeline's
+      // [^a-z0-9]→space tokenizer: an "_i" suffix splits into an
+      // interleaved digit token, which collapses every copy's 2-word
+      // shingle vocabulary to ~2·|vocab| and turns the whole copy into
+      // one genuine near-dup group (measured: 99.6M band candidates at
+      // factor 10 vs the intended ~10×204k). A letter suffix keeps one
+      // token per seed token, so each copy replays the seed's shingle
+      // structure over a disjoint token universe.
       val text = if (i == 0) col("text")
-        else regexp_replace(col("text"), "(\\S+)", "$1_" + i)
+        else regexp_replace(col("text"), "(\\S+)", "$1q" + ('a' + i - 1).toChar)
       df.withColumn("doc_id", col("doc_id") + lit(i * strides("documents")))
         .withColumn("text", text)
     }, 16)

@@ -12,6 +12,14 @@ import java.lang.management.ManagementFactory
   * Bench started together) can never clobber each other mid-read — and
   * the whole per-process root is removed by a JVM shutdown hook, so
   * nothing outlives the run.
+  *
+  * WITHIN one JVM the stable per-tag paths assume the driver runs
+  * queries SEQUENTIALLY (Verify and Bench loop one query at a time;
+  * forked tests run suites serially) — that is what lets pass N+1
+  * overwrite pass N's directory safely. A future PARALLEL runner would
+  * race an overwrite against another query's lazy read of the same tag:
+  * key `dir()` by tag+thread (or revert to per-invocation UUIDs) before
+  * running queries concurrently in-process.
   */
 object Scratch {
   private val pid: String =

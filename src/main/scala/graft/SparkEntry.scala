@@ -633,11 +633,12 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")),
 
     // §2.4 extension — blocked Levenshtein record linkage: a dirty POS
-    // product feed (deterministic tail corruptions planted in-plan on
-    // p_partkey residues: append, truncate, substitute — all dist ≤ 2
-    // and first-token preserving, so the blocking is lossless here)
+    // product feed (deterministic corruptions planted in-plan on
+    // p_partkey residues: append, truncate, substitute — all dist ≤ 2 —
+    // plus a FIRST-TOKEN typo class (%7==3) that single-key first-token
+    // blocking would miss and the r10 second (last-token) pass recovers)
     // matched back to the clean product dim. See FuzzyJoin scaladoc for
-    // the blocking/recall contract at scale.
+    // the composite blocking/recall contract at scale.
     "fuzzy_match" -> ((s, dir) => {
       val dirty = Tables.part(s, dir)
         .withColumn("nm", trim(col("p_name")))
@@ -647,6 +648,8 @@ object SparkEntry {
               expr("substring(nm, 1, length(nm) - 1)"))
             .when(col("p_partkey") % 7 === 2,
               concat(expr("substring(nm, 1, length(nm) - 1)"), lit("#")))
+            .when(col("p_partkey") % 7 === 3,
+              concat(lit("z"), expr("substring(nm, 2)")))
             .otherwise(col("nm")).as("raw_name"))
       val dim = RetailMapping.dimProducts(s, dir).select("sku", "product_name")
       graft.ext.FuzzyJoin.linkage(
@@ -1126,6 +1129,7 @@ object SparkEntry {
          |    WHEN 0 THEN nm || 'x'
          |    WHEN 1 THEN substring(nm, 1, length(nm) - 1)
          |    WHEN 2 THEN substring(nm, 1, length(nm) - 1) || '#'
+         |    WHEN 3 THEN 'z' || substring(nm, 2)
          |    ELSE nm END AS raw_name
          |  FROM src),
          |dim AS (SELECT sku, product_name FROM ($dimSql)),
@@ -1133,6 +1137,7 @@ object SparkEntry {
          |    levenshtein(d.raw_name, m.product_name) AS dist
          |  FROM dirty d JOIN dim m
          |    ON split_part(d.raw_name, ' ', 1) = split_part(m.product_name, ' ', 1)
+         |    OR split_part(d.raw_name, ' ', -1) = split_part(m.product_name, ' ', -1)
          |  WHERE levenshtein(d.raw_name, m.product_name) <= 2),
          |best AS (SELECT *, row_number() OVER (PARTITION BY rec_id
          |    ORDER BY dist, product_name, sku) AS rn FROM cand)

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,23 +11,63 @@ import org.apache.spark.sql.functions._
   * real feeds rarely deserve that trust).
   *
   * Scale design (100 TB): an unblocked fuzzy join is |dirty| × |dim| edit
-  * distances — never viable. This implementation equi-joins on a BLOCKING
-  * KEY (the name's first token) so Spark plans an ordinary hash join, and
-  * only within-block pairs pay `levenshtein()` (codegen'd built-in). The
-  * per-record winner is a bounded `row_number` window (dist, name, key
-  * tiebreak — fully deterministic). Candidate volume is Σ|block_d|·|block_c|;
-  * a skewed block (every name starting with "premium…") degrades to that
-  * block's product, so production corpora want a composite key (first token
-  * + length bucket with adjacent-bucket probing, or q-gram prefix blocking)
-  * and the SaltedJoin treatment on residual hot blocks.
+  * distances — never viable. This implementation equi-joins on COMPOSITE
+  * BLOCKING KEYS so Spark plans an ordinary hash join and only
+  * within-block pairs pay `levenshtein()` (codegen'd built-in):
   *
-  * Recall contract: a pair is only found if the corruption preserves the
-  * blocking key. First-token blocking is lossless for tail corruptions
-  * (appends, truncations, substitutions past the first token) and misses
-  * first-token typos — the standard single-key blocking trade; run a second
-  * pass with a different key to close it.
+  *   - TWO token passes: pass 0 blocks on the name's FIRST token, pass 1
+  *     on its LAST token. A pair is a candidate if it agrees on either —
+  *     so a typo inside one anchor token no longer hides a match as long
+  *     as the other anchor survives (the r8 single-pass contract's
+  *     documented recall hole, now closed). Both passes run as ONE
+  *     equi-join on a (pass, token, bucket) key via a 2-row posexplode.
+  *   - LENGTH BUCKETS of width maxDist+1 with ±1 adjacent-bucket probing
+  *     on the dirty side. Levenshtein ≥ |len(a) − len(b)|, so every true
+  *     pair lands in the same or an adjacent bucket — the bucket slice
+  *     is recall-lossless by construction and cuts a hot token block
+  *     ("premium …" catalogs) from |block|² to Σ per-bucket products.
+  *
+  * Residual hot (pass, token, bucket) blocks degrade to that block's
+  * product; feeds where one token×length cell still dominates want the
+  * SaltedJoin treatment on top.
+  *
+  * Recall contract: a pair is found iff the corruption preserves the
+  * first OR the last token. Corrupting BOTH anchors of a short name can
+  * still hide a match — close that with a q-gram pass if the feed
+  * warrants it.
   */
 object FuzzyJoin {
+
+  private def firstTok(c: Column): Column = substring_index(c, " ", 1)
+  private def lastTok(c: Column): Column = substring_index(c, " ", -1)
+
+  /** Candidate pairs under the composite blocking, BEFORE the distance
+    * threshold: (dirtyName, dimKey, dimName) distinct. Package-visible so
+    * the property spec can assert the block-volume bound on the exact
+    * frame the linkage scores.
+    */
+  private[ext] def candidates(dNames: DataFrame, dirtyName: String,
+      cNames: DataFrame, dimKey: String, dimName: String,
+      maxDist: Int): DataFrame = {
+    val bw = maxDist + 1
+    val dKeyed = dNames.select(col(dirtyName),
+        posexplode(array(firstTok(col(dirtyName)), lastTok(col(dirtyName))))
+          .as(Seq("__pass", "__tok")))
+      .withColumn("__b0", expr(s"length($dirtyName) div $bw"))
+      .withColumn("__bkt",
+        explode(array(col("__b0") - 1, col("__b0"), col("__b0") + 1)))
+      .drop("__b0")
+    val cKeyed = cNames.select(col(dimName), col(dimKey),
+        posexplode(array(firstTok(col(dimName)), lastTok(col(dimName))))
+          .as(Seq("__pass", "__tok")))
+      .withColumn("__bkt", expr(s"length($dimName) div $bw"))
+    // A pair agreeing on both anchors (or with a single-token name on
+    // either side) shows up in both passes — distinct() collapses it
+    // before any Levenshtein evaluates twice.
+    dKeyed.join(cKeyed, Seq("__pass", "__tok", "__bkt"))
+      .select(col(dirtyName), col(dimKey), col(dimName))
+      .distinct()
+  }
 
   /** @param dirty     feed with an id column and a name column
     * @param dirtyId   unique record id in `dirty`
@@ -46,13 +86,13 @@ object FuzzyJoin {
     * runs over DISTINCT names, not records: the dirty side dedups to its
     * name set, the dim side reduces to one row per name (for a fixed
     * name only its MIN key can win the (dist, name, key) tiebreak), the
-    * blocked Levenshtein pass scores |dirty names| × |dim names| /
-    * blocks, and records re-attach by one equi-join on the name.
-    * Catalog feeds are heavily name-duplicated (variants ≪ records), so
-    * this collapses the expensive stage by orders of magnitude and can
-    * never exceed the record-level volume. A cheap |len(a) − len(b)| ≤
-    * maxDist band (a Levenshtein lower bound) short-circuits before the
-    * O(len²) distance evaluates.
+    * blocked Levenshtein pass scores the composite-blocked candidates,
+    * and records re-attach by one equi-join on the name. Catalog feeds
+    * are heavily name-duplicated (variants ≪ records), so this collapses
+    * the expensive stage by orders of magnitude and can never exceed the
+    * record-level volume. A cheap |len(a) − len(b)| ≤ maxDist band (a
+    * Levenshtein lower bound) short-circuits before the O(len²) distance
+    * evaluates.
     */
   def linkage(dirty: DataFrame, dirtyId: String, dirtyName: String,
       dim: DataFrame, dimKey: String, dimName: String,
@@ -60,11 +100,8 @@ object FuzzyJoin {
     require(dirtyName != dimName, "dirty and dim name columns must differ")
     require(maxDist >= 0, "maxDist must be non-negative")
     val dNames = dirty.select(col(dirtyName)).distinct()
-      .withColumn("__blk", substring_index(col(dirtyName), " ", 1))
-    val cNames = dim.groupBy(col(dimName))
-      .agg(min(col(dimKey)).as(dimKey))
-      .withColumn("__blk", substring_index(col(dimName), " ", 1))
-    val cand = dNames.join(cNames, "__blk")
+    val cNames = dim.groupBy(col(dimName)).agg(min(col(dimKey)).as(dimKey))
+    val cand = candidates(dNames, dirtyName, cNames, dimKey, dimName, maxDist)
       .where(abs(length(col(dirtyName)) - length(col(dimName))) <= maxDist)
       .withColumn("dist", levenshtein(col(dirtyName), col(dimName)))
       .where(col("dist") <= maxDist)

@@ -822,6 +822,17 @@ object StreamingOps {
       val evictAt = tolMicros match {
         case Some(t) if keep.nonEmpty =>
           (keep.map(v => micros(v.view_ts)).max + t) / 1000L + 1
+        case None if keep.length > 1 =>
+          // No tolerance: the newest view lives forever (it matches any
+          // future purchase — O(1), fine), but MULTIPLE buffered views
+          // only collapse to that single dominant one when the handler
+          // re-runs after the watermark passes them. A key whose FINAL
+          // batch is view-rich would otherwise pin the whole buffer
+          // until some future arrival (ADVICE r9): arm a one-shot
+          // collapse at the newest view's horizon so the timeout
+          // callback's keep-filter settles the key to its single-view
+          // steady state unprompted.
+          keep.map(_.view_ts.getTime).max + 1
         case _ => Long.MaxValue
       }
       val pendAt =

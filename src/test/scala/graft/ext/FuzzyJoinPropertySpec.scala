@@ -76,6 +76,38 @@ class FuzzyJoinPropertySpec extends SparkSpec {
     }
   }
 
+  test("planted first-token typos are recovered with the volume bound held") {
+    // A HOT-FIRST-TOKEN catalog: every name starts with "premium", so
+    // r8's single-key blocking would put all |d|×|c| pairs in ONE block.
+    // The composite (pass, token, length-bucket) key must (a) still
+    // recover a planted first-token typo via the last-token pass and
+    // (b) keep the scored-candidate volume well under the full product.
+    val hotDim = (0 until 60).map { i =>
+      (i.toLong, s"premium ${nouns(i % nouns.length)} ${"x" * (i % 20)}$i")
+    }.toDF("sku", "clean_name")
+    val names = hotDim.as[(Long, String)].collect()
+    val dirty = names.toSeq.map { case (sku, nm) =>
+      // typo in the first token: "premium" → "premxum" (dist 1); last
+      // token intact, so only the second pass can block it.
+      (sku + 1000L, "premxum" + nm.drop(7))
+    }.toDF("rec_id", "raw_name")
+    val out = FuzzyJoin
+      .linkage(dirty, "rec_id", "raw_name", hotDim, "sku", "clean_name", 2)
+      .select("rec_id", "sku", "dist").as[(Long, Long, Int)].collect()
+    assert(out.length === 60, "a first-token typo failed to link")
+    assert(out.forall { case (rid, sku, dist) => sku === rid - 1000L && dist === 1 },
+      "first-token typo linked to the wrong sku")
+    // Volume bound on the EXACT frame linkage scores: the length-bucket
+    // slice must cut the hot block far below the |d|·|c| product.
+    val dNames = dirty.select("raw_name").distinct()
+    val cNames = hotDim.groupBy("clean_name").agg(min(col("sku")).as("sku"))
+    val vol = FuzzyJoin
+      .candidates(dNames, "raw_name", cNames, "sku", "clean_name", 2).count()
+    val full = dNames.count() * cNames.count()
+    assert(vol * 4 < full,
+      s"composite blocking did not bound the hot block: $vol of $full pairs")
+  }
+
   test("every within-distance tail corruption is recalled (no silent miss)") {
     val rng = new Random(99)
     val names = dim.select("clean_name").distinct().as[String].collect()

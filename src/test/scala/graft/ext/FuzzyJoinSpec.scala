@@ -34,9 +34,19 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(link(dirty, maxDist = 5) === Seq((20L, 1L, 5))) // drab→xxxxx = 5 edits
   }
 
-  test("first-token corruption misses by design (blocking contract)") {
+  test("first-token corruption is recovered by the last-token pass (r10)") {
+    // dist 1 with the FIRST block token changed — the r8 single-pass
+    // contract documented this as a miss; the composite blocking's
+    // second (last-token) pass must now find it.
     val dirty = Seq((30L, "azur linen drab")).toDF("rec_id", "raw_name")
-    assert(link(dirty).isEmpty) // dist 1 but block key changed: documented miss
+    assert(link(dirty) === Seq((30L, 1L, 1)))
+  }
+
+  test("corrupting BOTH anchor tokens still misses (documented contract)") {
+    // dist 2, but first ("azur") and last ("dra#") both diverge from
+    // every dim anchor — no blocking pass can see the pair.
+    val dirty = Seq((31L, "azur linen dra#")).toDF("rec_id", "raw_name")
+    assert(link(dirty).isEmpty)
   }
 
   test("ties on (dist, name) fall through to the key tiebreak") {

@@ -920,4 +920,41 @@ class StreamingOpsSpec extends SparkSpec {
     assert(evictedRows(df => StreamingOps.attributionStream(df)
       .writeStream.format("memory").outputMode("append"), "attr_evict") === 2L)
   }
+
+  test("no-tolerance attribution collapses a view-rich final batch to one view") {
+    // ADVICE r9: a key whose FINAL batch carries several at-or-after-
+    // watermark views and no pending purchase used to arm no timeout,
+    // so the whole view buffer persisted instead of settling to the
+    // single dominant view. The one-shot collapse timeout must shrink
+    // the buffer to exactly one view with no further arrivals for the
+    // key. numRowsTotal cannot see inside the buffer — read the state
+    // store itself from the checkpoint.
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("attr_collapse").toString
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.attributionStream(mem.toDF())
+      .writeStream.format("memory").outputMode("append")
+      .option("checkpointLocation", ckpt).queryName("attr_collapse").start()
+    try {
+      // User 1's ONLY batch: three views, no purchase — then silence.
+      mem.addData(
+        Ev(1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+        Ev(2L, ts("2024-01-01 10:05:00"), 1L, "view", 0.0),
+        Ev(3L, ts("2024-01-01 10:10:00"), 1L, "view", 0.0))
+      q.processAllAvailable()
+      // Sentinels (other key) march the watermark past 10:10 and give
+      // the armed collapse timeout a batch to fire in.
+      Seq("12:00:00", "13:00:00", "14:00:00").foreach { t =>
+        mem.addData(Ev(99L, ts(s"2024-01-05 $t"), 999L, "view", 0.0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val buf = spark.read.format("statestore").load(ckpt)
+      .selectExpr("key.value AS user_id",
+        "size(value.groupState.views) AS n_views")
+      .where(col("user_id") === 1L)
+      .select("n_views").collect().map(_.getInt(0)).toSeq
+    assert(buf === Seq(1),
+      s"user 1's buffer should have collapsed to its newest view, got $buf")
+  }
 }
