@@ -1349,6 +1349,52 @@ object ExtQueries {
         .orderBy(col("n").desc, col("token"))
     }),
 
+    // §2.11 [Q] — streaming-ingest REPLAY twins (VERDICT r9 ask #7):
+    // the deterministic foreachBatch fold path of the KMV / CMS /
+    // conversion-anchor ingest streams, executed as a batch query over
+    // N FIXED micro-batch cuts (pure id-residue functions, so the cut
+    // is engine-independent). Each replay folds per-batch partials
+    // through the EXACT merge the streaming sink uses
+    // (kmvMerge / cmsMerge / mergeConvertStore) and finalizes the
+    // store; the oracle is the ONE-SHOT recomputation — green means
+    // the fold path is bit-identical to the union semantics under a
+    // real batch cut, cross-engine, which is the mergeable-store
+    // contract the streaming twins rely on.
+    "kmv_ingest_replay" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      (0 until 4)
+        .map(i => Sketches.kmvSketch(
+          ev.where(pmod(col("event_id"), lit(4)) === i),
+          Seq("event_type"), "user_id", 64))
+        .reduce((a, b) => Sketches.kmvMerge(a, b, Seq("event_type"), 64))
+        .transform(st => Sketches.kmvEstimate(st, Seq("event_type"), 64))
+        .orderBy("event_type")
+    }),
+
+    "cms_ingest_replay" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // Document-atomic batches (the spanIngest/cmsIngest contract):
+      // cut on doc_id residue, tokens explode inside each batch.
+      val store = (0 until 3)
+        .map(i => Sketches.cmsSketch(
+          docs.where(pmod(col("doc_id"), lit(3)) === i)
+            .select(explode(TextOps.tokens(col("text"))).as("token")),
+          "token"))
+        .reduce(Sketches.cmsMerge)
+      Sketches.cmsEstimate(store, TextOps.wordFreq(docs, 20), "token")
+        .orderBy(col("n").desc, col("token"))
+    }),
+
+    "convert_ingest_replay" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      (0 until 3)
+        .map(i => Events.convertPartials(
+          ev.where(pmod(col("event_id"), lit(3)) === i)))
+        .reduce(graft.streaming.StreamingOps.mergeConvertStore)
+        .transform(Events.convertFromPartials)
+        .orderBy("user_id")
+    }),
+
     // Stats — exact per-priority discrete order-value quantiles
     // (type-1: value at rank ceil(p·n/100), pure integer rank
     // arithmetic — no interpolation, no FP).
@@ -1681,6 +1727,16 @@ object ExtQueries {
     Privacy.Patterns.find(_._1 == name).get._2
 
   // oracles ----------------------------------------------------------------
+
+  /** The ingest-replay twins assert fold ≡ one-shot, so their oracles
+    * ARE the one-shot queries' oracles — shared by reference, not
+    * duplicated SQL (drift between the pair would silently weaken the
+    * replay check).
+    */
+  def replayOracles: Map[String, String] = Map(
+    "kmv_ingest_replay" -> oracleSql("kmv_distinct"),
+    "cms_ingest_replay" -> oracleSql("cms_freq"),
+    "convert_ingest_replay" -> oracleSql("time_to_convert"))
 
   def oracleSql: Map[String, String] = Map(
     "text_stats" ->

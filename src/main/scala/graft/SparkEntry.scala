@@ -1214,7 +1214,7 @@ object SparkEntry {
          |SELECT 'july_only', count(*)
          |  FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
          |ORDER BY bucket""".stripMargin,
-  ) ++ ExtQueries.oracleSql ++ TpchShapes.oracleSql
+  ) ++ ExtQueries.oracleSql ++ TpchShapes.oracleSql ++ ExtQueries.replayOracles
 
   /** The SCD2 fixture history shared by `scd2_dim` and `scd2_temporal`:
     * day-1 initial load of the part dim at `d1`, one delta at `d2`

@@ -10,6 +10,23 @@ import graft.SparkSpec
 /** Pipeline — the in-process orchestrator (DAG replacement, SURVEY §3.3):
   * end-to-end run, idempotent re-run, partition isolation across dates.
   */
+object PipelineSpec {
+  /** Task bomb for the failure-injection tests: when armed, any task
+    * evaluating a wired frame throws mid-write. Local mode shares the
+    * JVM, so a @volatile static flag reaches every task; the filter UDF
+    * is TEST instrumentation only (the engine itself stays UDF-free).
+    */
+  @volatile var bombArmed: Boolean = false
+
+  def wired(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bomb = org.apache.spark.sql.functions.udf { (sku: String) =>
+      if (bombArmed) throw new RuntimeException(s"injected failure at $sku")
+      true
+    }.asNondeterministic() // keep Catalyst from constant-folding it away
+    df.where(bomb(org.apache.spark.sql.functions.col("sku")))
+  }
+}
+
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
 
@@ -93,6 +110,62 @@ class PipelineSpec extends SparkSpec {
     val recon = spark.read.parquet(s"$root/fact_inventory_reconciliation")
     assert(recon.where(col("date_key") === d1.toString).count() === 2)
     assert(recon.where(col("date_key") === d2.toString).count() === 2)
+  }
+
+  test("mid-write failure leaves the parquet warehouse intact; re-run converges") {
+    // VERDICT r9 ask #6: the idempotency contract under REAL failure,
+    // not just double-run. A task bomb detonates inside the fact-write
+    // job of a second day-1 run carrying CHANGED input; dynamic
+    // partition overwrite must leave the ORIGINAL day-1 partition
+    // untouched (the staging dir dies with the aborted job), and the
+    // disarmed re-run must converge to the new content.
+    val root = Files.createTempDirectory("graft-pipe-fail").toString
+    Pipeline.run(spark, sales, invOpen, invClose, d1, root)
+    val before = spark.read.parquet(s"$root/fact_daily_sales")
+      .orderBy("sku").collect().map(_.toString).toSeq
+
+    val newSales = Seq(("a1", "7"), ("b2", "1")).toDF("sku", "quantity")
+    PipelineSpec.bombArmed = true
+    try intercept[Exception] {
+      Pipeline.run(spark, PipelineSpec.wired(newSales), invOpen, invClose, d1, root)
+    } finally PipelineSpec.bombArmed = false
+    // Aborted overwrite: day 1 still holds the ORIGINAL rows — no
+    // partial/empty partition, no leftover staging files visible.
+    val after = spark.read.parquet(s"$root/fact_daily_sales")
+      .orderBy("sku").collect().map(_.toString).toSeq
+    assert(after === before, "failed overwrite corrupted the live partition")
+
+    // Disarmed re-run converges to the new day-1 content.
+    Pipeline.run(spark, PipelineSpec.wired(newSales), invOpen, invClose, d1, root)
+    val got = spark.read.parquet(s"$root/fact_daily_sales")
+      .select("sku", "total_quantity_sold").as[(String, Long)]
+      .collect().toSet
+    assert(got === Set(("A1", 7L), ("B2", 1L)))
+  }
+
+  test("failed JDBC COPY converges on re-run (DELETE clears partial loads)") {
+    // The documented non-transactional DELETE+COPY window
+    // (dags/retail_pipeline_dag.py:19-41 semantics): a COPY that dies
+    // mid-stream may leave the date partially loaded; the contract is
+    // that the next (idempotent) run's DELETE-by-date clears whatever
+    // landed and the table converges exactly.
+    val dbDir = Files.createTempDirectory("graft-derby-fail").toString
+    val sink: WarehouseSink = new JdbcWarehouseSink(s"jdbc:derby:$dbDir/wh;create=true")
+    Pipeline.run(spark, sales, invOpen, invClose, d1, sink)
+    assert(sink.read(spark, "fact_daily_sales").count() === 2)
+
+    val newSales = Seq(("a1", "9"), ("b2", "2")).toDF("sku", "quantity")
+    PipelineSpec.bombArmed = true
+    try intercept[Exception] {
+      Pipeline.run(spark, PipelineSpec.wired(newSales), invOpen, invClose, d1, sink)
+    } finally PipelineSpec.bombArmed = false
+    // Whatever partial state the failed COPY left (the DELETE already
+    // ran, so 0..n new rows), the disarmed re-run must converge.
+    Pipeline.run(spark, PipelineSpec.wired(newSales), invOpen, invClose, d1, sink)
+    val got = sink.read(spark, "fact_daily_sales")
+      .select("sku", "total_quantity_sold").as[(String, Long)]
+      .collect().toSet
+    assert(got === Set(("A1", 9L), ("B2", 2L)))
   }
 
   test("calendar replay equals the equivalent single-day runs (DAG backfill)") {
