@@ -78,6 +78,19 @@ object ExtQueries {
   private def minhashBandsStore(s: SparkSession, dir: String): DataFrame =
     store(s, dir, "minhash_bands")(Dedup.minhashBands(minhashStore(s, dir)))
 
+  /** The GROUP-LABEL store: near-dup component labels
+    * ([[Dedup.dupGroupsFromHashes]] over the signature store) are a pure
+    * per-corpus function and the dedup job's PRIMARY at-rest artifact —
+    * a real pipeline computes components once per ingest and every
+    * census/split/retention decision probes the label table. Five
+    * declared queries consumed this pipeline; before r10 each re-ran
+    * candidate generation + verification + the CC iteration per query.
+    */
+  private def dupGroupsStore(s: SparkSession, dir: String): DataFrame =
+    store(s, dir, "dup_group_labels")(
+      Dedup.dupGroupsFromHashes(minhashStore(s, dir),
+        bands = Some(minhashBandsStore(s, dir))))
+
   /** The DISTINCT (doc_id, h) 8-token-shingle store — the k-shingle
     * half of the signature store, shared by span detection, novelty,
     * and decontamination (each side filters it by doc_id predicate,
@@ -467,15 +480,13 @@ object ExtQueries {
     // X1/X4 — duplicate groups: connected components over the verified
     // MinHash pair graph (iterative min-label propagation).
     "dup_groups" -> ((s, dir) =>
-      Dedup.dupGroupsFromHashes(minhashStore(s, dir),
-        bands = Some(minhashBandsStore(s, dir))).orderBy("doc_id")),
+      dupGroupsStore(s, dir).orderBy("doc_id")),
 
     // X4 — the dedup ACTION: per-doc retention decision (canonical
     // survivor per near-dup component, singletons kept).
     "near_dup_retain" -> ((s, dir) =>
-      Dedup.nearDupRetainFromHashes(
-        Tables.documents(s, dir), minhashStore(s, dir),
-        bands = Some(minhashBandsStore(s, dir))).orderBy("doc_id")),
+      Dedup.nearDupRetainFromLabels(
+        Tables.documents(s, dir), dupGroupsStore(s, dir)).orderBy("doc_id")),
 
     // X4 — cross-source overlap audit: near-dup pair mass rolled up by
     // unordered source pair (dataset-mixing diagnostic).
@@ -785,8 +796,7 @@ object ExtQueries {
     // near-dups carry one); the per-source census reports the exact-ppm
     // dup share. Shares the signature store.
     "dup_rate_by_source" -> ((s, dir) => {
-      val groups = Dedup.dupGroupsFromHashes(minhashStore(s, dir),
-        bands = Some(minhashBandsStore(s, dir)))
+      val groups = dupGroupsStore(s, dir)
       Tables.documents(s, dir).select("doc_id", "source")
         .join(groups.select("doc_id", "group_id"), Seq("doc_id"), "left")
         .groupBy("source")
@@ -1149,8 +1159,7 @@ object ExtQueries {
     // vs large clusters); two bounded aggregates past the shared
     // pipeline.
     "dup_size_hist" -> ((s, dir) =>
-      Dedup.dupGroupsFromHashes(minhashStore(s, dir),
-          bands = Some(minhashBandsStore(s, dir)))
+      dupGroupsStore(s, dir)
         .groupBy("group_id").agg(count(lit(1)).as("group_size"))
         .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
         .orderBy("group_size")),
@@ -1483,8 +1492,7 @@ object ExtQueries {
     // census; LeakageSpec pins the zero-leak invariant itself.
     "leakage_safe_split" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val groups = Dedup.dupGroupsFromHashes(minhashStore(s, dir),
-        bands = Some(minhashBandsStore(s, dir)))
+      val groups = dupGroupsStore(s, dir)
       docs.select("doc_id")
         .join(groups.select("doc_id", "group_id"), Seq("doc_id"), "left")
         .withColumn("anchor", coalesce(col("group_id"), col("doc_id")))

@@ -630,15 +630,21 @@ object Dedup {
     * signature store; `docs` still supplies the corpus id list.
     */
   def nearDupRetainFromHashes(docs: DataFrame, hr: DataFrame,
-      threshold: Double = 0.5, bands: Option[DataFrame] = None): DataFrame = {
-    val labels = dupGroupsFromHashes(hr, threshold, bands = bands)
-      .select("doc_id", "group_id")
+      threshold: Double = 0.5, bands: Option[DataFrame] = None): DataFrame =
+    nearDupRetainFromLabels(docs,
+      dupGroupsFromHashes(hr, threshold, bands = bands))
+
+  /** [[nearDupRetain]] probing a precomputed GROUP-LABEL store
+    * ([[dupGroupsFromHashes]] output — the dedup job's primary at-rest
+    * artifact): the retention decision is one left join + projection,
+    * no candidate generation or component iteration at probe time.
+    */
+  def nearDupRetainFromLabels(docs: DataFrame, labels: DataFrame): DataFrame =
     docs.select("doc_id")
-      .join(labels, Seq("doc_id"), "left")
+      .join(labels.select("doc_id", "group_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("group_id"), col("doc_id")).as("group_id"))
       .withColumn("kept", col("group_id") === col("doc_id"))
-  }
 
   /** Cross-source overlap audit — which corpus sources near-duplicate
     * each other, the dataset-mixing diagnostic (two crawls of the same
