@@ -100,11 +100,16 @@ object ScaleUp {
       // interleaved digit token, which collapses every copy's 2-word
       // shingle vocabulary to ~2·|vocab| and turns the whole copy into
       // one genuine near-dup group (measured: 99.6M band candidates at
-      // factor 10 vs the intended ~10×204k). A letter suffix keeps one
-      // token per seed token, so each copy replays the seed's shingle
-      // structure over a disjoint token universe.
+      // factor 10 vs the intended ~10×204k). An all-LETTER suffix keeps
+      // one token per seed token, so each copy replays the seed's
+      // shingle structure over a disjoint token universe. Base-26 so the
+      // suffix stays [a-z] for ANY factor (a single 'a'+i char walks
+      // past 'z' at i>26 and reintroduces the split-token collapse).
+      def b26(n: Int): String =
+        if (n < 26) ('a' + n).toChar.toString
+        else b26(n / 26 - 1) + ('a' + n % 26).toChar
       val text = if (i == 0) col("text")
-        else regexp_replace(col("text"), "(\\S+)", "$1q" + ('a' + i - 1).toChar)
+        else regexp_replace(col("text"), "(\\S+)", "$1q" + b26(i - 1))
       df.withColumn("doc_id", col("doc_id") + lit(i * strides("documents")))
         .withColumn("text", text)
     }, 16)

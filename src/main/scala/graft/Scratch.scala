@@ -13,13 +13,13 @@ import java.lang.management.ManagementFactory
   * the whole per-process root is removed by a JVM shutdown hook, so
   * nothing outlives the run.
   *
-  * WITHIN one JVM the stable per-tag paths assume the driver runs
-  * queries SEQUENTIALLY (Verify and Bench loop one query at a time;
-  * forked tests run suites serially) — that is what lets pass N+1
-  * overwrite pass N's directory safely. A future PARALLEL runner would
-  * race an overwrite against another query's lazy read of the same tag:
-  * key `dir()` by tag+thread (or revert to per-invocation UUIDs) before
-  * running queries concurrently in-process.
+  * WITHIN one JVM the per-tag path is additionally keyed by the calling
+  * THREAD id: a sequential driver (Verify/Bench loop one query at a
+  * time) reuses one directory per tag exactly as before, while a
+  * parallel in-process runner gets a distinct directory per worker
+  * thread, so one query's overwrite can never race another query's lazy
+  * read of the same tag. (Every `dir()` tag is write-then-read inside a
+  * single query closure, so thread-local isolation is sufficient.)
   */
 object Scratch {
   private val pid: String =
@@ -39,6 +39,9 @@ object Scratch {
     ()
   }
 
-  /** Stable per-run path for `tag`; callers write with mode=overwrite. */
-  def dir(tag: String): String = new File(root, tag).getPath
+  /** Stable per-run, per-thread path for `tag`; callers write with
+    * mode=overwrite.
+    */
+  def dir(tag: String): String =
+    new File(root, s"$tag-t${Thread.currentThread().getId}").getPath
 }

@@ -313,8 +313,11 @@ object Corpus {
       .select(col("doc_id"), col("w"), get(col("__tk"), col("pos") + 1).as("nxt"))
 
   def bigramLmScore(docs: DataFrame): DataFrame = {
-    // (doc_id, w1, w2) instance rows — consumed by three aggregates, so
-    // materialize once.
+    // (doc_id, w1, w2) instance rows. Three aggregates consume `bi`;
+    // each re-derives the tokenize + Generate pipeline rather than
+    // materializing it — deliberate: the pipeline is exchange-free and
+    // codegen'd, so re-running it is cheaper at scale than checkpointing
+    // the full bigram-instance stream to disk.
     val bi = adjacentTokenRows(docs)
       .where(col("nxt").isNotNull)
       .select(col("doc_id"), col("w").as("w1"), col("nxt").as("w2"))

@@ -50,9 +50,14 @@ object FuzzyJoin {
       cNames: DataFrame, dimKey: String, dimName: String,
       maxDist: Int): DataFrame = {
     val bw = maxDist + 1
+    // substring_index returns "" for names with leading/trailing spaces;
+    // keeping those rows would pool every padded name into one hot
+    // ("", bucket) block — drop them (a real anchor from the other pass
+    // still covers the name, preserving the recall contract).
     val dKeyed = dNames.select(col(dirtyName),
         posexplode(array(firstTok(col(dirtyName)), lastTok(col(dirtyName))))
           .as(Seq("__pass", "__tok")))
+      .where(col("__tok") =!= "")
       .withColumn("__b0", expr(s"length($dirtyName) div $bw"))
       .withColumn("__bkt",
         explode(array(col("__b0") - 1, col("__b0"), col("__b0") + 1)))
@@ -60,6 +65,7 @@ object FuzzyJoin {
     val cKeyed = cNames.select(col(dimName), col(dimKey),
         posexplode(array(firstTok(col(dimName)), lastTok(col(dimName))))
           .as(Seq("__pass", "__tok")))
+      .where(col("__tok") =!= "")
       .withColumn("__bkt", expr(s"length($dimName) div $bw"))
     // A pair agreeing on both anchors (or with a single-token name on
     // either side) shows up in both passes — distinct() collapses it
