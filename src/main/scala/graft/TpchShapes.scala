@@ -354,6 +354,39 @@ object TpchShapes {
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n_cust"), sum("bal_c").as("total_bal_cents"))
         .orderBy("c_nationkey")
+    }),
+
+    // Q12 (adapted — testdata has no l_shipmode/l_commitdate/
+    // l_receiptdate, so the mode dimension is returnflag-linestatus and
+    // "late" is ship-lag > 60 days after the order date) — did slow
+    // shipping channels carry critical orders? One key equi-join
+    // lineitem⋈orders with the lateness test as a residual join
+    // predicate, then a conditional aggregate splitting each mode's
+    // late lines by order priority (URGENT/HIGH vs the rest). The ship
+    // window is pushed to the lineitem scan; orders contributes only
+    // (o_orderkey, o_orderpriority, o_orderdate) — SMJ on the key at
+    // 100 TB, AQE may broadcast at toy scale. No post-join filter: the
+    // priority split is a SUM(CASE), one pass, map-side partials.
+    "q12_shipmodes" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1997-01-01"))
+        .select(col("l_orderkey"), col("l_shipdate"),
+          concat_ws("-", col("l_returnflag"), col("l_linestatus"))
+            .as("ship_mode"))
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+      l.join(o, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+        .groupBy("ship_mode")
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT" ||
+            col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+            col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+            .as("low_line_count"))
+        .orderBy("ship_mode")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -516,5 +549,17 @@ object TpchShapes {
          |WHERE bal_c * n_bal > s_bal
          |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
          |    AND o_orderdate >= TIMESTAMP '2001-01-01')
-         |GROUP BY 1 ORDER BY c_nationkey""".stripMargin)
+         |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+
+    "q12_shipmodes" ->
+      s"""SELECT l_returnflag || '-' || l_linestatus AS ship_mode,
+         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+         |GROUP BY 1 ORDER BY ship_mode""".stripMargin)
 }

@@ -236,4 +236,14 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "range predicate lost its equi key")
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q12_shipmodes keys the join on l_orderkey with lateness as residual") {
+    val p = plan("q12_shipmodes")
+    assert(!p.contains("CartesianProduct"), "lateness test lost its equi key")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("PushedFilters"), "no pushdown section in scan")
+    assert(p.contains("l_shipdate"), "ship-window bounds not pushed to scan")
+    val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r.findAllIn(p).size
+    assert(joins === 1, s"expected exactly 1 lineitem⋈orders join, got $joins")
+  }
 }
