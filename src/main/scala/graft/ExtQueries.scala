@@ -91,6 +91,26 @@ object ExtQueries {
       Dedup.dupGroupsFromHashes(minhashStore(s, dir),
         bands = Some(minhashBandsStore(s, dir))))
 
+  /** The MANIFEST-scoped group-label store: near-dup labels over the
+    * manifest's KEEPER set (quality survivors of the doc_id % 20 != 0
+    * training corpus — the filter-then-dedup contract). Distinct from
+    * [[dupGroupsStore]] because the input set differs: a quality-failed
+    * doc can bridge two keeper components, so full-corpus labels are
+    * not restrictable. Both signature-store halves filter by keeper id
+    * (per-doc pure functions), so the build skips re-tokenizing AND the
+    * 16-permutation min-aggregate; `corpus_manifest` then probes labels
+    * instead of re-running candidate generation + CC per pass.
+    */
+  private def manifestLabelsStore(s: SparkSession, dir: String): DataFrame =
+    store(s, dir, "manifest_labels") {
+      val keepIds = Corpus.qualityFilter(
+          Tables.documents(s, dir).where(pmod(col("doc_id"), lit(20)) =!= 0))
+        .where(col("reasons") === "").select("doc_id")
+      Dedup.dupGroupsFromHashes(
+        minhashStore(s, dir).join(keepIds, "doc_id"),
+        bands = Some(minhashBandsStore(s, dir).join(keepIds, "doc_id")))
+    }
+
   /** The DISTINCT (doc_id, h) 8-token-shingle store — the k-shingle
     * half of the signature store, shared by span detection, novelty,
     * and decontamination (each side filters it by doc_id predicate,
@@ -646,7 +666,8 @@ object ExtQueries {
         docs.where(pmod(col("doc_id"), lit(20)) =!= 0),
         docs.where(pmod(col("doc_id"), lit(20)) === 0),
         signatureStore = Some(minhashStore(s, dir)),
-        kShingleStore = Some(k8ShingleStore(s, dir)))
+        kShingleStore = Some(k8ShingleStore(s, dir)),
+        keeperLabels = Some(manifestLabelsStore(s, dir)))
         .orderBy("doc_id")
     }),
 

@@ -677,7 +677,8 @@ object Corpus {
   def corpusManifest(corpus: DataFrame, benchmark: DataFrame,
       threshold: Double = 0.5,
       signatureStore: Option[DataFrame] = None,
-      kShingleStore: Option[DataFrame] = None): DataFrame = {
+      kShingleStore: Option[DataFrame] = None,
+      keeperLabels: Option[DataFrame] = None): DataFrame = {
     // The NARROW verdict table (id + reasons) is what gets materialized —
     // never a full-text copy of the corpus (at 100 TB the verdict table
     // is the thing you can afford to persist; corpus re-reads are pruned
@@ -699,17 +700,31 @@ object Corpus {
     val keyed = kept.select(col("doc_id"),
       Dedup.contentKey(col("text")).as("content_key"))
       .localCheckpoint()
-    // hr is a per-doc pure function, so a caller-provided signature
-    // store restricted to the keepers is EXACTLY hashedShingleRows(kept)
-    // without re-tokenizing (the keeper-id side broadcasts).
-    val hr = signatureStore
-      .map(_.join(kept.select("doc_id"), "doc_id"))
-      .getOrElse(Dedup.hashedShingleRows(kept))
-      .localCheckpoint()
     val survivors = Dedup.exactByKey(keyed)
       .select(col("doc_id"), lit(true).as("is_survivor"))
-    val groups = Dedup.dupGroupsFromHashes(hr, threshold)
-      .select(col("doc_id"), col("group_id"))
+    // Near-dup labels are over the KEEPER set (the filter-then-dedup
+    // contract above). A caller that maintains a label store for THIS
+    // manifest configuration ([[Dedup.dupGroupsFromHashes]] over the
+    // keeper-restricted signature store — the dedup job's primary
+    // at-rest artifact) passes it as `keeperLabels`, and the manifest
+    // skips candidate generation + verification + the CC iteration
+    // entirely. The full-corpus label store is NOT a substitute: a
+    // quality-failed doc can bridge two keeper components, and a
+    // non-keeper min-id would steal a group's representative.
+    val groups = keeperLabels
+      .map(_.select(col("doc_id"), col("group_id")))
+      .getOrElse {
+        // hr is a per-doc pure function, so a caller-provided signature
+        // store restricted to the keepers is EXACTLY
+        // hashedShingleRows(kept) without re-tokenizing (the keeper-id
+        // side broadcasts).
+        val hr = signatureStore
+          .map(_.join(kept.select("doc_id"), "doc_id"))
+          .getOrElse(Dedup.hashedShingleRows(kept))
+          .localCheckpoint()
+        Dedup.dupGroupsFromHashes(hr, threshold)
+          .select(col("doc_id"), col("group_id"))
+      }
     // With a k-shingle store over the FULL document set, both decontam
     // sides are store-filtered by id (exact: per-doc pure function)
     // instead of re-shingling their texts.

@@ -57,4 +57,21 @@ class SignatureStoreSpec extends SparkSpec {
       .collect().toSet
     assert(novParquet === novDirect)
   }
+
+  test("manifest keeper-label store: probing labels equals recomputing") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val corpus = docs.where(pmod(col("doc_id"), lit(20)) =!= 0)
+    val bench = docs.where(pmod(col("doc_id"), lit(20)) === 0)
+    val cold = Corpus.corpusManifest(corpus, bench).collect().toSet
+    // The store contract: labels computed over EXACTLY the manifest's
+    // keeper set (filter-then-dedup), parquet round-tripped like the
+    // at-rest label table would be.
+    val keepIds = Corpus.qualityFilter(corpus)
+      .where(col("reasons") === "").select("doc_id")
+    val labels = Dedup.dupGroupsFromHashes(
+      Dedup.hashedShingleRows(docs).join(keepIds, "doc_id"))
+    val warm = Corpus.corpusManifest(corpus, bench,
+      keeperLabels = Some(roundTrip(labels, "mlabels"))).collect().toSet
+    assert(warm === cold)
+  }
 }
