@@ -1425,6 +1425,76 @@ object ExtQueries {
         .orderBy("user_id")
     }),
 
+    // §2.11 [Q] — round-11 replay twins (VERDICT r10 ask #4): the four
+    // remaining ingest-STORE maintenance paths, batch-folded under
+    // fixed id-residue cuts and finalized with the store's real read.
+    // LSH signatures and int8 quantization are pure per-vector
+    // functions (batch-union ≡ one-pass store, the lshIngestStream /
+    // quantizeIngestStream contract); the probe against the folded
+    // store must therefore hash-match the one-shot ANN oracle.
+    "lsh_ingest_replay" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val sigs = (0 until 3)
+        .map(i => Similarity.lshSignatures(
+          emb.where(pmod(col("vec_id"), lit(3)) === i)))
+        .reduce(_.unionByName(_))
+      castLongs(Similarity.topKLsh(emb, signatures = Some(sigs)), "rank")
+        .orderBy("probe_id", "rank")
+    }),
+
+    "quantize_ingest_replay" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val st = (0 until 3)
+        .map(i => Similarity.quantizeEmbeddings(
+          emb.where(pmod(col("vec_id"), lit(3)) === i)))
+        .reduce(_.unionByName(_))
+      castLongs(Similarity.topKQuantized(emb, store = Some(st)), "rank")
+        .orderBy("probe_id", "rank")
+    }),
+
+    // Span store: per-batch (h, n_docs) summaries fold by addition
+    // (spanIngestStream's document-atomic contract); the finalized read
+    // is the shared-span census (n_docs ≥ 2) the boilerplate gate
+    // consumes, oracled one-shot in DuckDB.
+    "span_ingest_replay" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      (0 until 3)
+        .map(i => Corpus.spanCounts(
+          docs.where(pmod(col("doc_id"), lit(3)) === i)))
+        .reduce(Corpus.spanStoreMerge)
+        .where(col("n_docs") >= 2)
+        .select(col("h"), col("n_docs").cast("long").as("n_docs"))
+        .orderBy("h")
+    }),
+
+    // SemDeDup: verdicts folded through semDedupIncremental under a
+    // 3-cut replay — kept can only be REVOKED (demotion rows), never
+    // re-granted, and every batch vector joins the store dropped or
+    // not (the semDedupIngestStream sink contract). Routing probes the
+    // frozen trained-assignment store, so the fold must converge to
+    // the one-shot semantic_dedup verdicts.
+    "semdedup_ingest_replay" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val asg = store(s, dir, "ivf_cells")(Similarity.kmeansCells(emb))
+      val cent = store(s, dir, "ivf_centroids")(
+        Similarity.trainedCentroids(emb, asg))
+      val routed = emb.join(asg.select("vec_id", "cell"), "vec_id")
+        .select("vec_id", "embedding", "cell")
+      val empty = routed.where(lit(false)).localCheckpoint()
+      val (_, verdicts) = (0 until 3).foldLeft((empty, Seq.empty[DataFrame])) {
+        case ((st, acc), i) =>
+          val inBatch = pmod(col("vec_id"), lit(3)) === i
+          val v = Similarity.semDedupIncremental(
+            st, emb.where(inBatch), cent, threshold = 0.3,
+            assignments = Some(asg))
+          (st.unionByName(routed.where(inBatch)).localCheckpoint(), acc :+ v)
+      }
+      verdicts.reduce(_.unionByName(_))
+        .groupBy("vec_id")
+        .agg(min(col("cell")).as("cell"), min(col("kept")).as("kept"))
+        .orderBy("vec_id")
+    }),
+
     // Stats — exact per-priority discrete order-value quantiles
     // (type-1: value at rank ceil(p·n/100), pure integer rank
     // arithmetic — no interpolation, no FP).
@@ -1765,7 +1835,23 @@ object ExtQueries {
   def replayOracles: Map[String, String] = Map(
     "kmv_ingest_replay" -> oracleSql("kmv_distinct"),
     "cms_ingest_replay" -> oracleSql("cms_freq"),
-    "convert_ingest_replay" -> oracleSql("time_to_convert"))
+    "convert_ingest_replay" -> oracleSql("time_to_convert"),
+    "lsh_ingest_replay" -> oracleSql("ann_topk_lsh"),
+    "quantize_ingest_replay" -> oracleSql("ann_topk_quantized"),
+    "semdedup_ingest_replay" -> oracleSql("semantic_dedup"),
+    // The span store has no standalone one-shot query (dup_spans reads
+    // the per-doc projection), so its replay oracle is the one-shot
+    // shared-span census over the same k-shingle derivation.
+    "span_ingest_replay" -> {
+      val k = Corpus.DecontamShingle
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, toks FROM t WHERE len(toks) >= $k),
+         |shg AS (SELECT DISTINCT doc_id,
+         |          ${hash60Sql(s"array_to_string(toks[i:i+${k - 1}], ' ')")} AS h
+         |        FROM p, unnest(range(1, len(toks) - ${k - 2})) AS u(i))
+         |SELECT h, count(*) AS n_docs FROM shg GROUP BY h
+         |HAVING count(*) >= 2 ORDER BY h""".stripMargin
+    })
 
   def oracleSql: Map[String, String] = Map(
     "text_stats" ->

@@ -453,9 +453,19 @@ object Similarity {
     * cell-density), never store²; nothing store-wide is broadcast.
     */
   def semDedupIncremental(existing: DataFrame, incoming: DataFrame,
-      centroids: DataFrame, threshold: Double = 0.97): DataFrame = {
-    val inc = incoming.join(assignCells(incoming, centroids), "vec_id")
-      .select(col("vec_id"), col("embedding"), col("cell"))
+      centroids: DataFrame, threshold: Double = 0.97,
+      assignments: Option[DataFrame] = None): DataFrame = {
+    // Routing: [[assignCells]] against the frozen centroids, or — when
+    // the offline job's (vec_id, cell) assignment STORE already covers
+    // the batch (the replay/backfill case) — a probe of that store.
+    // Both are the same frozen per-vector routing function; the store
+    // probe additionally pins the exact trained labels, where
+    // re-assignment against post-update centroids could flip a
+    // boundary vector.
+    val routed = assignments
+      .map(a => incoming.join(a.select(col("vec_id"), col("cell")), "vec_id"))
+      .getOrElse(incoming.join(assignCells(incoming, centroids), "vec_id"))
+    val inc = routed.select(col("vec_id"), col("embedding"), col("cell"))
     val all = existing.select(col("vec_id"), col("embedding"), col("cell"))
       .withColumn("is_new", lit(false))
       .unionByName(inc.withColumn("is_new", lit(true)))
