@@ -36,9 +36,24 @@ object ExtQueries {
     */
   private val storeCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
+  // NOT computeIfAbsent: store builders call OTHER stores (bands →
+  // signatures, labels → both), and a nested computeIfAbsent on the same
+  // ConcurrentHashMap throws "Recursive update" whenever the two keys
+  // land in one bin — a hash-dependent crash. get → build → putIfAbsent
+  // is reentrant; a concurrent race can build a store twice, but stores
+  // are pure per-corpus functions so either copy is correct and
+  // putIfAbsent keeps exactly one.
   private def store(s: SparkSession, dir: String, kind: String)(
-      build: => DataFrame): DataFrame =
-    storeCache.computeIfAbsent((s, dir, kind), _ => build.localCheckpoint())
+      build: => DataFrame): DataFrame = {
+    val key = (s, dir, kind)
+    val hit = storeCache.get(key)
+    if (hit != null) hit
+    else {
+      val built = build.localCheckpoint()
+      val prior = storeCache.putIfAbsent(key, built)
+      if (prior != null) prior else built
+    }
+  }
 
   /** The co-purchase family's shared stages: the distinct per-order item
     * set and the un-gated pair counts (the Σ|basket|² stage), computed
