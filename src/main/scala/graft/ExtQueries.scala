@@ -490,8 +490,8 @@ object ExtQueries {
           Dedup.simhashChunks(Tables.documents(s, dir)))), "hamming")
         .orderBy("doc_a", "doc_b")),
 
-    // X4 — blocked char-3-gram Jaccard ≥ 0.8 within lang blocks; probes
-    // the char-gram half of the session signature store.
+    // X4 — prefix-filtered char-3-gram Jaccard ≥ 0.8 within lang;
+    // probes the char-gram half of the session signature store.
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardFromGrams(
         store(s, dir, "chargram_sets")(

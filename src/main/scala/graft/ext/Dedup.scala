@@ -887,43 +887,53 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
-  /** X4 — blocked character-3-gram Jaccard: candidates are pairs sharing
-    * (lang, length-bucket), verified by exact char-3-gram Jaccard ≥
-    * `threshold`. Output: doc_a, doc_b, jaccard (truncated 6dp).
+  /** X4 — PREFIX-FILTERED character-3-gram Jaccard (AllPairs/PPJoin
+    * candidate generation — Bayardo et al. WWW'07, Xiao et al. WWW'08):
+    * candidates are pairs sharing at least one gram in their PREFIXES —
+    * each doc's first |g| − ⌈t·|g|⌉ + 1 grams under the global
+    * rarity order the stored arrays are sorted by (ascending document
+    * frequency; see [[charGramSets]]) — verified by exact char-3-gram
+    * Jaccard ≥ `threshold`. Output: doc_a, doc_b, jaccard (truncated
+    * 6dp).
     *
-    * The composite blocking key is LOSSLESS: Jaccard ≥ t bounds the gram
-    * counts by min/max ≥ t, so with buckets of geometric width 1/t
-    * (bucket = ⌊log_{1/t}|grams|⌋) a qualifying pair differs by at most
-    * one bucket. Side A claims {b−1, b, b+1} and joins side B at its own
-    * bucket — every qualifying pair matches exactly one claim, and the
-    * candidate space is O(n²/(|langs|·|buckets|)) instead of the
-    * fixed-cardinality O(n²/|langs|) of lang-only blocking.
+    * Prefix filtering is LOSSLESS: J(A,B) ≥ t forces |A∩B| ≥
+    * ⌈t·max(|A|,|B|)⌉ ≥ ⌈t·|A|⌉, and the SSJoin prefix lemma gives
+    * prefix(A) ∩ prefix(B) ≠ ∅ for any shared total order (pinned
+    * empirically by DedupPropertySpec's ≡-naive-all-pairs test). Unlike
+    * the previous (lang, length-bucket) blocking — whose candidate
+    * volume is density-QUADRATIC, O(Σ block²), and measured 30× cost
+    * for 10× data at sf1 because every same-length same-lang pair
+    * collides regardless of content — prefix candidates require shared
+    * CONTENT, so disjoint-vocabulary corpus growth adds zero cross
+    * pairs and candidate volume tracks the true near-dup density. The
+    * size-ratio bound (|A| ≥ t·|B|, a Jaccard upper bound) rides the
+    * candidate join as a residual, and the ceil() is nudged down 1e-9
+    * before evaluation so a binary-FP product like 0.8·10 =
+    * 8.000000000000002 can never round the prefix SHORTER than the
+    * lossless length (longer is safe, shorter loses pairs).
     */
-  /** @param broadcastBlocked opt-in assertion that the per-doc gram
-    *   table fits the broadcast budget (one row per doc with int-array
-    *   grams — CORPUS-sized, so this is only sane for small corpora).
-    *   Default false: a shuffle join on (lang, blk) has the same output,
-    *   never OOMs an executor at scale, and measured both faster AND
-    *   far more stable at sf0.1 (warm ~2 s vs a 2–26 s spread; the
-    *   broadcast build serializes the whole gram table on the driver
-    *   every run). Opt-in like Reconcile.broadcastDim, never
-    *   unconditional. At web scale this operator's candidate set is
-    *   inherently O(Σ block²) and the MinHash LSH family is the scale
-    *   path — this blocked-verification form is for corpora where
-    *   blocks stay bounded.
+  /** @param broadcastBlocked opt-in assertion that the verified
+    *   candidate-pair list fits the broadcast budget (band collisions ≪
+    *   corpus on healthy corpora). Default false: the shuffle join-back
+    *   on doc_id has the same output and never OOMs an executor when a
+    *   duplicate-saturated crawl makes candidates corpus-scale — the
+    *   scoredPairs broadcastCandidates precedent. Opt-in like
+    *   Reconcile.broadcastDim, never unconditional.
     */
   def ngramJaccardBlocked(docs: DataFrame, threshold: Double = 0.8,
       broadcastBlocked: Boolean = false): DataFrame =
-    ngramJaccardFromGrams(charGramSets(docs, threshold), threshold,
+    ngramJaccardFromGrams(charGramSets(docs), threshold,
       broadcastBlocked)
 
-  /** Per-doc sorted INT-encoded char-3-gram sets with their length
-    * bucket (doc_id, lang, grams, nb) — the char-gram half of the
-    * signature store (pure per-document function; see
-    * [[ngramJaccardBlocked]]). The bucket base is `1/threshold`, so a
-    * store built at one threshold serves probes at that threshold.
+  /** Per-doc sorted INT-encoded char-3-gram sets (doc_id, lang, grams)
+    * — the char-gram half of the signature store (pure per-document
+    * function; see [[ngramJaccardBlocked]]). Threshold-independent:
+    * prefix lengths are derived from the stored sorted array at probe
+    * time, so ONE store serves probes at any threshold (the former
+    * length-bucket column baked `1/threshold` into the schema and tied
+    * the store to its build threshold).
     */
-  def charGramSets(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def charGramSets(docs: DataFrame): DataFrame = {
     val parallelism =
       docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // Normalize once, filter on the cheap scalar (length ≥ 3 ⟺ grams
@@ -946,9 +956,10 @@ object Dedup {
         coalesce(TextOps.normalized(col("text")), lit("")).as("s"))
       .where(length(col("s")) >= 3)
       .repartition(parallelism)
-    // Sorted distinct grams, INT-encoded (the normalized alphabet is
-    // ASCII, so a 3-gram packs into ascii*65536 + ascii*256 + ascii):
-    // sorting and merging ints skips per-comparison string overhead
+    // Sorted distinct grams, numerically encoded (the normalized
+    // alphabet is ASCII, so a 3-gram packs into ascii*65536 + ascii*256
+    // + ascii, then rarity-prefixed into a long below): sorting and
+    // merging fixed-width integers skips per-comparison string overhead
     // entirely, and sorted distinct input lets the verification use the
     // codegen'd linear-merge SortedIntersectSize instead of per-pair hash
     // sets (|A ∪ B| = |A| + |B| − |A ∩ B| for sets).
@@ -961,63 +972,89 @@ object Dedup {
     // Generate + projection the per-char work lives in whole-stage
     // codegen, and the aggregate output is non-nullable by construction
     // (no isnotnull(grams) constraint — see trap note above).
-    base
+    val dg = base
       .select(col("doc_id"), col("lang"), col("s"),
         posexplode(sequence(lit(1), length(col("s")) - 2)).as(Seq("ord", "i")))
       .select(col("doc_id"), col("lang"),
         (ascii(col("s").substr(col("i"), lit(1))) * 65536 +
           ascii(col("s").substr(col("i") + 1, lit(1))) * 256 +
           ascii(col("s").substr(col("i") + 2, lit(1)))).as("gram"))
+      .distinct()
+    // RARITY ENCODING — the load-bearing half of prefix filtering
+    // (AllPairs §3: prefixes must hold the RARE end of the universe).
+    // The stored array element is df·2²⁴ + gram, so ascending array
+    // order = ascending document frequency: a prefix slice holds each
+    // doc's rarest grams, whose posting lists are short by definition,
+    // and the candidate join's per-gram fan-out is bounded by df of
+    // the rarest prefix grams, not by hot-gram |posting|². (A
+    // value-ordered prefix measured unboundedly worse at sf1: common
+    // grams like "e t" sit in thousands of prefixes and re-create the
+    // quadratic block.) The encoding is a BIJECTION (gram < 2²⁴ since
+    // the packed ASCII code tops out at ~8e6), so set sizes —
+    // intersection, union, jaccard — are unchanged; df < 2³⁹ docs
+    // before the long overflows, far past any corpus. The df table is
+    // hard-bounded by the 3-gram universe (≤ 37³ ≈ 5e4 rows for the
+    // normalized [a-z0-9 ] alphabet), hence the pinned broadcast —
+    // the nation/region class of hint, safe at any corpus scale.
+    val dfreq = dg.groupBy("gram").agg(count(lit(1)).as("df"))
+    dg.join(broadcast(dfreq), "gram")
+      .select(col("doc_id"), col("lang"),
+        (col("df") * lit(16777216L) + col("gram")).as("g"))
       .groupBy("doc_id", "lang")
-      .agg(array_sort(collect_set(col("gram"))).as("grams"))
-      .withColumn("nb",
-        // coalesce: log is nullable (null for non-positive input, which
-        // the length-≥3 filter already excludes) — keep the bucket
-        // non-nullable so no isnotnull(nb) constraint can materialize.
-        coalesce(floor(log(1.0 / threshold, size(col("grams")).cast("double"))),
-          lit(0L)).cast("int"))
+      .agg(array_sort(collect_set(col("g"))).as("grams"))
   }
 
   /** [[ngramJaccardBlocked]] over a precomputed [[charGramSets]] frame —
-    * the signature-store probe form (the store must have been built at
-    * the same threshold: the length bucket encodes it).
+    * the signature-store probe form. The store is threshold-independent
+    * (prefix lengths derive from the stored arrays at probe time).
     */
   def ngramJaccardFromGrams(g: DataFrame, threshold: Double = 0.8,
       broadcastBlocked: Boolean = false): DataFrame = {
     val parallelism =
       g.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    // The probe side gets an EXPLICIT round-robin repartition AFTER the
-    // claims explode: the pair verification is quadratic in group size
-    // while AQE's partition coalescing reasons in BYTES — left to
-    // itself it folds the ~15 MB post-aggregate exchange into one
-    // partition and runs the 1.4 M-pair verification single-threaded
-    // (measured 17 s vs 2.4 s at sf0.1). A by-num repartition is never
-    // coalesced, so the probe stage stays `parallelism` wide.
-    val claims = g
-      .withColumn("blk", explode(array(col("nb") - 1, col("nb"), col("nb") + 1)))
-      .drop("nb")
-      .repartition(parallelism)
-    val blocked0 = g.withColumnRenamed("nb", "blk")
-    val blocked = if (broadcastBlocked) broadcast(blocked0) else blocked0
-
-    // The ENTIRE predicate lives in the join condition, cheapest first:
-    // id ordering and the lossless size-ratio prefilter (jaccard ≤
-    // min/max of the sizes, so jaccard ≥ t needs each side ≥ t × the
-    // other) short-circuit before the merge runs. A separate `.where`
-    // on the computed jaccard would be PUSHED into the join condition
-    // ahead of the cheap predicates — measured as the merge running on
-    // every block-matched pair, ~100× the work.
-    val inter = SortedIntersectSize(col("a.grams"), col("b.grams"))
-    val jaccard = TextOps.trunc6(
-      inter / (size(col("a.grams")) + size(col("b.grams")) - inter).cast("double"))
-    claims.as("a")
-      .join(blocked.as("b"),
-        col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
+    // Prefix rows: one (gram, doc) posting per prefix gram. The prefix
+    // length n − ⌈t·n − ε⌉ + 1 slices the stored array, whose sort
+    // order IS the global rarity order (df·2²⁴ + gram — see
+    // [[charGramSets]]), so each doc's prefix holds its rarest grams
+    // and the candidate join fans out on short posting lists only.
+    val pfx = g.select(col("doc_id"), col("lang"),
+      size(col("grams")).as("n"),
+      explode(slice(col("grams"), lit(1),
+        (size(col("grams")) -
+          ceil(lit(threshold) * size(col("grams")) - lit(1e-9)) + 1)
+          .cast("int"))).as("gram"))
+    // Candidate pairs: equi-join on the shared prefix gram with the
+    // cheap residuals in the join condition (id order; the lossless
+    // size-ratio prefilter — jaccard ≤ min/max of the set sizes, so
+    // jaccard ≥ t needs each side ≥ t × the other). A pair meeting at
+    // k shared prefix grams surfaces k times; the distinct() collapses
+    // it BEFORE the merge-verification pays for it.
+    val cand = pfx.as("a")
+      .join(pfx.as("b"),
+        col("a.gram") === col("b.gram") && col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id") &&
-          size(col("a.grams")) >= lit(threshold) * size(col("b.grams")) &&
-          size(col("b.grams")) >= lit(threshold) * size(col("a.grams")) &&
-          jaccard >= threshold)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        jaccard.as("jaccard"))
+          col("a.n") >= lit(threshold) * col("b.n") &&
+          col("b.n") >= lit(threshold) * col("a.n"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      // Pair verification is merge-heavy per ROW while AQE's partition
+      // coalescing reasons in BYTES — a by-num repartition is exempt
+      // from coalescing, so the verification stage stays wide (the
+      // measured 17 s single-partition trap of the bucket-blocked
+      // predecessor; PLANS.md trap 6).
+      .repartition(parallelism)
+    val candSide = if (broadcastBlocked) broadcast(cand) else cand
+    // Join the two gram arrays back by doc_id and verify exactly. The
+    // jaccard predicate evaluates once per candidate pair — candidates
+    // are content-filtered here, so this stage is linear in the true
+    // near-dup density, not in corpus density.
+    val inter = SortedIntersectSize(col("ga"), col("gb"))
+    val jaccard = TextOps.trunc6(
+      inter / (size(col("ga")) + size(col("gb")) - inter).cast("double"))
+    candSide
+      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
+      .where(jaccard >= threshold)
+      .select(col("doc_a"), col("doc_b"), jaccard.as("jaccard"))
   }
 }
