@@ -804,10 +804,16 @@ object ExtQueries {
 
     // Stats — supplier revenue CONCENTRATION (Gini index in exact ppm):
     // G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted
-    // per-supplier revenue. Everything stays BIGINT on the DOLLAR grid
-    // (cents would push 2·Σi·x·1e6 past 2⁶³ at scale — the documented
-    // rescale) until the single ppm DIV. One supplier-scale aggregate,
-    // one rank window over the |suppliers| frame, one 1-row finish.
+    // per-supplier revenue. The rank-weighted sum s1 and the ppm
+    // numerator run in DECIMAL(38,0): s1 ≤ n·Σx and the numerator
+    // carries an extra 10⁶ factor, so BIGINT overflows already at the
+    // sf1 fixture (measured: 2·s1·10⁶ ≈ 8.4e18 at sf0.1 — a hair under
+    // 2⁶³ — and ~8.4e20 at sf1; ANSI mode turned that into a crash
+    // instead of a silent wrap). The dollar grid (not cents) keeps even
+    // 100 TB totals inside the decimal's 38 digits; only the final
+    // bounded gini_ppm (≤ 10⁶) casts back to BIGINT. One supplier-scale
+    // aggregate, one rank window over the |suppliers| frame, one 1-row
+    // finish.
     "supplier_concentration" -> ((s, dir) => {
       val rev = Tables.lineitem(s, dir)
         .groupBy("l_suppkey")
@@ -819,10 +825,10 @@ object ExtQueries {
       ranked.agg(
         count(lit(1)).as("n_suppliers"),
         sum("dollars").as("total_dollars"),
-        sum(col("i") * col("dollars")).as("s1"))
+        sum(expr("CAST(i AS DECIMAL(38,0)) * dollars")).as("s1"))
         .withColumn("gini_ppm", expr(
-          "CAST((2 * s1 - (n_suppliers + 1) * total_dollars) * 1000000" +
-            " DIV (n_suppliers * total_dollars) AS BIGINT)"))
+          "CAST((2 * s1 - (n_suppliers + 1) * CAST(total_dollars AS DECIMAL(38,0))) * 1000000" +
+            " DIV (CAST(n_suppliers AS DECIMAL(38,0)) * total_dollars) AS BIGINT)"))
         .select("n_suppliers", "total_dollars", "gini_ppm")
         .orderBy("n_suppliers")
     }),
@@ -2464,10 +2470,10 @@ object ExtQueries {
          |    ORDER BY dollars, l_suppkey) AS BIGINT) AS i FROM rev),
          |m AS (SELECT count(*) AS n_suppliers,
          |    CAST(sum(dollars) AS BIGINT) AS total_dollars,
-         |    CAST(sum(i * dollars) AS BIGINT) AS s1 FROM r)
+         |    sum(CAST(i AS HUGEINT) * dollars) AS s1 FROM r)
          |SELECT n_suppliers, total_dollars,
-         |  CAST((2 * s1 - (n_suppliers + 1) * total_dollars) * 1000000
-         |    // (n_suppliers * total_dollars) AS BIGINT) AS gini_ppm
+         |  CAST((2 * s1 - (n_suppliers + 1) * CAST(total_dollars AS HUGEINT)) * 1000000
+         |    // (CAST(n_suppliers AS HUGEINT) * total_dollars) AS BIGINT) AS gini_ppm
          |FROM m ORDER BY n_suppliers""".stripMargin,
 
     "dup_rate_by_source" -> {
