@@ -1139,7 +1139,13 @@ object ExtQueries {
       val roots = rev.groupBy("root").agg(sum("node_cents").as("root_cents"))
       rev.join(roots, "root")
         .withColumn("share_ppm",
-          expr("CAST(node_cents * 1000000 DIV root_cents AS BIGINT)"))
+          // DECIMAL(38,0): node_cents·10⁶ is a cents-grid sum × 1e6 —
+          // a hot part grossing ~$10^10 at warehouse scale puts the
+          // BIGINT product within one order of 2⁶³ (the
+          // supplier_concentration overflow class, found by the sf1
+          // run). 38 digits hold any real total; the share itself is
+          // bounded ≤ 10⁶.
+          expr("CAST(CAST(node_cents AS DECIMAL(38,0)) * 1000000 DIV root_cents AS BIGINT)"))
         .select("root", "node", "node_cents", "root_cents", "share_ppm")
         .orderBy("root", "node")
     }),
@@ -2947,7 +2953,7 @@ object ExtQueries {
          |roots AS (SELECT root, CAST(sum(node_cents) AS BIGINT) AS root_cents
          |  FROM rev GROUP BY 1)
          |SELECT rev.root, node, node_cents, root_cents,
-         |  CAST(node_cents * 1000000 // root_cents AS BIGINT) AS share_ppm
+         |  CAST(CAST(node_cents AS HUGEINT) * 1000000 // root_cents AS BIGINT) AS share_ppm
          |FROM rev JOIN roots ON rev.root = roots.root
          |ORDER BY rev.root, node""".stripMargin,
 
