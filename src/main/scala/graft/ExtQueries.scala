@@ -1098,7 +1098,10 @@ object ExtQueries {
       val tot = per.agg(sum("n_events").as("total"))
       per.crossJoin(broadcast(tot))
         .withColumn("share_ppm",
-          expr("CAST(n_events * 1000000 DIV total AS BIGINT)"))
+          // DECIMAL(38,0): total is the full fact-table row count —
+          // ~1e12 events at 100 TB puts n_events·1e6 for a hot key
+          // within one order of 2⁶³ (the ppm-numerator overflow class).
+          expr("CAST(CAST(n_events AS DECIMAL(38,0)) * 1000000 DIV total AS BIGINT)"))
         .select("user_id", "n_events", "share_ppm")
         .orderBy(col("n_events").desc, col("user_id"))
         .limit(20)
@@ -1119,7 +1122,9 @@ object ExtQueries {
       val tot = d.agg(sum("n_orders").as("total"))
       d.crossJoin(broadcast(tot))
         .withColumn("obs_ppm",
-          expr("CAST(n_orders * 1000000 DIV total AS BIGINT)"))
+          // DECIMAL(38,0): digit-1 holds ~30% of all orders; fact-scale
+          // count × 1e6 is the same ppm-numerator overflow class.
+          expr("CAST(CAST(n_orders AS DECIMAL(38,0)) * 1000000 DIV total AS BIGINT)"))
         .select("digit", "n_orders", "obs_ppm")
         .orderBy("digit")
     }),
@@ -2504,8 +2509,9 @@ object ExtQueries {
          |    CAST(sum(y * y) AS BIGINT) AS syy
          |  FROM g GROUP BY 1)
          |SELECT l_returnflag, n, sx, sy, sxy, sxx, syy,
-         |  floor(((n * sxy - sx * sy)::DOUBLE
-         |    / sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE))
+         |  floor(((n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
+         |    / sqrt((n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE
+         |         * (n::HUGEINT * syy - sy::HUGEINT * sy)::DOUBLE))
          |    * 1000000) / 1000000 AS corr_6dp
          |FROM m ORDER BY l_returnflag""".stripMargin,
 
@@ -2989,7 +2995,7 @@ object ExtQueries {
          |  FROM events GROUP BY 1),
          |tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM per)
          |SELECT user_id, n_events,
-         |  CAST(n_events * 1000000 // total AS BIGINT) AS share_ppm
+         |  CAST(CAST(n_events AS HUGEINT) * 1000000 // total AS BIGINT) AS share_ppm
          |FROM per CROSS JOIN tot
          |ORDER BY n_events DESC, user_id LIMIT 20""".stripMargin,
 
@@ -3001,7 +3007,7 @@ object ExtQueries {
          |per AS (SELECT digit, count(*) AS n_orders FROM d GROUP BY 1),
          |tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM per)
          |SELECT digit, n_orders,
-         |  CAST(n_orders * 1000000 // total AS BIGINT) AS obs_ppm
+         |  CAST(CAST(n_orders AS HUGEINT) * 1000000 // total AS BIGINT) AS obs_ppm
          |FROM per CROSS JOIN tot ORDER BY digit""".stripMargin,
 
     "rfm_segments" ->
@@ -3036,7 +3042,7 @@ object ExtQueries {
          |d AS (SELECT part_a AS antecedent, part_b AS consequent, n_ab FROM pr
          |      UNION ALL SELECT part_b, part_a, n_ab FROM pr),
          |c AS (SELECT d.antecedent, d.consequent, d.n_ab, pp.n_ante,
-         |    CAST(d.n_ab * 1000000 // pp.n_ante AS BIGINT) AS conf_ppm
+         |    CAST(CAST(d.n_ab AS HUGEINT) * 1000000 // pp.n_ante AS BIGINT) AS conf_ppm
          |  FROM d JOIN pp USING (antecedent))
          |SELECT antecedent, consequent, n_ab, n_ante, conf_ppm
          |FROM c WHERE conf_ppm >= 100000

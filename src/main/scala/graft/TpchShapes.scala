@@ -161,7 +161,11 @@ object TpchShapes {
             .as("nation_cents"),
           sum("rev_c").as("total_cents"))
         .withColumn("share_ppm",
-          expr("CAST(nation_cents * 1000000 DIV total_cents AS BIGINT)"))
+          // DECIMAL(38,0): cents-sum × 1e6 — total ASIA revenue at
+          // 100 TB is ~1e15-16 cents, so the BIGINT product overflows
+          // (the supplier_concentration/hierarchy_share class). The
+          // share itself stays ≤ 1e6.
+          expr("CAST(CAST(nation_cents AS DECIMAL(38,0)) * 1000000 DIV total_cents AS BIGINT)"))
         .orderBy("o_year")
     }),
 
@@ -224,7 +228,8 @@ object TpchShapes {
             .as("promo_cents"),
           sum("rev_c").as("total_cents"))
         .withColumn("promo_ppm",
-          expr("CAST(promo_cents * 1000000 DIV total_cents AS BIGINT)"))
+          // DECIMAL(38,0): same cents-sum × 1e6 overflow class as q8.
+          expr("CAST(CAST(promo_cents AS DECIMAL(38,0)) * 1000000 DIV total_cents AS BIGINT)"))
         .orderBy("total_cents")),
 
     // Q15 — top supplier(s) by quarter revenue. The per-supplier
@@ -450,7 +455,7 @@ object TpchShapes {
          |    CAST(sum(rev_c) AS BIGINT) AS total_cents
          |  FROM rev GROUP BY 1)
          |SELECT o_year, nation_cents, total_cents,
-         |  CAST(nation_cents * 1000000 // total_cents AS BIGINT) AS share_ppm
+         |  CAST(CAST(nation_cents AS HUGEINT) * 1000000 // total_cents AS BIGINT) AS share_ppm
          |FROM m ORDER BY o_year""".stripMargin,
 
     "q10_returned_items" ->
@@ -480,7 +485,7 @@ object TpchShapes {
          |    AS BIGINT) AS promo_cents,
          |  CAST(sum($revCSql) AS BIGINT) AS total_cents,
          |  CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN $revCSql ELSE 0 END)
-         |      AS BIGINT) * 1000000
+         |      AS HUGEINT) * 1000000
          |    // CAST(sum($revCSql) AS BIGINT) AS BIGINT) AS promo_ppm
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |WHERE l_shipdate >= TIMESTAMP '1996-03-01'

@@ -452,7 +452,11 @@ object Retail {
         .select(col("part_b").as("antecedent"), col("part_a").as("consequent"), col("n_ab")))
     directed
       .join(perPart, "antecedent")
-      .withColumn("conf_ppm", expr("CAST(n_ab * 1000000 DIV n_ante AS BIGINT)"))
+      // DECIMAL(38,0): n_ab is an order-scale co-occurrence count;
+      // ×1e6 puts a ubiquitous pair within one order of 2⁶³ at 100 TB
+      // (the ppm-numerator overflow class).
+      .withColumn("conf_ppm",
+        expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * 1000000 DIV n_ante AS BIGINT)"))
       .where(col("conf_ppm") >= minConfPpm)
       .orderBy(col("conf_ppm").desc, col("antecedent"), col("consequent"))
       .limit(k)

@@ -273,9 +273,15 @@ object Stats {
         sum(col(xCol) * col(yCol)).as("sxy"),
         sum(col(xCol) * col(xCol)).as("sxx"),
         sum(col(yCol) * col(yCol)).as("syy"))
+    // DECIMAL(38,0) for the moment COMBINATION only: n·sxy is
+    // rowcount × sum-of-products — ~1e24 for a 1e12-row group, far
+    // past 2⁶³ (the individual moments still fit BIGINT). 38 digits
+    // keep the combination exact; at test scale every value is < 2⁵³
+    // so the decimal→double cast is the identical IEEE double.
+    def d(c: Column): Column = c.cast("decimal(38,0)")
     grouped.withColumn("corr_6dp", TextOps.trunc6(
-      (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-        sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-          (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+      (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))).cast("double") /
+        sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))).cast("double") *
+          (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))).cast("double"))))
   }
 }
