@@ -890,9 +890,10 @@ object Dedup {
   /** X4 — PREFIX-FILTERED character-3-gram Jaccard (AllPairs/PPJoin
     * candidate generation — Bayardo et al. WWW'07, Xiao et al. WWW'08):
     * candidates are pairs sharing at least one gram in their PREFIXES —
-    * each doc's first |g| − ⌈t·|g|⌉ + 1 grams under the global
-    * rarity order the stored arrays are sorted by (ascending document
-    * frequency; see [[charGramSets]]) — verified by exact char-3-gram
+    * each doc's first |g| − ⌈t·|g|⌉ + 1 grams under a global rarity
+    * order (ascending document frequency, derived at probe time over
+    * the probed corpus; see [[ngramJaccardFromGrams]]) — verified by
+    * exact char-3-gram
     * Jaccard ≥ `threshold`. Output: doc_a, doc_b, jaccard (truncated
     * 6dp).
     *
@@ -912,13 +913,15 @@ object Dedup {
     * 8.000000000000002 can never round the prefix SHORTER than the
     * lossless length (longer is safe, shorter loses pairs).
     */
-  /** @param broadcastBlocked opt-in assertion that the verified
-    *   candidate-pair list fits the broadcast budget (band collisions ≪
-    *   corpus on healthy corpora). Default false: the shuffle join-back
-    *   on doc_id has the same output and never OOMs an executor when a
-    *   duplicate-saturated crawl makes candidates corpus-scale — the
-    *   scoredPairs broadcastCandidates precedent. Opt-in like
-    *   Reconcile.broadcastDim, never unconditional.
+  /** @param broadcastBlocked opt-in assertion that the PRE-verification
+    *   candidate-pair list (distinct prefix-gram collisions, before the
+    *   exact-Jaccard join-back) fits the broadcast budget — true on
+    *   healthy corpora where prefix collisions ≪ corpus. Default false:
+    *   the shuffle join-back on doc_id has the same output and never
+    *   OOMs an executor when a duplicate-saturated crawl makes
+    *   candidates corpus-scale — the scoredPairs broadcastCandidates
+    *   precedent. Opt-in like Reconcile.broadcastDim, never
+    *   unconditional.
     */
   def ngramJaccardBlocked(docs: DataFrame, threshold: Double = 0.8,
       broadcastBlocked: Boolean = false): DataFrame =
@@ -926,8 +929,16 @@ object Dedup {
       broadcastBlocked)
 
   /** Per-doc sorted INT-encoded char-3-gram sets (doc_id, lang, grams)
-    * — the char-gram half of the signature store (pure per-document
-    * function; see [[ngramJaccardBlocked]]). Threshold-independent:
+    * — the char-gram half of the signature store, a PURE per-document
+    * function (see [[ngramJaccardBlocked]]): each stored array element
+    * is the packed-ASCII gram code alone, sorted by VALUE, with no
+    * corpus-level statistic baked in. That purity is the store's
+    * incremental contract — `charGramSets(newDocs)` unioned onto a
+    * store persisted at any earlier time probes identically to a
+    * fresh one-shot build (pinned by SignatureStoreSpec's mixed-era
+    * case), because the corpus-coupled rarity order the prefix filter
+    * needs is re-derived by [[ngramJaccardFromGrams]] over exactly the
+    * frame being probed, never stored. Threshold-independent too:
     * prefix lengths are derived from the stored sorted array at probe
     * time, so ONE store serves probes at any threshold (the former
     * length-bucket column baked `1/threshold` into the schema and tied
@@ -980,70 +991,89 @@ object Dedup {
           ascii(col("s").substr(col("i") + 1, lit(1))) * 256 +
           ascii(col("s").substr(col("i") + 2, lit(1)))).as("gram"))
       .distinct()
-    // RARITY ENCODING — the load-bearing half of prefix filtering
-    // (AllPairs §3: prefixes must hold the RARE end of the universe).
-    // The stored array element is df·2²⁴ + gram, so ascending array
-    // order = ascending document frequency: a prefix slice holds each
-    // doc's rarest grams, whose posting lists are short by definition,
-    // and the candidate join's per-gram fan-out is bounded by df of
-    // the rarest prefix grams, not by hot-gram |posting|². (A
-    // value-ordered prefix measured unboundedly worse at sf1: common
-    // grams like "e t" sit in thousands of prefixes and re-create the
-    // quadratic block.) The encoding is a BIJECTION (gram < 2²⁴ since
-    // the packed ASCII code tops out at ~8e6), so set sizes —
-    // intersection, union, jaccard — are unchanged; df < 2³⁹ docs
-    // before the long overflows, far past any corpus. The df table is
-    // hard-bounded by the 3-gram universe (≤ 37³ ≈ 5e4 rows for the
-    // normalized [a-z0-9 ] alphabet), hence the pinned broadcast —
-    // the nation/region class of hint, safe at any corpus scale.
-    val dfreq = dg.groupBy("gram").agg(count(lit(1)).as("df"))
-    dg.join(broadcast(dfreq), "gram")
-      .select(col("doc_id"), col("lang"),
-        (col("df") * lit(16777216L) + col("gram")).as("g"))
-      .groupBy("doc_id", "lang")
-      .agg(array_sort(collect_set(col("g"))).as("grams"))
+    dg.groupBy("doc_id", "lang")
+      .agg(array_sort(collect_set(col("gram"))).as("grams"))
   }
 
   /** [[ngramJaccardBlocked]] over a precomputed [[charGramSets]] frame —
     * the signature-store probe form. The store is threshold-independent
-    * (prefix lengths derive from the stored arrays at probe time).
+    * (prefix lengths derive from the stored arrays at probe time) and
+    * era-independent: the rarity order prefix filtering needs is
+    * derived HERE, over `g` itself, so a store assembled from builds at
+    * different times (base corpus + incrementally appended docs) probes
+    * identically to a one-shot build.
     */
   def ngramJaccardFromGrams(g: DataFrame, threshold: Double = 0.8,
       broadcastBlocked: Boolean = false): DataFrame = {
     val parallelism =
       g.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    // Prefix rows: one (gram, doc) posting per prefix gram. The prefix
-    // length n − ⌈t·n − ε⌉ + 1 slices the stored array, whose sort
-    // order IS the global rarity order (df·2²⁴ + gram — see
-    // [[charGramSets]]), so each doc's prefix holds its rarest grams
-    // and the candidate join fans out on short posting lists only.
-    val pfx = g.select(col("doc_id"), col("lang"),
-      size(col("grams")).as("n"),
-      explode(slice(col("grams"), lit(1),
-        (size(col("grams")) -
-          ceil(lit(threshold) * size(col("grams")) - lit(1e-9)) + 1)
-          .cast("int"))).as("gram"))
+    // RARITY ORDER — the load-bearing half of prefix filtering
+    // (AllPairs §3: prefixes must hold the RARE end of the universe).
+    // Re-derived per probe from the probed frame: explode the stored
+    // value-sorted arrays, count document frequency per gram, and rank
+    // each doc's grams by (df, gram) with a window — each doc's prefix
+    // is its first n − ⌈t·n − ε⌉ + 1 grams under that shared total
+    // order, i.e. its RAREST grams, whose posting lists are short by
+    // definition, so the candidate join's per-gram fan-out is bounded
+    // by df of the rarest prefix grams, not by hot-gram |posting|².
+    // (A value-ordered prefix measured unboundedly worse at sf1:
+    // common grams like "e t" sit in thousands of prefixes and
+    // re-create the quadratic block.) The df table is hard-bounded by
+    // the 3-gram universe (≤ 37³ ≈ 5e4 rows for the normalized
+    // [a-z0-9 ] alphabet), hence the pinned broadcast — the
+    // nation/region class of hint, safe at any corpus scale. Deriving
+    // df at probe time (rather than baking it into the store as r11's
+    // df·2²⁴+gram element encoding did) makes the store
+    // corpus-independent: a mixed-era store (base + appended builds)
+    // cannot mix df epochs, because there is exactly one df epoch —
+    // this probe's. The r11 layout silently lost pairs on any
+    // incremental append (gram equality itself broke across eras);
+    // that hazard is now unrepresentable, pinned by
+    // SignatureStoreSpec's mixed-era case. Measured net FASTER than
+    // the baked-in layout (2.2 s vs 3.2 s fused at sf0.1): the store
+    // build drops its df join and aggregates ints instead of longs,
+    // and the probe's window rank replaces the per-doc rarity-array
+    // rebuild + re-explode.
+    val ex = g.select(col("doc_id"), col("lang"),
+      size(col("grams")).as("n"), explode(col("grams")).as("gram"))
+    val dfreq = ex.groupBy("gram").agg(count(lit(1)).as("df"))
+    // Prefix rows: one (gram, doc) posting per prefix gram, selected
+    // by per-doc rank under the probe-wide (df, gram) order. The
+    // row_number sort runs inside the window exchange — no per-doc
+    // array is rebuilt or re-exploded.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "lang").orderBy(col("df"), col("gram"))
+    val pfx = ex.join(broadcast(dfreq), "gram")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <=
+        (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1))
+      .select(col("doc_id"), col("lang"), col("n"), col("gram"))
     // Candidate pairs: equi-join on the shared prefix gram with the
     // cheap residuals in the join condition (id order; the lossless
     // size-ratio prefilter — jaccard ≤ min/max of the set sizes, so
-    // jaccard ≥ t needs each side ≥ t × the other). A pair meeting at
-    // k shared prefix grams surfaces k times; the distinct() collapses
-    // it BEFORE the merge-verification pays for it.
+    // jaccard ≥ t needs each side ≥ t × the other, nudged down 1e-9
+    // like the prefix ceil so a binary-FP product such as 0.8·55 =
+    // 44.000000000000007 cannot drop a boundary pair whose truncated
+    // jaccard still passes verification). A pair meeting at k shared
+    // prefix grams surfaces k times; the distinct() collapses it
+    // BEFORE the merge-verification pays for it.
     val cand = pfx.as("a")
       .join(pfx.as("b"),
         col("a.gram") === col("b.gram") && col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id") &&
-          col("a.n") >= lit(threshold) * col("b.n") &&
-          col("b.n") >= lit(threshold) * col("a.n"))
+          col("a.n") >= lit(threshold) * col("b.n") - lit(1e-9) &&
+          col("b.n") >= lit(threshold) * col("a.n") - lit(1e-9))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      // Pair verification is merge-heavy per ROW while AQE's partition
-      // coalescing reasons in BYTES — a by-num repartition is exempt
-      // from coalescing, so the verification stage stays wide (the
-      // measured 17 s single-partition trap of the bucket-blocked
-      // predecessor; PLANS.md trap 6).
-      .repartition(parallelism)
-    val candSide = if (broadcastBlocked) broadcast(cand) else cand
+    // Pair verification is merge-heavy per ROW while AQE's partition
+    // coalescing reasons in BYTES — a by-num repartition is exempt
+    // from coalescing, so the verification stage stays wide (the
+    // measured 17 s single-partition trap of the bucket-blocked
+    // predecessor; PLANS.md trap 6). Only on the shuffle path: under
+    // broadcastBlocked the candidate list is the build side and a
+    // repartition on it would be discarded by the broadcast exchange.
+    val candSide =
+      if (broadcastBlocked) broadcast(cand) else cand.repartition(parallelism)
     // Join the two gram arrays back by doc_id and verify exactly. The
     // jaccard predicate evaluates once per candidate pair — candidates
     // are content-filtered here, so this stage is linear in the true

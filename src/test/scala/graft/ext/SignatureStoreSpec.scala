@@ -46,6 +46,26 @@ class SignatureStoreSpec extends SparkSpec {
     assert(viaParquet === direct)
   }
 
+  test("char-gram store: mixed-era incremental append loses no pairs") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    // The hazard this pins (VERDICT r11 #4 / ADVICE r11): a store built
+    // at corpus-time T unioned with freshly-encoded docs at T+1 must
+    // probe exactly like a one-shot build over the grown corpus. That
+    // holds only because charGramSets stores corpus-INDEPENDENT
+    // value-sorted gram codes and ngramJaccardFromGrams derives the
+    // rarity order per probe — a store with document frequency baked
+    // into the encoding (the r11 df·2²⁴+gram layout) mixes df eras
+    // here, breaks gram equality across eras, and silently loses
+    // pairs. Era 1 is parquet round-tripped like the at-rest store.
+    val base = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+    val fresh = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+    val store = roundTrip(Dedup.charGramSets(base), "grams-era1")
+      .unionByName(Dedup.charGramSets(fresh))
+    val incremental = Dedup.ngramJaccardFromGrams(store).collect().toSet
+    val oneShot = Dedup.ngramJaccardBlocked(docs).collect().toSet
+    assert(incremental === oneShot)
+  }
+
   test("k-shingle store: parquet round trip probes identically") {
     val sh = Corpus.shingleHashes(docs, Corpus.DecontamShingle).distinct()
     val direct = Corpus.duplicatedSpansFromHashes(sh).collect().toSet

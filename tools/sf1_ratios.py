@@ -16,6 +16,14 @@ v10 = {}
 sec = text.split("## v10 — authoritative full-set recording", 1)[1]
 for m in re.finditer(r"^\| (\w+) \| ([0-9.]+) \| ([0-9.]+) \|$", sec, re.M):
     v10[m.group(1)] = float(m.group(2))
+# Format drift in the table (e.g. a column-count change) fails the regex
+# silently; make that loud instead of emitting an all-dash table.
+assert v10, "no v10 rows parsed from BASELINE.md — table format drifted?"
+# v11 delta rows (re-planned / newly-recorded queries) supersede v10.
+if "## v11 — delta recording" in text:
+    v11sec = text.split("## v11 — delta recording", 1)[1]
+    for m in re.finditer(r"^\| (\w+) \| ([0-9.]+) \| ([0-9.]+) \|$", v11sec, re.M):
+        v10[m.group(1)] = float(m.group(2))
 
 rows = []
 for q, t in sf1.items():
@@ -32,7 +40,10 @@ for q, t, base, ratio in rows:
 
 total = sum(sf1.values())
 base_total = sum(v10[q] for q in sf1 if q in v10)
-print(f"\ntotal {total:.1f} s vs v10 {base_total:.1f} s = {total/base_total:.2f}x aggregate")
+if base_total:
+    print(f"\ntotal {total:.1f} s vs v10 {base_total:.1f} s = {total/base_total:.2f}x aggregate")
+else:
+    print(f"\ntotal {total:.1f} s; no benched query matches a baseline row")
 print(f"errors: {len(errors)}: {list(errors)[:10]}")
 hot = [(q, r) for q, t, b, r in rows if r and r >= 8 and t >= 1.0]
 print(f">=8x scalers (>=1s at sf1): {hot}")
