@@ -1499,6 +1499,24 @@ object ExtQueries {
         .orderBy("h")
     }),
 
+    // Histogram-quantile store: per-batch (group, bucket, n) equi-width
+    // histograms fold by addition (histIngestStream's contract — the
+    // quantile member of the mergeable-store family beside KMV and
+    // CMS); the finalized read is the same p50/p90/p99 probe
+    // hist_quantiles runs one-shot, so the oracle is shared.
+    "quantile_ingest_replay" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      (0 until 3)
+        .map(i => ext.Stats.histogramOf(
+          o.where(pmod(col("o_orderkey"), lit(3)) === i),
+          Seq("o_orderpriority"), "o_totalprice", 10000L))
+        .reduce((a, b) => graft.streaming.StreamingOps.mergeRollup(
+          a, b, Seq("o_orderpriority", "bucket"), "n"))
+        .transform(st => ext.Stats.quantilesFromHistogram(
+          st, Seq("o_orderpriority"), 10000L, Seq(50, 90, 99)))
+        .orderBy("o_orderpriority")
+    }),
+
     // SemDeDup: verdicts folded through semDedupIncremental under a
     // 3-cut replay — kept can only be REVOKED (demotion rows), never
     // re-granted, and every batch vector joins the store dropped or
@@ -1871,6 +1889,7 @@ object ExtQueries {
     "lsh_ingest_replay" -> oracleSql("ann_topk_lsh"),
     "quantize_ingest_replay" -> oracleSql("ann_topk_quantized"),
     "semdedup_ingest_replay" -> oracleSql("semantic_dedup"),
+    "quantile_ingest_replay" -> oracleSql("hist_quantiles"),
     // The span store has no standalone one-shot query (dup_spans reads
     // the per-doc projection), so its replay oracle is the one-shot
     // shared-span census over the same k-shingle derivation.

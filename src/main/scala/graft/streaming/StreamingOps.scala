@@ -515,6 +515,29 @@ object StreamingOps {
         sink(graft.ext.Sketches.cmsSketch(batch, valueCol, depth, width), batchId)
       }
 
+  /** Streaming histogram maintenance — per arriving micro-batch, the
+    * batch's (groupCols…, bucket, n) equi-width cents histogram
+    * ([[graft.ext.Stats.histogramOf]]) handed to the caller's `sink`,
+    * which folds it into the persisted store with [[mergeRollup]] on
+    * the (groupCols…, bucket) key. Bucket counts are SUMS, so the
+    * merge is associative + commutative and any batch cut is
+    * bit-identical to the one-shot histogram; quantile reads probe the
+    * bucket-scale store
+    * ([[graft.ext.Stats.quantilesFromHistogram]]), never the stream's
+    * history — the QUANTILE member of the mergeable-store family
+    * beside [[kmvIngestStream]] (cardinality) and [[cmsIngestStream]]
+    * (frequency).
+    */
+  def histIngestStream(incoming: DataFrame, groupCols: Seq[String],
+      valueCol: String, widthCents: Long,
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    incoming.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.ext.Stats.histogramOf(batch, groupCols, valueCol, widthCents),
+          batchId)
+      }
+
   /** Streaming incremental materialized-aggregate maintenance — the
     * ingest face of the batch `rollup_maintenance` query: each arriving
     * micro-batch collapses to per-key partial sums (map-side

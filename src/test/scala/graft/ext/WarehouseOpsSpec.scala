@@ -142,6 +142,46 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(probed === oneShot)
   }
 
+  test("histogram store: 3-cut fold in any order equals the one-shot quantiles") {
+    // Merge is associative + commutative, so any batch cut AND any fold
+    // order converges — the contract quantile_ingest_replay DuckDB-checks
+    // at sf0.01 and histIngestStream relies on per micro-batch.
+    val rows = (1 to 60).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", (i * 13 % 41) * 0.29))
+    val df = rows.toDF("id", "grp", "v")
+    val oneShot = Stats.histogramQuantiles(df, Seq("grp"), "v", 7L, Seq(50, 90, 99))
+      .collect().map(_.toSeq).toSet
+    val cuts = (0 until 3).map(i =>
+      Stats.histogramOf(df.where(pmod(col("id"), lit(3)) === i),
+        Seq("grp"), "v", 7L))
+    for (order <- Seq(Seq(0, 1, 2), Seq(2, 0, 1), Seq(1, 2, 0))) {
+      val folded = order.map(cuts).reduce((a, b) =>
+        graft.streaming.StreamingOps.mergeRollup(a, b, Seq("grp", "bucket"), "n"))
+      val probed = Stats.quantilesFromHistogram(folded, Seq("grp"), 7L, Seq(50, 90, 99))
+        .collect().map(_.toSeq).toSet
+      assert(probed === oneShot, s"fold order $order diverged")
+    }
+  }
+
+  test("histogramQuantiles error vs exact quantile is bounded by the bucket width") {
+    // The estimate is the LOWER BOUND of the first bucket reaching the
+    // type-1 rank, so exact − width < est ≤ exact on the cents grid —
+    // the deterministic error contract that makes this the 100 TB
+    // quantile path (vs groupQuantiles' full per-group sort).
+    val df = (1 to 97).map(i => (if (i % 3 == 0) "a" else "b", (i * 37 % 101) / 100.0 * 9))
+      .toDF("grp", "v")
+    val width = 50L
+    val exact = Stats.groupQuantiles(df, Seq("grp"), "v", Seq(50, 90, 99))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4).map(v => math.round(v * 100))).toMap
+    val est = Stats.histogramQuantiles(df, Seq("grp"), "v", width, Seq(50, 90, 99))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4)).toMap
+    for (g <- exact.keys; (e, h) <- exact(g).zip(est(g))) {
+      assert(h <= e, s"group $g: estimate $h overshoots exact $e")
+      assert(e - h < width, s"group $g: estimate $h misses exact $e by >= $width")
+    }
+  }
+
   test("discrepancyTrend signs the integer least-squares slope per sku") {
     import java.sql.Date
     val d = (i: Int) => Date.valueOf(f"1995-06-${i + 1}%02d")

@@ -335,6 +335,36 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming histogram ingest: folded bucket counts equal the one-shot store") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val all = (1L to 400L).map(i => (s"g${i % 3}", (i % 57) * 0.37))
+    var store = Seq.empty[(String, Long, Long)].toDF("g", "bucket", "n")
+    val mem = MemoryStream[(String, Double)]
+    val writer = StreamingOps.histIngestStream(
+      mem.toDF().toDF("g", "v"), Seq("g"), "v", 25L,
+      (partial, _) => store = StreamingOps
+        .mergeRollup(store, partial, Seq("g", "bucket"), "n").localCheckpoint())
+    val q = writer.start()
+    try {
+      // Out-of-order uneven cuts: additivity makes the store cut-invariant.
+      mem.addData(all.drop(250): _*); q.processAllAvailable()
+      mem.addData(all.take(250): _*); q.processAllAvailable()
+      val oneShot = graft.ext.Stats.histogramOf(all.toDF("g", "v"), Seq("g"), "v", 25L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(store.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet === oneShot)
+      // The store read is the quantile probe — it must equal the
+      // one-shot histogramQuantiles over the full data.
+      val probed = graft.ext.Stats.quantilesFromHistogram(
+        store, Seq("g"), 25L, Seq(50, 99)).collect().map(_.toSeq).toSet
+      val direct = graft.ext.Stats.histogramQuantiles(
+        all.toDF("g", "v"), Seq("g"), "v", 25L, Seq(50, 99))
+        .collect().map(_.toSeq).toSet
+      assert(probed === direct)
+    } finally q.stop()
+  }
+
   test("streaming span ingest: merged batch counts equal the one-shot summary") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
