@@ -34,7 +34,7 @@ object ExtQueries {
     * are pure functions of the corpus — so Verify sees identical
     * output whether or not a store was already warm.
     */
-  private val storeCache =
+  private[graft] val storeCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
   // NOT computeIfAbsent: store builders call OTHER stores (bands →
   // signatures, labels → both), and a nested computeIfAbsent on the same
@@ -43,7 +43,7 @@ object ExtQueries {
   // is reentrant; a concurrent race can build a store twice, but stores
   // are pure per-corpus functions so either copy is correct and
   // putIfAbsent keeps exactly one.
-  private def store(s: SparkSession, dir: String, kind: String)(
+  private[graft] def store(s: SparkSession, dir: String, kind: String)(
       build: => DataFrame): DataFrame = {
     val key = (s, dir, kind)
     val hit = storeCache.get(key)
@@ -60,11 +60,11 @@ object ExtQueries {
     * once per (session, corpus) — the retail twin of the signature-store
     * discipline.
     */
-  private def copurchaseItemsStore(s: SparkSession, dir: String): DataFrame =
+  private[graft] def copurchaseItemsStore(s: SparkSession, dir: String): DataFrame =
     store(s, dir, "copurchase_items")(
       Retail.copurchaseItems(Tables.lineitem(s, dir)))
 
-  private def copurchasePairStore(s: SparkSession, dir: String): DataFrame =
+  private[graft] def copurchasePairStore(s: SparkSession, dir: String): DataFrame =
     store(s, dir, "copurchase_pairs")(
       Retail.copurchasePairCounts(copurchaseItemsStore(s, dir)))
 
@@ -72,7 +72,7 @@ object ExtQueries {
     * parent(p) = p div 10, keys < 10 are roots — the in-plan stand-in
     * for a real category edge table (shared by the hierarchy queries).
     */
-  private def partForest(s: SparkSession, dir: String): DataFrame =
+  private[graft] def partForest(s: SparkSession, dir: String): DataFrame =
     Tables.part(s, dir).where(col("p_partkey") >= 10)
       .select(col("p_partkey").as("node"),
         expr("p_partkey div 10").as("parent"))
@@ -82,7 +82,7 @@ object ExtQueries {
     * scaladoc documents the at-scale persisted form). One ingest per
     * (session, corpus) serves the whole dedup family.
     */
-  private def minhashStore(s: SparkSession, dir: String): DataFrame =
+  private[graft] def minhashStore(s: SparkSession, dir: String): DataFrame =
     store(s, dir, "minhash_hr")(
       Dedup.hashedShingleRows(Tables.documents(s, dir)))
 
@@ -90,7 +90,7 @@ object ExtQueries {
     * — "computed once per document at ingest and persisted"): probing it
     * skips the 16-permutation min-aggregate per query.
     */
-  private def minhashBandsStore(s: SparkSession, dir: String): DataFrame =
+  private[graft] def minhashBandsStore(s: SparkSession, dir: String): DataFrame =
     store(s, dir, "minhash_bands")(Dedup.minhashBands(minhashStore(s, dir)))
 
   /** The GROUP-LABEL store: near-dup component labels
@@ -101,7 +101,7 @@ object ExtQueries {
     * declared queries consumed this pipeline; before r10 each re-ran
     * candidate generation + verification + the CC iteration per query.
     */
-  private def dupGroupsStore(s: SparkSession, dir: String): DataFrame =
+  private[graft] def dupGroupsStore(s: SparkSession, dir: String): DataFrame =
     store(s, dir, "dup_group_labels")(
       Dedup.dupGroupsFromHashes(minhashStore(s, dir),
         bands = Some(minhashBandsStore(s, dir))))
@@ -116,7 +116,7 @@ object ExtQueries {
     * 16-permutation min-aggregate; `corpus_manifest` then probes labels
     * instead of re-running candidate generation + CC per pass.
     */
-  private def manifestLabelsStore(s: SparkSession, dir: String): DataFrame =
+  private[graft] def manifestLabelsStore(s: SparkSession, dir: String): DataFrame =
     store(s, dir, "manifest_labels") {
       val keepIds = Corpus.qualityFilter(
           Tables.documents(s, dir).where(pmod(col("doc_id"), lit(20)) =!= 0))
@@ -131,7 +131,7 @@ object ExtQueries {
     * and decontamination (each side filters it by doc_id predicate,
     * exact because the frame is a per-doc pure function).
     */
-  private def k8ShingleStore(s: SparkSession, dir: String): DataFrame =
+  private[graft] def k8ShingleStore(s: SparkSession, dir: String): DataFrame =
     store(s, dir, "k8_shingles")(
       Corpus.shingleHashes(Tables.documents(s, dir), Corpus.DecontamShingle)
         .distinct())
@@ -139,25 +139,25 @@ object ExtQueries {
   // shared DuckDB fragments ------------------------------------------------
 
   /** DuckDB mirror of TextOps.normalized/tokens. */
-  private val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
-  private val toksSql = s"string_split($normSql, ' ')"
-  private def inList(vals: Seq[String]): String = vals.map(v => s"'$v'").mkString("(", ", ", ")")
+  private[graft] val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+  private[graft] val toksSql = s"string_split($normSql, ' ')"
+  private[graft] def inList(vals: Seq[String]): String = vals.map(v => s"'$v'").mkString("(", ", ", ")")
 
-  private val stopEn = inList(TextOps.langProfiles.head._2)
+  private[graft] val stopEn = inList(TextOps.langProfiles.head._2)
 
   /** DuckDB mirror of the 2-word shingle set. */
-  private val shinglesSql =
+  private[graft] val shinglesSql =
     s"""list_distinct([array_to_string(t[i:i+1], ' ')
        |  for i in range(1, greatest(len(t), 1))])""".stripMargin
 
   /** DuckDB mirror of Dedup.hash60: top 15 md5 hex digits as BIGINT. */
-  private def hash60Sql(e: String): String = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+  private[graft] def hash60Sql(e: String): String = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
   /** DuckDB mirror of the 16 universal-hash minhash permutations over the
     * per-doc 60-bit shingle-hash list column `hs` — the same (a, b, p)
     * constants as Dedup.Perms, inlined as literals.
     */
-  private val minhashSqls: Seq[String] = Dedup.Perms.map { case (a, b) =>
+  private[graft] val minhashSqls: Seq[String] = Dedup.Perms.map { case (a, b) =>
     s"list_min(list_transform(hs, h -> ($a * (h % ${Dedup.Prime}) + $b) % ${Dedup.Prime}))"
   }
 
@@ -166,7 +166,7 @@ object ExtQueries {
     * CTE exposing the base hash as `h`; `extra` prefixes pass-through
     * columns ("token, n, ").
     */
-  private def cmsArmsSql(src: String, extra: String): String =
+  private[graft] def cmsArmsSql(src: String, extra: String): String =
     Dedup.Perms.take(4).zipWithIndex.map { case ((a, b), i) =>
       s"  SELECT $extra$i AS cms_row, " +
         s"(h % ${Dedup.Prime} * $a + $b) % ${Dedup.Prime} % 4096 AS cms_bucket FROM $src"
@@ -179,7 +179,7 @@ object ExtQueries {
   /** Brute-force probe top-k oracle — shared by ann_topk and sql_topk
     * (identical result contract, different Spark entry paths).
     */
-  private lazy val bruteTopkSql =
+  private[graft] lazy val bruteTopkSql =
     s"""WITH pairs AS (
        |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
        |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
@@ -189,7 +189,7 @@ object ExtQueries {
        |SELECT probe_id, rank, neighbor_id, cosine FROM r
        |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
 
-  private val cosSql =
+  private[graft] val cosSql =
     """floor((
       |  list_sum(list_transform(range(1, len(a.embedding) + 1),
       |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
@@ -204,7 +204,7 @@ object ExtQueries {
     * offset by table·LshBits), mirroring the Scala side's multi-table
     * form.
     */
-  private def rpBucketSql(c: String, table: Int = 0): String =
+  private[graft] def rpBucketSql(c: String, table: Int = 0): String =
     (0 until Similarity.LshBits).map { i =>
       val p = table * Similarity.LshBits + i
       s"""CASE WHEN list_sum(list_transform(range(1, 65),
@@ -216,7 +216,7 @@ object ExtQueries {
     * of Similarity.quantizeEmbeddings + the q·scale reconstruction,
     * shared by `ann_topk_quantized` and `ann_topk_rerank`.
     */
-  private val dequantCtes: String =
+  private[graft] val dequantCtes: String =
     """s AS (SELECT vec_id, embedding,
       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
       |  FROM embeddings),
@@ -231,7 +231,7 @@ object ExtQueries {
     * Events.withSessions' oracle twin, shared by `sessionize` and
     * `session_funnel`.
     */
-  private val sessionCtes: String =
+  private[graft] val sessionCtes: String =
     s"""o AS (SELECT user_id, ts, event_id, event_type, value,
        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
        |  FROM events),
@@ -246,7 +246,7 @@ object ExtQueries {
     * `ZOrder.SpreadSteps` step to both, z_last's (a, b) interleave with
     * `a | (b << 1)` — the same integer ops, literal-for-literal.
     */
-  private val zorderCtes: String = {
+  private[graft] val zorderCtes: String = {
     val z0 = "z0 AS (SELECT l_orderkey, l_linenumber, " +
       "l_partkey::BIGINT & 4294967295 AS a, " +
       "l_suppkey::BIGINT & 4294967295 AS b FROM lineitem)"
@@ -261,7 +261,7 @@ object ExtQueries {
     * `cs` (exact DECIMAL(30,10) sums + counts) — the oracle twin of
     * Similarity.labelCentroids' aggregation.
     */
-  private val centroidSumCtes: String =
+  private[graft] val centroidSumCtes: String =
     s"""cx AS (SELECT label, i - 1 AS dim, embedding[i]::DOUBLE AS x
        |       FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
        |cs AS (SELECT label, dim, sum(x::DECIMAL(30,10)) AS sx, count(*) AS n_vecs
@@ -270,7 +270,7 @@ object ExtQueries {
   /** [[centroidSumCtes]] plus the assembled per-label float centroid
     * `cent($labelAs, cen)` — Similarity.centroidTable's twin.
     */
-  private def centroidCtes(labelAs: String): String =
+  private[graft] def centroidCtes(labelAs: String): String =
     s"""$centroidSumCtes,
        |cent AS (SELECT label AS $labelAs,
        |    list((floor(sx::DOUBLE / n_vecs * 1000000) / 1000000)::FLOAT ORDER BY dim)
@@ -280,7 +280,7 @@ object ExtQueries {
   /** Truncated cosine between `e.embedding` and the centroid list `cen`
     * (index order, float→double casts — the CosineSimilarity kernel).
     */
-  private val cosCenSql: String =
+  private[graft] val cosCenSql: String =
     """floor(
       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
       |      i -> e.embedding[i]::DOUBLE * cen[i]::DOUBLE)) /
@@ -297,7 +297,7 @@ object ExtQueries {
     * vector by argmax cosine with the smaller-cell tie-break. Ends in
     * `a$rounds(vec_id, cell)`.
     */
-  private def kmeansCtes(rounds: Int): String = {
+  private[graft] def kmeansCtes(rounds: Int): String = {
     val steps = (1 to rounds).map { r =>
       s"""cx$r AS (SELECT a.cell, i - 1 AS dim, e.embedding[i]::DOUBLE AS x
          |  FROM embeddings e JOIN a${r - 1} a USING (vec_id),
@@ -325,7 +325,7 @@ object ExtQueries {
     * corpus serves both the full-corpus pairing and the incremental
     * (existing/incoming split) pairing.
     */
-  private def minhashBaseCtes(src: String = "documents"): String = {
+  private[graft] def minhashBaseCtes(src: String = "documents"): String = {
     val rows = Dedup.SigCount / Dedup.BandCount
     val sigList = minhashSqls.zipWithIndex
       .map { case (m, i) => s"$m AS sig$i" }.mkString(",\n  ")
@@ -352,7 +352,7 @@ object ExtQueries {
     * against the `hh` shingle-hash sets, emitting `$out(a_id, b_id,
     * jaccard ≥ 0.5)`.
     */
-  private def verifiedPairsCte(out: String, aId: String, bId: String): String =
+  private[graft] def verifiedPairsCte(out: String, aId: String, bId: String): String =
     s"""$out AS (SELECT $aId, $bId,
        |  floor(len(list_intersect(sa.hs, sb.hs))::DOUBLE
        |    / len(list_distinct(sa.hs || sb.hs)) * 1000000) / 1000000 AS jaccard
@@ -366,7 +366,7 @@ object ExtQueries {
     * directly; `dup_groups` appends the recursive connected-components
     * CTEs on top.
     */
-  private def minhashCtes(src: String = "documents"): String =
+  private[graft] def minhashCtes(src: String = "documents"): String =
     s"""${minhashBaseCtes(src)},
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bd a JOIN bd b
@@ -379,7 +379,7 @@ object ExtQueries {
     * (UNION dedups, so it terminates) with min reachable id as label.
     * Shared by `dup_groups` and `corpus_manifest`.
     */
-  private val dupGroupCtes: String =
+  private[graft] val dupGroupCtes: String =
     """e AS (SELECT doc_a AS src, doc_b AS dst FROM vp
       |      UNION ALL SELECT doc_b, doc_a FROM vp),
       |reach(src, dst) AS (
@@ -395,7 +395,7 @@ object ExtQueries {
     * top_bigram_frac, reasons)` — shared by `quality_filter` and
     * `corpus_manifest`. Thresholds mirror Corpus.qualityFilter defaults.
     */
-  private def qualityCtes(src: String): String =
+  private[graft] def qualityCtes(src: String): String =
     s"""qt AS (SELECT doc_id, text, $toksSql AS toks FROM $src),
        |qs AS (SELECT doc_id,
        |  len(toks) AS n_tokens,
@@ -429,1407 +429,22 @@ object ExtQueries {
 
   // queries ----------------------------------------------------------------
 
-  def queries: Map[String, Q] = Map[String, Q](
-    // X2 — per-document stats + quality score.
-    "text_stats" -> ((s, dir) =>
-      castLongs(TextOps.textStats(Tables.documents(s, dir)),
-        "n_tokens", "n_distinct_tokens", "n_chars").orderBy("doc_id")),
-
-    // X2 — language-ID heuristic vs the labeled lang.
-    "lang_id" -> ((s, dir) =>
-      TextOps.langId(Tables.documents(s, dir)).orderBy("doc_id")),
-
-    // X2 — whitespace + BPE-ish token counting.
-    "token_counts" -> ((s, dir) =>
-      castLongs(TextOps.tokenCounts(Tables.documents(s, dir)),
-        "ws_tokens", "bpe_pieces", "n_chars").orderBy("doc_id")),
-
-    // X2 — content + canonical fingerprints.
-    "doc_fingerprints" -> ((s, dir) =>
-      TextOps.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
-
-    // X2 — corpus top-20 word frequency (count desc, token asc).
-    "word_freq" -> ((s, dir) =>
-      TextOps.wordFreq(Tables.documents(s, dir), 20)),
-
-    // X2 — corpus length profile as an equi-width histogram (250-char
-    // buckets): one hash aggregate on the bucket id — integer div keeps
-    // the bucketing engine-exact, and the aggregate is map-side
-    // combinable so the shuffle carries ≤ |buckets| rows per task at
-    // any corpus size.
-    "doc_length_histogram" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .groupBy(expr("n_chars div 250").as("bucket"))
-        .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("total_chars"))
-        .select(col("bucket"), (col("bucket") * 250).as("bucket_lo"),
-          col("n_docs"), col("total_chars"))
-        .orderBy("bucket")),
-
-    // X1 — exact dedup by content hash, deterministic survivor.
-    "dedup_exact" -> ((s, dir) =>
-      Dedup.exact(Tables.documents(s, dir)).orderBy("doc_id")),
-
-    // X4 — MinHash + LSH banded near-dup, verified Jaccard ≥ 0.5.
-    // The whole minhash family probes ONE session-scoped signature
-    // store (hashedShingleRows — the per-doc pure function computed at
-    // ingest and persisted at scale; minhashBands scaladoc): the first
-    // family query pays the tokenize+shingle+hash scan, the rest (and
-    // every later bench pass) measure band-join + verification, the
-    // steady-state cost of the store-backed plan. Same discipline as
-    // the ANN/KMV stores above; results are store-warmth invariant.
-    "near_dup_minhash" -> ((s, dir) =>
-      Dedup.nearDupMinhashFromHashes(minhashStore(s, dir),
-        bands = Some(minhashBandsStore(s, dir)))
-        .orderBy("doc_a", "doc_b")),
-
-    // X4 — SimHash banded near-dup, Hamming ≤ 3; probes the simhash
-    // chunk half of the session signature store.
-    "near_dup_simhash" -> ((s, dir) =>
-      castLongs(Dedup.nearDupSimhashFromChunks(
-        store(s, dir, "simhash_chunks")(
-          Dedup.simhashChunks(Tables.documents(s, dir)))), "hamming")
-        .orderBy("doc_a", "doc_b")),
-
-    // X4 — prefix-filtered char-3-gram Jaccard ≥ 0.8 within lang;
-    // probes the char-gram half of the session signature store.
-    "ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardFromGrams(
-        store(s, dir, "chargram_sets")(
-          Dedup.charGramSets(Tables.documents(s, dir))))
-        .orderBy("doc_a", "doc_b")),
-
-    // X4 — containment near-dup: |A∩B| / min(|A|,|B|) ≥ 0.8 over the
-    // same banded candidates (partial-copy detection).
-    "containment_near_dup" -> ((s, dir) =>
-      Dedup.containmentNearDupFromHashes(minhashStore(s, dir),
-        bands = Some(minhashBandsStore(s, dir)))
-        .orderBy("doc_a", "doc_b")),
-
-    // X4 — size-stratified containment: the banded channel plus a
-    // 1-row-band channel gated to skewed-size pairs (LSH-Ensemble lite).
-    "containment_stratified" -> ((s, dir) =>
-      Dedup.containmentNearDupStratifiedFromHashes(minhashStore(s, dir),
-        bands = Some(minhashBandsStore(s, dir)))
-        .orderBy("doc_a", "doc_b")),
-
-    // X1/X4 — duplicate groups: connected components over the verified
-    // MinHash pair graph (iterative min-label propagation).
-    "dup_groups" -> ((s, dir) =>
-      dupGroupsStore(s, dir).orderBy("doc_id")),
-
-    // X4 — the dedup ACTION: per-doc retention decision (canonical
-    // survivor per near-dup component, singletons kept).
-    "near_dup_retain" -> ((s, dir) =>
-      Dedup.nearDupRetainFromLabels(
-        Tables.documents(s, dir), dupGroupsStore(s, dir)).orderBy("doc_id")),
-
-    // X4 — cross-source overlap audit: near-dup pair mass rolled up by
-    // unordered source pair (dataset-mixing diagnostic).
-    "source_overlap" -> ((s, dir) =>
-      Dedup.sourceOverlapFromHashes(
-        Tables.documents(s, dir), minhashStore(s, dir),
-        bands = Some(minhashBandsStore(s, dir)))
-        .orderBy("source_a", "source_b")),
-
-    // Corpus — repeated-span detection (word-8-gram approximation of
-    // exact substring dedup): share of each doc's distinct spans that
-    // recur in other documents.
-    "dup_spans" -> ((s, dir) =>
-      castLongs(Corpus.duplicatedSpansFromHashes(k8ShingleStore(s, dir)),
-        "n_spans", "n_shared_spans").orderBy("doc_id")),
-
-    // X4 — incremental dedup: the 20% "incoming batch" (doc_id % 10 ≥ 8)
-    // deduped against the 80% "existing corpus" signature store and
-    // within itself — never existing × existing.
-    "dedup_incremental" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      // The existing 80% contributes bands + sets DERIVED FROM the
-      // session signature store (hr is a per-doc pure function, so
-      // store-filtered ≡ recomputed-from-docs; CorpusPrepSpec's parquet
-      // round trip); only the incoming 20% tokenizes in-query — the
-      // at-scale contract of nearDupAgainstStore.
-      val hrE = minhashStore(s, dir)
-        .where(pmod(col("doc_id"), lit(10)) < 8)
-      Dedup.nearDupAgainstStore(
-        minhashBandsStore(s, dir).where(pmod(col("doc_id"), lit(10)) < 8),
-        Dedup.shingleSets(hrE),
-        docs.where(pmod(col("doc_id"), lit(10)) >= 8))
-        .orderBy("doc_new", "doc_match")
-    }),
-
-    // Corpus — benchmark decontamination: docs sharing any 8-token
-    // shingle with the doc_id % 20 = 0 "benchmark" subset.
-    "decontaminate" -> ((s, dir) => {
-      val sh = k8ShingleStore(s, dir)
-      Corpus.decontaminateFromHashes(
-        sh.where(pmod(col("doc_id"), lit(20)) =!= 0),
-        sh.where(pmod(col("doc_id"), lit(20)) === 0))
-        .orderBy("doc_id")
-    }),
-
-    // Corpus — Gopher-style repetition quality signals.
-    "repetition_score" -> ((s, dir) =>
-      Corpus.repetitionScore(Tables.documents(s, dir)).orderBy("doc_id")),
-
-    // Corpus — bigram-LM fluency proxy (corpus-conditional transition
-    // frequencies, KenLM-style filtering without an external model).
-    "bigram_lm_score" -> ((s, dir) =>
-      castLongs(Corpus.bigramLmScore(Tables.documents(s, dir)), "n_bigrams")
-        .orderBy("doc_id")),
-
-    // Corpus — top-20 collocations by lift (rational PMI ranking).
-    "collocations" -> ((s, dir) =>
-      castLongs(Corpus.collocations(Tables.documents(s, dir)), "n_pair")
-        .orderBy("rank")),
-
-    // Corpus — token-mixture rebalancing: 4 sources down-sampled to a
-    // 40/30/20/10 token recipe, the rest dropped.
-    "corpus_mix" -> ((s, dir) =>
-      Corpus.mixCorpus(Tables.documents(s, dir),
-        Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1))
-        .orderBy("doc_id")),
-
-    // Corpus — deterministic per-source stratified sampling
-    // (src0 up-weighted to 50%, src1 dropped, 20% elsewhere).
-    "stratified_sample" -> ((s, dir) =>
-      Corpus.stratifiedSample(Tables.documents(s, dir), 20,
-        Map("src0" -> 50, "src1" -> 0)).orderBy("doc_id")),
-
-    // Corpus — deterministic hash-based train/val/test assignment.
-    "dataset_split" -> ((s, dir) =>
-      Corpus.datasetSplit(Tables.documents(s, dir)).orderBy("doc_id")),
-
-    // Corpus — quality-weighted sampling: survival probability = the
-    // quality score, as a pure-integer ppm hash gate (see
-    // Corpus.weightedSample — the soft downsampling move).
-    "weighted_sample" -> ((s, dir) =>
-      Corpus.weightedSample(Tables.documents(s, dir)).orderBy("doc_id")),
-
-    // X6 — deterministic A/B experiment report: users hash-split into
-    // two arms, per-arm conversion in exact ppm. Two aggregates, the
-    // first collapsing events to per-user converted flags map-side.
-    "ab_split_report" -> ((s, dir) =>
-      Tables.events(s, dir)
-        .select((Dedup.hash60(col("user_id").cast("string")) % 2).as("arm"),
-          col("user_id"), col("event_type"))
-        .groupBy("arm", "user_id")
-        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
-        .groupBy("arm")
-        .agg(count(lit(1)).as("n_users"), sum("conv").as("n_converted"))
-        .withColumn("conv_ppm",
-          expr("CAST(n_converted * 1000000 DIV n_users AS BIGINT)"))
-        .orderBy("arm")),
-
-    // Corpus — overlapping 64/48 token-window chunking.
-    "doc_chunks" -> ((s, dir) =>
-      Corpus.docChunks(Tables.documents(s, dir)).orderBy("doc_id", "chunk_no")),
-
-    // Corpus — per-doc top-5 salient terms (linear-IDF TF·IDF).
-    "tf_idf" -> ((s, dir) =>
-      Corpus.tfIdf(Tables.documents(s, dir)).orderBy("doc_id", "rank")),
-
-    // Corpus — per-language profile with discrete percentiles.
-    "corpus_profile" -> ((s, dir) =>
-      Corpus.corpusProfile(Tables.documents(s, dir)).orderBy("lang")),
-
-    // Corpus — composite Gopher-style quality-filter verdict with
-    // per-rule reasons.
-    "quality_filter" -> ((s, dir) =>
-      castLongs(Corpus.qualityFilter(Tables.documents(s, dir)), "n_tokens")
-        .orderBy("doc_id")),
-
-    // Corpus — deterministic shard-local training-sequence packing.
-    "pack_sequences" -> ((s, dir) =>
-      Corpus.packSequences(Tables.documents(s, dir)).orderBy("doc_id")),
-
-    // Corpus — per-doc OOV rate vs the corpus top-32 vocabulary.
-    "vocab_coverage" -> ((s, dir) =>
-      Corpus.vocabCoverage(Tables.documents(s, dir)).orderBy("doc_id")),
-
-    // S-ext — sharded-JSONL round trip: the LLM-corpus interchange path
-    // (exportJsonl's gzip shards → pinned-schema readJsonl) must be an
-    // identity on the document table. Deterministic per-run dir — the
-    // csv_roundtrip rule (see [[graft.Scratch]]).
-    "jsonl_roundtrip" -> ((s, dir) => {
-      val tmp = Scratch.dir("jsonl")
-      val docs = Tables.documents(s, dir)
-      Corpus.exportJsonl(docs, tmp)
-      Corpus.readJsonl(s, tmp, docs.schema)
-        .select("doc_id", "text", "lang", "source", "n_chars")
-        .orderBy("doc_id")
-    }),
-
-    // S-ext — ORC round trip: the second Spark-native columnar codec
-    // (warehouse interchange), schema carried by the format itself.
-    "orc_roundtrip" -> ((s, dir) => {
-      val tmp = Scratch.dir("orc")
-      Tables.documents(s, dir).write.mode("overwrite").orc(tmp)
-      s.read.orc(tmp)
-        .select("doc_id", "text", "lang", "source", "n_chars")
-        .orderBy("doc_id")
-    }),
-
-    // Corpus — cross-document shingle novelty (first-seen fraction).
-    "shingle_novelty" -> ((s, dir) =>
-      Corpus.shingleNoveltyFromHashes(k8ShingleStore(s, dir)).orderBy("doc_id")),
-
-    // Corpus — end-to-end keep/drop manifest (quality ∧ exact-dup ∧
-    // near-dup-group ∧ decontamination), corpus = doc_id % 20 != 0.
-    "corpus_manifest" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Corpus.corpusManifest(
-        docs.where(pmod(col("doc_id"), lit(20)) =!= 0),
-        docs.where(pmod(col("doc_id"), lit(20)) === 0),
-        signatureStore = Some(minhashStore(s, dir)),
-        kShingleStore = Some(k8ShingleStore(s, dir)),
-        keeperLabels = Some(manifestLabelsStore(s, dir)))
-        .orderBy("doc_id")
-    }),
-
-    // X5 — JSON property extraction + rollup.
-    "json_props" -> ((s, dir) =>
-      Events.jsonProps(Tables.events(s, dir)).orderBy("k")),
-
-    // X6 — batch sessionization (6h gap).
-    "sessionize" -> ((s, dir) =>
-      Events.sessionize(Tables.events(s, dir)).orderBy("user_id", "session_no")),
-
-    // X6 — per-user view→purchase conversion funnel over sessions.
-    "session_funnel" -> ((s, dir) =>
-      Events.sessionFunnel(Tables.events(s, dir)).orderBy("user_id")),
-
-    // X6 — tumbling 1-hour rollup by event type.
-    "event_windows" -> ((s, dir) =>
-      Events.hourlyRollup(Tables.events(s, dir)).orderBy("hour_start", "event_type")),
-
-    // X6 — sliding-window trending counts (1h every 15m; see
-    // Events.slidingCounts for the epoch-aligned grid contract).
-    "sliding_windows" -> ((s, dir) =>
-      Events.slidingCounts(Tables.events(s, dir))
-        .orderBy("window_start", "event_type")),
-
-    // X6 — cohort retention matrix (first-seen day × return-day offset).
-    "retention_cohorts" -> ((s, dir) =>
-      Events.retentionCohorts(Tables.events(s, dir))
-        .orderBy("cohort_day", "day_offset")),
-
-    // X6 — session behavior-flow transition matrix (adjacent event-type
-    // pairs within sessions).
-    "session_transitions" -> ((s, dir) =>
-      Events.transitions(Tables.events(s, dir)).orderBy("from_type", "to_type")),
-
-    // X6 — 3-step ordered funnel (signup → view → purchase, 7-day
-    // completion window, first-touch anchoring).
-    "funnel_depth" -> ((s, dir) =>
-      Events.funnelDepth(Tables.events(s, dir),
-        Seq("signup", "view", "purchase")).orderBy("user_id")),
-
-    // X6 — point-in-time rolling features at purchase (label) time:
-    // preceding-hour user activity via ONE range-frame window pass.
-    "rolling_features" -> ((s, dir) =>
-      Events.rollingFeatures(Tables.events(s, dir)).orderBy("event_id")),
-
-    // X6 — per-type outlier flags, z² cleared of denominators so the
-    // comparison is exact integer arithmetic on both engines.
-    "event_anomalies" -> ((s, dir) =>
-      Events.anomalies(Tables.events(s, dir)).orderBy("event_id")),
-
-    // X7 — bucket-blocked NON-EQUI interval join: per session interval,
-    // the count of ALL events (any user) falling inside it — the
-    // concurrency-load query no equi key can express. The blocking
-    // turns the would-be BroadcastNestedLoopJoin into a shuffled
-    // equi-join on the time bucket (see RangeJoin scaladoc).
-    "interval_join" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val sessions = Events.sessionize(ev).select(col("user_id"),
-        col("session_no"), col("session_start"), col("session_end"))
-      RangeJoin.pointInInterval(ev.select(col("ts"), col("event_id")), "ts",
-          sessions, "session_start", "session_end")
-        .groupBy("user_id", "session_no")
-        .agg(count(lit(1)).as("n_concurrent"))
-        .orderBy("user_id", "session_no")
-    }),
-
-    // Layout — z-order clustering keys: the Morton code zorderWrite
-    // range-partitions files on, so footer min/max prune on EITHER key.
-    "zorder_keys" -> ((s, dir) =>
-      Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_linenumber"),
-          ZOrder.zValue(col("l_partkey"), col("l_suppkey")).as("z"))
-        .orderBy("z", "l_orderkey", "l_linenumber").limit(1000)),
-
-    // X7 — distributed as-of join: attribute each purchase to the user's
-    // most recent view at or before it (union + one window pass — never
-    // the range cross-product; see AsOfJoin scaladoc).
-    "event_attribution" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"),
-          col("value").as("purchase_value"))
-      // Right side unique per (user_id, ts) by contract: deterministic
-      // max-event_id survivor, view time duplicated into the payload so
-      // the output carries WHICH view matched.
-      val views = ev.where(col("event_type") === "view")
-        .groupBy(col("user_id"), col("ts").as("vts"))
-        .agg(max(col("event_id")).as("view_id"))
-        .withColumn("view_ts", col("vts"))
-      AsOfJoin.asOf(purchases, views, "user_id", "ts", "vts",
-          Seq("view_id", "view_ts"))
-        .orderBy("event_id")
-    }),
-
-    // X3 DQ — embedding-store audit: the pre-flight QA before any ANN
-    // index build. Dimension consistency, zero vectors (cosine is
-    // undefined — they poison centroid training), and non-finite
-    // elements (the portable predicate NOT(x − x = 0) catches BOTH NaN
-    // and ±Inf on either engine), plus the norm envelope. One per-row
-    // projection + a 1-row aggregate; norm² is the same sequential
-    // left-fold both engines use for the green cosine family.
-    "embedding_audit" -> ((s, dir) => {
-      val per = Tables.embeddings(s, dir).select(
-        size(col("embedding")).as("dims"),
-        expr("aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
-          .as("norm2"),
-        expr("exists(embedding, x -> NOT (x - x = CAST(0 AS FLOAT)))")
-          .as("nonfinite"))
-      per.agg(
-        count(lit(1)).as("n_vectors"),
-        min("dims").as("min_dims"), max("dims").as("max_dims"),
-        sum(when(col("norm2") === 0d, 1L).otherwise(0L)).as("n_zero"),
-        sum(when(col("nonfinite"), 1L).otherwise(0L)).as("n_nonfinite"),
-        TextOps.trunc6(min(sqrt(col("norm2")))).as("min_norm_6dp"),
-        TextOps.trunc6(max(sqrt(col("norm2")))).as("max_norm_6dp"))
-        .orderBy("n_vectors")
-    }),
-
-    // Stats — supplier revenue CONCENTRATION (Gini index in exact ppm):
-    // G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted
-    // per-supplier revenue. The rank-weighted sum s1 and the ppm
-    // numerator run in DECIMAL(38,0): s1 ≤ n·Σx and the numerator
-    // carries an extra 10⁶ factor, so BIGINT overflows already at the
-    // sf1 fixture (measured: 2·s1·10⁶ ≈ 8.4e18 at sf0.1 — a hair under
-    // 2⁶³ — and ~8.4e20 at sf1; ANSI mode turned that into a crash
-    // instead of a silent wrap). The dollar grid (not cents) keeps even
-    // 100 TB totals inside the decimal's 38 digits; only the final
-    // bounded gini_ppm (≤ 10⁶) casts back to BIGINT. One supplier-scale
-    // aggregate, one rank window over the |suppliers| frame, one 1-row
-    // finish.
-    "supplier_concentration" -> ((s, dir) => {
-      val rev = Tables.lineitem(s, dir)
-        .groupBy("l_suppkey")
-        .agg(expr(
-          "CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) DIV 100 AS BIGINT)")
-          .as("dollars"))
-      val ranked = rev.withColumn("i", row_number().over(
-        Window.orderBy(col("dollars"), col("l_suppkey"))).cast("long"))
-      ranked.agg(
-        count(lit(1)).as("n_suppliers"),
-        sum("dollars").as("total_dollars"),
-        sum(expr("CAST(i AS DECIMAL(38,0)) * dollars")).as("s1"))
-        .withColumn("gini_ppm", expr(
-          "CAST((2 * s1 - (n_suppliers + 1) * CAST(total_dollars AS DECIMAL(38,0))) * 1000000" +
-            " DIV (CAST(n_suppliers AS DECIMAL(38,0)) * total_dollars) AS BIGINT)"))
-        .select("n_suppliers", "total_dollars", "gini_ppm")
-        .orderBy("n_suppliers")
-    }),
-
-    // X4 DQ — near-dup rate per corpus source: which feed pollutes the
-    // pool. Documents left-join the component labels (only docs WITH
-    // near-dups carry one); the per-source census reports the exact-ppm
-    // dup share. Shares the signature store.
-    "dup_rate_by_source" -> ((s, dir) => {
-      val groups = dupGroupsStore(s, dir)
-      Tables.documents(s, dir).select("doc_id", "source")
-        .join(groups.select("doc_id", "group_id"), Seq("doc_id"), "left")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("group_id").isNotNull, 1L).otherwise(0L)).as("n_dup"))
-        .withColumn("dup_ppm", expr("CAST(n_dup * 1000000 DIV n_docs AS BIGINT)"))
-        .orderBy("source")
-    }),
-
-    // Stats — Pearson correlation of quantity vs discount per return
-    // flag, from EXACT integer moments (bit-identical cross-engine;
-    // only the final r touches FP, and IEEE exactly-rounded ops on
-    // identical integers give identical doubles — see Stats.exactCorr
-    // for why built-in corr() is avoided).
-    "qty_discount_corr" -> ((s, dir) =>
-      Stats.exactCorr(
-          Tables.lineitem(s, dir).select(col("l_returnflag"),
-            col("l_quantity").cast("long").as("x"),
-            expr("CAST(round(l_discount * 10000) AS BIGINT)").as("y")),
-          Seq("l_returnflag"), "x", "y")
-        .orderBy("l_returnflag")),
-
-    // Privacy — k-anonymity audit of the customer quasi-identifiers
-    // (nation × market segment, k = 10): equivalence classes smaller
-    // than k are re-identification risks. One tuple-keyed aggregate +
-    // a 1-row summary (see Privacy.kAnonymity).
-    "k_anonymity" -> ((s, dir) =>
-      Privacy.kAnonymity(Tables.customer(s, dir),
-          Seq("c_nationkey", "c_mktsegment"), k = 10L)
-        .orderBy("n_classes")),
-
-    // X7 — multi-touch attribution: all views in the purchase's 1h
-    // lookback share exact-ppm credit (latest view absorbs the
-    // remainder so every purchase credits exactly 1e6; see
-    // Events.multiTouchAttribution).
-    "multi_touch" -> ((s, dir) =>
-      Events.multiTouchAttribution(Tables.events(s, dir))
-        .orderBy("event_id", "view_id")),
-
-    // X6 — top-15 3-step session paths (trigram census; two leads on
-    // the sessionizer's existing window, zero extra exchanges).
-    "event_paths" -> ((s, dir) =>
-      Events.eventPaths(Tables.events(s, dir))),
-
-    // X5b — JSON parse audit with PLANTED corruption (every 97th
-    // event's props gains LEADING garbage in-plan — leading, because
-    // Spark's Jackson parser accepts trailing bytes after a complete
-    // document while DuckDB's json_valid does not; prefix corruption is
-    // malformed under both): from_json with a
-    // pinned schema nulls the malformed struct, and the per-type audit
-    // counts recovered vs quarantined rows — the JSON twin of the CSV
-    // corrupt-record quarantine. At scale this is one projection + one
-    // bounded aggregate; no second pass over the raw zone.
-    "json_parse_audit" -> ((s, dir) => {
-      val raw = Tables.events(s, dir)
-        .withColumn("raw", when(col("event_id") % 97 === 0,
-          concat(lit("broken{"), col("props"))).otherwise(col("props")))
-        .withColumn("p", from_json(col("raw"),
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "k INT, _corrupt_record STRING"),
-          java.util.Map.of("mode", "PERMISSIVE",
-            "columnNameOfCorruptRecord", "_corrupt_record")))
-      raw.groupBy("event_type")
-        .agg(count(lit(1)).as("n_events"),
-          sum(when(col("p._corrupt_record").isNotNull, 1L).otherwise(0L))
-            .as("n_malformed"),
-          sum(coalesce(col("p.k").cast("long"), lit(0L))).as("sum_k"))
-        .orderBy("event_type")
-    }),
-
-    // X7 — as-of join with a staleness tolerance (feature-store TTL):
-    // same attribution, but a view more than 30 minutes before the
-    // purchase no longer counts. Same single union + window pass as
-    // event_attribution — the tolerance nulls, it never re-shuffles —
-    // and it is what bounds per-key state in a streaming twin.
-    "asof_tolerance" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"),
-          col("value").as("purchase_value"))
-      val views = ev.where(col("event_type") === "view")
-        .groupBy(col("user_id"), col("ts").as("vts"))
-        .agg(max(col("event_id")).as("view_id"))
-        .withColumn("view_ts", col("vts"))
-      AsOfJoin.asOfTolerance(purchases, views, "user_id", "ts", "vts",
-          Seq("view_id", "view_ts"), toleranceSec = 30 * 60)
-        .orderBy("event_id")
-    }),
-
-    // X7 — NEAREST as-of join: each purchase attaches the view closest
-    // in time in either direction (tie → backward), the sensor-
-    // alignment contract; same one-exchange two-sort union+window plan
-    // (see AsOfJoin.asOfNearest).
-    "asof_nearest" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"),
-          col("value").as("purchase_value"))
-      val views = ev.where(col("event_type") === "view")
-        .groupBy(col("user_id"), col("ts").as("vts"))
-        .agg(max(col("event_id")).as("view_id"))
-        .withColumn("view_ts", col("vts"))
-      AsOfJoin.asOfNearest(purchases, views, "user_id", "ts", "vts",
-          Seq("view_id", "view_ts"))
-        .orderBy("event_id")
-    }),
-
-    // X6 — gaps-and-islands: longest consecutive-active-day streak per
-    // user (the classic date − row_number island key, all integer);
-    // the engagement metric next to retention_cohorts.
-    "user_streaks" -> ((s, dir) => {
-      val days = Tables.events(s, dir)
-        .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
-      val w = Window.partitionBy("user_id").orderBy("d")
-      days
-        .withColumn("grp",
-          (datediff(col("d"), lit("1970-01-01").cast("date")) -
-            row_number().over(w)).cast("long"))
-        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
-        .groupBy("user_id")
-        .agg(max("len").as("longest_streak"), count(lit(1)).as("n_streaks"))
-        .orderBy("user_id")
-    }),
-
-    // X7 — Bloom-filter pruned equi-join: the probe side (lineitem) is
-    // semi-join-reduced by a broadcast 128 KiB bit array built from the
-    // filtered dim's keys BEFORE the join shuffle. Bloom filters have no
-    // false negatives, so the result ≡ the plain join — the oracle IS
-    // the unhinted SQL join (see BloomJoin scaladoc).
-    "bloom_join" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_quantity"))
-      val pt = Tables.part(s, dir).where(col("p_size") <= 5)
-        .select(col("p_partkey"), col("p_brand"))
-      BloomJoin.join(li, "l_partkey", pt, "p_partkey")
-        .groupBy("p_brand")
-        .agg(count(lit(1)).as("n_items"),
-          sum(col("l_quantity")).cast("long").as("sum_qty"))
-        .orderBy("p_brand")
-    }),
-
-    // X7 — skew-safe salted equi-join (lineitem ⋈ orders), rolled up per
-    // priority. Output is identical to the plain join; the salting is
-    // physical-plan insurance for hot keys (see SaltedJoin scaladoc).
-    "salted_rollup" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("okey"), col("l_quantity"))
-      val ord = Tables.orders(s, dir)
-        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
-      SaltedJoin.equiJoin(li, ord, "okey", saltFactor = 4, heavyThreshold = 5)
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n_items"),
-          sum(col("l_quantity")).cast("long").as("sum_qty"))
-        .orderBy("o_orderpriority")
-    }),
-
-    // Retail — ABC (Pareto) classification per brand: integer-exact
-    // cumulative revenue shares (cum·100 ≤ tot·80 cross-multiplication),
-    // brand-partitioned so the cumsum distributes.
-    "abc_class" -> ((s, dir) =>
-      Retail.abcClassification(Tables.lineitem(s, dir), Tables.part(s, dir))
-        .orderBy(col("p_brand"), col("rev_cents").desc, col("p_partkey"))),
-
-    // Retail — trailing 7-day demand per (brand, ship-day): RANGE frame
-    // over the integer day index on the tiny post-aggregate frame.
-    "demand_forecast" -> ((s, dir) =>
-      Retail.demandForecast(Tables.lineitem(s, dir), Tables.part(s, dir), 1995)
-        .orderBy("p_brand", "day")),
-
-    // Retail — market-basket co-purchase affinity: part pairs by lift,
-    // pair explosion bounded by basket width (see Retail scaladoc).
-    "copurchase_pairs" -> ((s, dir) =>
-      Retail.copurchasePairs(Tables.lineitem(s, dir), minCount = 3, k = 25,
-          itemsStore = Some(copurchaseItemsStore(s, dir)),
-          pairStore = Some(copurchasePairStore(s, dir)))
-        .orderBy("rank")),
-
-    // Retail graph — integer-exact PageRank over the co-purchase graph
-    // (3 unrolled Pregel rounds, ppm-scaled ranks; see copurchaseRank
-    // scaladoc for why the arithmetic is integer). Shares the Σ|basket|²
-    // pair stage with copurchase_pairs through the session store.
-    "copurchase_rank" -> ((s, dir) =>
-      Retail.copurchaseRank(Tables.lineitem(s, dir), minCount = 3, iters = 3,
-        itemsStore = Some(copurchaseItemsStore(s, dir)),
-        pairStore = Some(copurchasePairStore(s, dir)))),
-
-    // Retail — SEQUENTIAL basket affinity: "bought A, came back for B"
-    // across consecutive orders (time-ordered sibling of co-purchase;
-    // see Retail.repeatAffinity). Shares the distinct-items store.
-    "repeat_affinity" -> ((s, dir) =>
-      Retail.repeatAffinity(Tables.orders(s, dir), Tables.lineitem(s, dir),
-        itemsStore = Some(copurchaseItemsStore(s, dir)))),
-
-    // Retail graph — single-source BFS distance census from the
-    // minimum-id seed part (min-plus propagation, 3 unrolled rounds;
-    // see Retail.reachLevels). Shares the pair store.
-    "reach_levels" -> ((s, dir) =>
-      Retail.reachLevels(copurchasePairStore(s, dir), minCount = 3,
-        maxHops = 3)),
-
-    // Retail graph — weighted label-propagation communities (2
-    // synchronous rounds, weighted argmax vote with min-label tiebreak;
-    // see Retail.labelPropagation for the determinism contract and why
-    // a bridge edge doesn't merge clusters the way CC would). Shares
-    // the pair stage through the session store.
-    "copurchase_communities" -> ((s, dir) =>
-      Retail.labelPropagation(copurchasePairStore(s, dir), minCount = 3,
-        iters = 2)),
-
-    // Hierarchy — pointer-doubling flatten of the synthetic decimal
-    // category forest (parent = key div 10): per-depth census. Four
-    // rounds resolve depth ≤ 16 in four key-shuffles total — O(log
-    // depth), never O(depth) — the distributed answer to a recursive
-    // CTE (see Hierarchy scaladoc).
-    "hierarchy_flatten" -> ((s, dir) =>
-      Hierarchy.flatten(partForest(s, dir))
-        .groupBy("depth")
-        .agg(count(lit(1)).as("n_nodes"), countDistinct(col("root")).as("n_roots"))
-        .orderBy("depth")),
-
-    // Hierarchy — revenue rolled up the same forest to its roots: the
-    // category-level sales report. The fact joins the flattened (node →
-    // root) map on the part key — one key shuffle — then aggregates on
-    // the root-scale frame; top-10 is a TakeOrdered.
-    "hierarchy_rollup" -> ((s, dir) =>
-      Tables.lineitem(s, dir)
-        .select(col("l_partkey"),
-          expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
-            .as("rev_c"))
-        .join(Hierarchy.flatten(partForest(s, dir)),
-          col("l_partkey") === col("node"))
-        .groupBy("root")
-        .agg(sum("rev_c").as("revenue_cents"),
-          countDistinct(col("node")).as("n_parts"))
-        .orderBy(col("revenue_cents").desc, col("root"))
-        .limit(10)),
-
-    // Typed sorted-group fold — clamped replenishment simulation (see
-    // StockSim: the clamp makes the recurrence non-associative, so no
-    // window frame expresses it; flatMapSortedGroups is the scale-safe
-    // per-key sequential scan). Oracle replays the fold as a
-    // day-indexed recursive CTE.
-    "stock_sim" -> ((s, dir) => {
-      import s.implicits._
-      StockSim.simulate(StockSim.juneGrid(Tables.lineitem(s, dir)),
-          opening = 50L, inflow = 8L)
-        .toDF().orderBy("part")
-    }),
-
-    // Ops/DQ — partition-key skew profile: the top-20 heaviest event
-    // keys with exact-ppm traffic share. THE pre-flight check before
-    // any user-keyed shuffle (pairs with salted_rollup, which is the
-    // fix): one map-combinable aggregate, a 1-row total broadcast, a
-    // TakeOrdered — nothing fact-scale crosses the wire twice.
-    "key_skew" -> ((s, dir) => {
-      val per = Tables.events(s, dir).groupBy("user_id")
-        .agg(count(lit(1)).as("n_events"))
-      val tot = per.agg(sum("n_events").as("total"))
-      per.crossJoin(broadcast(tot))
-        .withColumn("share_ppm",
-          // DECIMAL(38,0): total is the full fact-table row count —
-          // ~1e12 events at 100 TB puts n_events·1e6 for a hot key
-          // within one order of 2⁶³ (the ppm-numerator overflow class).
-          expr("CAST(CAST(n_events AS DECIMAL(38,0)) * 1000000 DIV total AS BIGINT)"))
-        .select("user_id", "n_events", "share_ppm")
-        .orderBy(col("n_events").desc, col("user_id"))
-        .limit(20)
-    }),
-
-    // DQ — Benford first-significant-digit profile of order totals:
-    // the classic fabricated-data smell test. The digit is extracted
-    // from the cents-grid BIGINT's decimal string (no float log10 —
-    // portable across engines); output is the 9-row digit census with
-    // exact-ppm shares.
-    "benford_digits" -> ((s, dir) => {
-      val d = Tables.orders(s, dir)
-        .where(col("o_totalprice") > 0)
-        .select(substring(
-          expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"),
-          1, 1).cast("int").as("digit"))
-        .groupBy("digit").agg(count(lit(1)).as("n_orders"))
-      val tot = d.agg(sum("n_orders").as("total"))
-      d.crossJoin(broadcast(tot))
-        .withColumn("obs_ppm",
-          // DECIMAL(38,0): digit-1 holds ~30% of all orders; fact-scale
-          // count × 1e6 is the same ppm-numerator overflow class.
-          expr("CAST(CAST(n_orders AS DECIMAL(38,0)) * 1000000 DIV total AS BIGINT)"))
-        .select("digit", "n_orders", "obs_ppm")
-        .orderBy("digit")
-    }),
-
-    // Hierarchy — percent-of-parent rollup: each part's exact-ppm share
-    // of its ROOT category's revenue (the drill-down report the flatten
-    // exists for). Revenue aggregates once on (node, root); the root
-    // totals reuse that frame; the share is integer DIV ppm.
-    "hierarchy_share" -> ((s, dir) => {
-      val rev = Tables.lineitem(s, dir)
-        .select(col("l_partkey"),
-          expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
-            .as("rev_c"))
-        .join(Hierarchy.flatten(partForest(s, dir)),
-          col("l_partkey") === col("node"))
-        .groupBy("node", "root").agg(sum("rev_c").as("node_cents"))
-      val roots = rev.groupBy("root").agg(sum("node_cents").as("root_cents"))
-      rev.join(roots, "root")
-        .withColumn("share_ppm",
-          // DECIMAL(38,0): node_cents·10⁶ is a cents-grid sum × 1e6 —
-          // a hot part grossing ~$10^10 at warehouse scale puts the
-          // BIGINT product within one order of 2⁶³ (the
-          // supplier_concentration overflow class, found by the sf1
-          // run). 38 digits hold any real total; the share itself is
-          // bounded ≤ 10⁶.
-          expr("CAST(CAST(node_cents AS DECIMAL(38,0)) * 1000000 DIV root_cents AS BIGINT)"))
-        .select("root", "node", "node_cents", "root_cents", "share_ppm")
-        .orderBy("root", "node")
-    }),
-
-    // Retail — cohort REVENUE curve (the CLV face of retention_cohorts'
-    // activity matrix): customers anchor on their first-order month;
-    // every later order lands in (cohort_month, months_since) on the
-    // exact integer month grid (y·12+m arithmetic — no date
-    // subtraction ambiguity), then a cumulative window per cohort turns
-    // per-offset revenue into the lifetime-value curve. The windows run
-    // over the (cohorts × offsets) POST-aggregate frame.
-    "cohort_revenue" -> ((s, dir) => {
-      val o = Tables.orders(s, dir).select(col("o_custkey"),
-        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
-          .cast("long").as("ym"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
-      val anchor = o.groupBy("o_custkey").agg(min("ym").as("anchor_ym"))
-      val cells = o.join(anchor, "o_custkey")
-        .groupBy(col("anchor_ym").as("cohort_ym"),
-          (col("ym") - col("anchor_ym")).as("months_since"))
-        .agg(count(lit(1)).as("n_orders"), sum("cents").as("rev_cents"))
-      cells
-        .withColumn("cum_rev_cents", sum("rev_cents").over(
-          Window.partitionBy("cohort_ym").orderBy("months_since")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .orderBy("cohort_ym", "months_since")
-    }),
-
-    // Retail — RFM customer segmentation: deterministic quintile scores
-    // over the per-customer order aggregate (see Retail.rfmSegments for
-    // the ntile determinism argument and the global-window scale note).
-    "rfm_segments" -> ((s, dir) =>
-      Retail.rfmSegments(Tables.orders(s, dir)).orderBy("o_custkey")),
-
-    // Retail — directional association rules (confidence in exact ppm);
-    // shares the Σ|basket|² pair stage through the session store.
-    "assoc_rules" -> ((s, dir) =>
-      Retail.assocRules(Tables.lineitem(s, dir), minCount = 3,
-          minConfPpm = 100000, k = 50,
-          itemsStore = Some(copurchaseItemsStore(s, dir)),
-          pairStore = Some(copurchasePairStore(s, dir)))
-        .orderBy(col("conf_ppm").desc, col("antecedent"), col("consequent"))),
-
-    // X6 — view→purchase conversion latency per user: one conditional-
-    // min aggregate, exact integer seconds (see Events.timeToConvert).
-    "time_to_convert" -> ((s, dir) =>
-      Events.timeToConvert(Tables.events(s, dir)).orderBy("user_id")),
-
-    // Retail graph — triangle census of the co-purchase graph: oriented
-    // wedge join + closure semi-join over the session pair store (see
-    // Retail.copurchaseTriangles for the orientation argument).
-    "triangle_count" -> ((s, dir) =>
-      Retail.copurchaseTriangles(Tables.lineitem(s, dir), minCount = 2,
-        itemsStore = Some(copurchaseItemsStore(s, dir)),
-        pairStore = Some(copurchasePairStore(s, dir)))),
-
-    // X4 — near-dup component SIZE histogram: the dedup-health summary
-    // over the dup_groups labels (how much of the duplication is pairs
-    // vs large clusters); two bounded aggregates past the shared
-    // pipeline.
-    "dup_size_hist" -> ((s, dir) =>
-      dupGroupsStore(s, dir)
-        .groupBy("group_id").agg(count(lit(1)).as("group_size"))
-        .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
-        .orderBy("group_size")),
-
-    // X2 — per-source vocabulary richness: hapax share in exact ppm
-    // (see TextOps.hapaxBySource).
-    "hapax_ratio" -> ((s, dir) =>
-      TextOps.hapaxBySource(Tables.documents(s, dir)).orderBy("source")),
-
-    // X4 — point-lookup near-dup search: every third doc probes the
-    // signature store for its matches (see Dedup.nearDupLookup — the
-    // pruned-index read path, never a corpus scan).
-    "probe_near_dups" -> ((s, dir) =>
-      Dedup.nearDupLookup(minhashBandsStore(s, dir), minhashStore(s, dir),
-          pmod(col("doc_id"), lit(3)) === 0)
-        .orderBy("probe_id", "match_id")),
-
-    // Sketch quantiles — per-priority p50/p90/p99 of order value from a
-    // mergeable equi-width cents histogram ($100 buckets): the 100 TB
-    // quantile path (see Stats.histogramQuantiles; order_quantiles is
-    // the exact-sort small-group tool it contrasts with).
-    "hist_quantiles" -> ((s, dir) =>
-      ext.Stats.histogramQuantiles(Tables.orders(s, dir),
-          Seq("o_orderpriority"), "o_totalprice", 10000L, Seq(50, 90, 99))
-        .orderBy("o_orderpriority")),
-
-    // X2 × sketch — corpus-health drill-down: median / p90 quality
-    // score per source from the centi-score histogram (the per-source
-    // twin of quality_calibration's per-language percentiles; one
-    // histogram aggregate, bucket-scale windows).
-    "quality_by_source" -> ((s, dir) => {
-      val stats = TextOps.textStats(Tables.documents(s, dir))
-        .select(col("doc_id"), col("quality_score"))
-      val scored = Tables.documents(s, dir).select("doc_id", "source")
-        .join(stats, "doc_id")
-      ext.Stats.histogramQuantiles(scored, Seq("source"), "quality_score", 1L,
-          Seq(50, 90))
-        .orderBy("source")
-    }),
-
-    // Sketch-guided outlier scan: per-brand p99 price from the $10
-    // histogram, broadcast back (|brands| rows — bounded) onto a second
-    // fact pass that counts the tail above the estimate. The pattern a
-    // 100 TB anomaly sweep runs: sketch pass + filtered scan, never a
-    // per-group sort of the fact.
-    "price_outliers" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .join(Tables.part(s, dir).select("p_partkey", "p_brand"),
-          col("l_partkey") === col("p_partkey"))
-        .select(col("p_brand"), col("l_extendedprice"))
-      val p99 = ext.Stats.histogramQuantiles(li, Seq("p_brand"),
-        "l_extendedprice", 1000L, Seq(99))
-      li.join(broadcast(p99), "p_brand")
-        .where(expr("CAST(round(l_extendedprice * 100) AS BIGINT)") >= col("p99_cents"))
-        .groupBy("p_brand", "p99_cents")
-        .agg(count(lit(1)).as("n_above"),
-          max(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("max_cents"))
-        .orderBy("p_brand")
-    }),
-
-    // X6 × sketch — session duration percentiles from the minute-bucket
-    // histogram (centi-second grid): sessionization's one user-key
-    // exchange + a bucket-scale histogram — no per-session sort at any
-    // corpus size.
-    "session_quantiles" -> ((s, dir) => {
-      val sess = Events.sessionize(Tables.events(s, dir))
-        .select(expr(
-          "CAST((unix_micros(session_end) - unix_micros(session_start)) DIV 1000000 AS BIGINT)")
-          .as("duration_secs"))
-        .withColumn("scope", lit("all"))
-      ext.Stats.histogramQuantiles(sess, Seq("scope"), "duration_secs", 6000L,
-          Seq(50, 90, 99))
-        .orderBy("scope")
-    }),
-
-    // X6 — behavioral segmentation by event-type bitmask: per
-    // (user, day), bit_or of one bit per type (order-insensitive,
-    // merge-friendly — partial masks OR together), then the bounded
-    // mask census: which daily behavior profiles exist and how common
-    // each is. Two aggregates, the first map-side combinable.
-    "behavior_segments" -> ((s, dir) =>
-      Tables.events(s, dir)
-        .select(col("user_id"), col("ts").cast("date").as("d"), expr(
-          """CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
-            |WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
-            |WHEN 'error' THEN 16 ELSE 0 END""".stripMargin).as("bit"))
-        .groupBy("user_id", "d").agg(expr("bit_or(bit)").cast("long").as("mask"))
-        .groupBy("mask").agg(count(lit(1)).as("n_user_days"))
-        .orderBy("mask")),
-
-    // Retail ops — open-order backlog curve: +1 at order date, −1 at
-    // first shipment, daily net, then a running sum over the day-scale
-    // frame (the event-sourced running-balance shape; the global window
-    // sees |days| rows, never fact volume).
-    "orders_backlog" -> ((s, dir) => {
-      val opened = Tables.orders(s, dir)
-        .select(col("o_orderdate").cast("date").as("d"), lit(1L).as("delta"))
-      val shipped = Tables.lineitem(s, dir)
-        .groupBy(col("l_orderkey"))
-        .agg(min(col("l_shipdate")).cast("date").as("d"))
-        .select(col("d"), lit(-1L).as("delta"))
-      opened.unionByName(shipped)
-        .groupBy("d").agg(sum("delta").as("net"))
-        .withColumn("backlog", sum("net").over(
-          Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .orderBy("d")
-    }),
-
-    // Retail ops — fulfillment latency distribution: whole-day gap from
-    // order date to FIRST shipment, as a day histogram (per-order min
-    // aggregate + key join + bounded histogram aggregate).
-    "fulfillment_latency" -> ((s, dir) => {
-      val firstShip = Tables.lineitem(s, dir)
-        .groupBy(col("l_orderkey")).agg(min(col("l_shipdate")).as("first_ship"))
-      Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
-        .join(firstShip, col("o_orderkey") === col("l_orderkey"))
-        .select(datediff(col("first_ship").cast("date"),
-          col("o_orderdate").cast("date")).cast("long").as("days_to_ship"))
-        .groupBy("days_to_ship").agg(count(lit(1)).as("n_orders"))
-        .orderBy("days_to_ship")
-    }),
-
-    // Profiling — numeric column profile of the fact table in ONE
-    // melted aggregate pass (see Stats.numericProfile).
-    "table_profile" -> ((s, dir) =>
-      ext.Stats.numericProfile(Tables.lineitem(s, dir),
-        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))),
-
-    // X2 — first BPE training iteration: top-20 adjacent character
-    // pairs weighted by word frequency, counted over the distinct-word
-    // table (Zipf: ≪ token stream) — see Corpus.bpeMerges.
-    "bpe_merges" -> ((s, dir) =>
-      Corpus.bpeMerges(Tables.documents(s, dir), 20)),
-
-    // X2 — per-language quality calibration: percent_rank of the
-    // composite quality score WITHIN each language (the relative cut a
-    // mixed-language corpus needs — an absolute threshold over-kills
-    // whichever language scores systematically lower). The (score,
-    // doc_id) ordering keeps ranks unique → deterministic percentiles;
-    // the window distributes on the lang key.
-    "quality_calibration" -> ((s, dir) => {
-      val stats = TextOps.textStats(Tables.documents(s, dir))
-        .select(col("doc_id"), col("quality_score"))
-      val w = Window.partitionBy("lang")
-        .orderBy(col("quality_score"), col("doc_id"))
-      Tables.documents(s, dir).select(col("doc_id"), col("lang"))
-        .join(stats, "doc_id")
-        .withColumn("pct_rank", TextOps.trunc6(percent_rank().over(w)))
-        .orderBy("doc_id")
-    }),
-
-    // Sketch — rolling 7-day distinct users via per-day KMV sketches
-    // merged across the trailing window (mergeability payoff: the
-    // rolling distinct never re-touches raw events).
-    "rolling_active_users" -> ((s, dir) =>
-      Sketches.rollingActiveUsers(Tables.events(s, dir), k = 64, windowDays = 7)
-        .orderBy("day")),
-
-    // Sketch — KMV distinct-count estimate: per event type, the
-    // estimated distinct-user cardinality from a 64-hash k-minimum-
-    // values sketch (bounded, mergeable; see Sketches scaladoc). The
-    // oracle replays the same order statistics + integer estimator.
-    "kmv_distinct" -> ((s, dir) =>
-      Sketches.kmvDistinct(Tables.events(s, dir), Seq("event_type"), "user_id", 64)
-        .orderBy("event_type")),
-
-    // Sketch — KMV set-intersection estimate: per day, distinct users
-    // who BOTH viewed and purchased, from two per-segment k-min
-    // sketches (exact below saturation — the set-algebra payoff KMV
-    // has over HLL).
-    "kmv_overlap" -> ((s, dir) => {
-      // The benched plan is the deployment plan: per-segment sketches
-      // come from the session-scoped ingest store (built once per
-      // corpus), so the estimate joins k-row frames — no fact scan per
-      // question.
-      def sk(t: String) = store(s, dir, s"kmv_$t") {
-        Sketches.kmvSketch(Tables.events(s, dir)
-            .where(col("event_type") === t)
-            .select(to_date(col("ts")).as("day"), col("user_id")),
-          Seq("day"), "user_id", 64)
-      }
-      Sketches.kmvIntersectEstimate(sk("view"), sk("purchase"), Seq("day"), 64)
-        .orderBy("day")
-    }),
-
-    // Sketch — count-min frequency estimates for the exact top-20
-    // tokens: the d×w counter table is built once over all token
-    // occurrences (mergeable by addition), then point-queried for the
-    // heavy hitters; est ≥ exact always, overshoot bounded by εN. The
-    // oracle replays the same md5-based bucket chain and min.
-    "cms_freq" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val toks = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
-      Sketches.cmsEstimate(Sketches.cmsSketch(toks, "token"),
-          TextOps.wordFreq(docs, 20), "token")
-        .orderBy(col("n").desc, col("token"))
-    }),
-
-    // §2.11 [Q] — streaming-ingest REPLAY twins (VERDICT r9 ask #7):
-    // the deterministic foreachBatch fold path of the KMV / CMS /
-    // conversion-anchor ingest streams, executed as a batch query over
-    // N FIXED micro-batch cuts (pure id-residue functions, so the cut
-    // is engine-independent). Each replay folds per-batch partials
-    // through the EXACT merge the streaming sink uses
-    // (kmvMerge / cmsMerge / mergeConvertStore) and finalizes the
-    // store; the oracle is the ONE-SHOT recomputation — green means
-    // the fold path is bit-identical to the union semantics under a
-    // real batch cut, cross-engine, which is the mergeable-store
-    // contract the streaming twins rely on.
-    "kmv_ingest_replay" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      (0 until 4)
-        .map(i => Sketches.kmvSketch(
-          ev.where(pmod(col("event_id"), lit(4)) === i),
-          Seq("event_type"), "user_id", 64))
-        .reduce((a, b) => Sketches.kmvMerge(a, b, Seq("event_type"), 64))
-        .transform(st => Sketches.kmvEstimate(st, Seq("event_type"), 64))
-        .orderBy("event_type")
-    }),
-
-    "cms_ingest_replay" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      // Document-atomic batches (the spanIngest/cmsIngest contract):
-      // cut on doc_id residue, tokens explode inside each batch.
-      val store = (0 until 3)
-        .map(i => Sketches.cmsSketch(
-          docs.where(pmod(col("doc_id"), lit(3)) === i)
-            .select(explode(TextOps.tokens(col("text"))).as("token")),
-          "token"))
-        .reduce(Sketches.cmsMerge)
-      Sketches.cmsEstimate(store, TextOps.wordFreq(docs, 20), "token")
-        .orderBy(col("n").desc, col("token"))
-    }),
-
-    "convert_ingest_replay" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      (0 until 3)
-        .map(i => Events.convertPartials(
-          ev.where(pmod(col("event_id"), lit(3)) === i)))
-        .reduce(graft.streaming.StreamingOps.mergeConvertStore)
-        .transform(Events.convertFromPartials)
-        .orderBy("user_id")
-    }),
-
-    // §2.11 [Q] — round-11 replay twins (VERDICT r10 ask #4): the four
-    // remaining ingest-STORE maintenance paths, batch-folded under
-    // fixed id-residue cuts and finalized with the store's real read.
-    // LSH signatures and int8 quantization are pure per-vector
-    // functions (batch-union ≡ one-pass store, the lshIngestStream /
-    // quantizeIngestStream contract); the probe against the folded
-    // store must therefore hash-match the one-shot ANN oracle.
-    "lsh_ingest_replay" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val sigs = (0 until 3)
-        .map(i => Similarity.lshSignatures(
-          emb.where(pmod(col("vec_id"), lit(3)) === i)))
-        .reduce(_.unionByName(_))
-      castLongs(Similarity.topKLsh(emb, signatures = Some(sigs)), "rank")
-        .orderBy("probe_id", "rank")
-    }),
-
-    "quantize_ingest_replay" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val st = (0 until 3)
-        .map(i => Similarity.quantizeEmbeddings(
-          emb.where(pmod(col("vec_id"), lit(3)) === i)))
-        .reduce(_.unionByName(_))
-      castLongs(Similarity.topKQuantized(emb, store = Some(st)), "rank")
-        .orderBy("probe_id", "rank")
-    }),
-
-    // Span store: per-batch (h, n_docs) summaries fold by addition
-    // (spanIngestStream's document-atomic contract); the finalized read
-    // is the shared-span census (n_docs ≥ 2) the boilerplate gate
-    // consumes, oracled one-shot in DuckDB.
-    "span_ingest_replay" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      (0 until 3)
-        .map(i => Corpus.spanCounts(
-          docs.where(pmod(col("doc_id"), lit(3)) === i)))
-        .reduce(Corpus.spanStoreMerge)
-        .where(col("n_docs") >= 2)
-        .select(col("h"), col("n_docs").cast("long").as("n_docs"))
-        .orderBy("h")
-    }),
-
-    // Histogram-quantile store: per-batch (group, bucket, n) equi-width
-    // histograms fold by addition (histIngestStream's contract — the
-    // quantile member of the mergeable-store family beside KMV and
-    // CMS); the finalized read is the same p50/p90/p99 probe
-    // hist_quantiles runs one-shot, so the oracle is shared.
-    "quantile_ingest_replay" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      (0 until 3)
-        .map(i => ext.Stats.histogramOf(
-          o.where(pmod(col("o_orderkey"), lit(3)) === i),
-          Seq("o_orderpriority"), "o_totalprice", 10000L))
-        .reduce((a, b) => graft.streaming.StreamingOps.mergeRollup(
-          a, b, Seq("o_orderpriority", "bucket"), "n"))
-        .transform(st => ext.Stats.quantilesFromHistogram(
-          st, Seq("o_orderpriority"), 10000L, Seq(50, 90, 99)))
-        .orderBy("o_orderpriority")
-    }),
-
-    // SemDeDup: verdicts folded through semDedupIncremental under a
-    // 3-cut replay — kept can only be REVOKED (demotion rows), never
-    // re-granted, and every batch vector joins the store dropped or
-    // not (the semDedupIngestStream sink contract). Routing probes the
-    // frozen trained-assignment store, so the fold must converge to
-    // the one-shot semantic_dedup verdicts.
-    "semdedup_ingest_replay" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val asg = store(s, dir, "ivf_cells")(Similarity.kmeansCells(emb))
-      val cent = store(s, dir, "ivf_centroids")(
-        Similarity.trainedCentroids(emb, asg))
-      val routed = emb.join(asg.select("vec_id", "cell"), "vec_id")
-        .select("vec_id", "embedding", "cell")
-      val empty = routed.where(lit(false)).localCheckpoint()
-      val (_, verdicts) = (0 until 3).foldLeft((empty, Seq.empty[DataFrame])) {
-        case ((st, acc), i) =>
-          val inBatch = pmod(col("vec_id"), lit(3)) === i
-          val v = Similarity.semDedupIncremental(
-            st, emb.where(inBatch), cent, threshold = 0.3,
-            assignments = Some(asg))
-          (st.unionByName(routed.where(inBatch)).localCheckpoint(), acc :+ v)
-      }
-      verdicts.reduce(_.unionByName(_))
-        .groupBy("vec_id")
-        .agg(min(col("cell")).as("cell"), min(col("kept")).as("kept"))
-        .orderBy("vec_id")
-    }),
-
-    // Stats — exact per-priority discrete order-value quantiles
-    // (type-1: value at rank ceil(p·n/100), pure integer rank
-    // arithmetic — no interpolation, no FP).
-    "order_quantiles" -> ((s, dir) =>
-      ext.Stats.groupQuantiles(Tables.orders(s, dir), Seq("o_orderpriority"),
-          "o_totalprice", Seq(50, 90, 99))
-        .orderBy("o_orderpriority")),
-
-    // Retail — calendar gap-fill: each brand's daily demand densified
-    // over its own sale span with explicit zero days.
-    "demand_gapfill" -> ((s, dir) =>
-      Retail.demandGapFill(Tables.lineitem(s, dir), Tables.part(s, dir), 1995)
-        .orderBy("p_brand", "day")),
-
-    // X3 — brute-force cosine top-k (custom codegen'd expression).
-    "ann_topk" -> ((s, dir) =>
-      castLongs(Similarity.topKBruteForce(Tables.embeddings(s, dir)), "rank")
-        .orderBy("probe_id", "rank")),
-
-    // §2.11 — the SQL ENTRY PATH as a declared query: the same probe
-    // search expressed in spark.sql TEXT over a temp view, with the
-    // codegen'd custom expression invoked BY NAME through the
-    // GraftExtensions registry — the surface a SQL-only user of the
-    // library gets (spark.sql.extensions wiring). Result contract ≡
-    // ann_topk; the parser/analyzer path is what this query covers.
-    "sql_topk" -> ((s, dir) => {
-      graft.GraftExtensions.register(s)
-      Tables.embeddings(s, dir).createOrReplaceTempView("graft_emb")
-      s.sql(s"""
-        WITH pairs AS (
-          SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
-                 floor(cosine_similarity(a.embedding, b.embedding) * 1000000)
-                   / 1000000 AS cosine
-          FROM graft_emb a JOIN graft_emb b ON a.vec_id != b.vec_id
-          WHERE a.vec_id % 50 = 0 AND a.vec_id < ${50L * Similarity.MaxProbes}),
-        r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-                ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
-        SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
-        FROM r WHERE rank <= 5 ORDER BY probe_id, rank""")
-    }),
-
-    // X3 — IVF-style cell-restricted top-k (the scale path).
-    "ann_topk_ivf" -> ((s, dir) =>
-      castLongs(Similarity.topKIvf(Tables.embeddings(s, dir)), "rank")
-        .orderBy("probe_id", "rank")),
-
-    // X3 — IVF top-k over TRAINED cells: two deterministic Lloyd
-    // iterations seeded from the label column (the offline training
-    // job, run once per corpus into the assignment store), then
-    // cell-restricted search PROBING the store — the plan a real ANN
-    // user runs per query.
-    "ann_topk_ivf_trained" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val asg = store(s, dir, "ivf_cells")(Similarity.kmeansCells(emb))
-      castLongs(Similarity.topKIvfTrained(emb, assignments = Some(asg)), "rank")
-        .orderBy("probe_id", "rank")
-    }),
-
-    // X3 — corpus-wide kNN SELF-join over the trained cells (the batch
-    // retrieval workhorse): every vector's top-3 in-cell neighbors.
-    // Σ|cell|² pair volume, cell-keyed shuffle join, nothing broadcast.
-    "knn_join" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val asg = store(s, dir, "ivf_cells")(Similarity.kmeansCells(emb))
-      castLongs(Similarity.knnJoin(emb, assignments = Some(asg)), "rank")
-        .orderBy("probe_id", "rank")
-    }),
-
-    // X3 — hard-negative mining: per anchor, top-3 most-similar
-    // DIFFERENT-label vectors within its trained cell (the contrastive-
-    // training pair miner; see Similarity.hardNegatives). Shares the
-    // IVF cell store with knn_join.
-    "hard_negatives" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val asg = store(s, dir, "ivf_cells")(Similarity.kmeansCells(emb))
-      castLongs(Similarity.hardNegatives(emb, assignments = Some(asg)), "rank")
-        .orderBy("probe_id", "rank")
-    }),
-
-    // X1/X4 × corpus — LEAKAGE-SAFE dataset split: the hash split keyed
-    // by each document's near-dup COMPONENT label instead of its own id,
-    // so near-duplicates always land in the same split (doc-id hashing
-    // puts a train copy of a test document in the training set — the
-    // classic eval leak). Components come from the shared signature
-    // store; singletons anchor on themselves. Output is the per-split
-    // census; LeakageSpec pins the zero-leak invariant itself.
-    "leakage_safe_split" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val groups = dupGroupsStore(s, dir)
-      docs.select("doc_id")
-        .join(groups.select("doc_id", "group_id"), Seq("doc_id"), "left")
-        .withColumn("anchor", coalesce(col("group_id"), col("doc_id")))
-        .withColumn("bucket",
-          Dedup.hash60(col("anchor").cast("string")) % 100)
-        .withColumn("split",
-          when(col("bucket") < 80, "train")
-            .when(col("bucket") < 90, "val")
-            .otherwise("test"))
-        .groupBy("split")
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("anchor")).as("n_components"))
-        .orderBy("split")
-    }),
-
-    // X3 — random-hyperplane LSH-bucketed top-k (the trained-index-free
-    // scale path), probing the ingest-time signature store.
-    "ann_topk_lsh" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val sigs = store(s, dir, "lsh_sigs")(Similarity.lshSignatures(emb))
-      castLongs(Similarity.topKLsh(emb, signatures = Some(sigs)), "rank")
-        .orderBy("probe_id", "rank")
-    }),
-
-    // X3 — multi-probe IVF: each probe searches its 2 nearest trained
-    // cells (the standard IVF recall knob), probing the persisted
-    // assignment + centroid stores.
-    "ann_topk_ivf_multiprobe" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val asg = store(s, dir, "ivf_cells")(Similarity.kmeansCells(emb))
-      val cent = store(s, dir, "ivf_centroids")(Similarity.trainedCentroids(emb, asg))
-      castLongs(Similarity.topKIvfMultiProbe(emb, nprobe = 2,
-        assignments = Some(asg), centroids = Some(cent)), "rank")
-        .orderBy("probe_id", "rank")
-    }),
-
-    // X3 — IVF-PQ-lite: trained-cell-restricted search over the int8
-    // quantized store (both stores probed — the composed 100 TB shape).
-    "ann_topk_ivf_quantized" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val asg = store(s, dir, "ivf_cells")(Similarity.kmeansCells(emb))
-      val qst = store(s, dir, "quant_store")(Similarity.quantizeEmbeddings(emb))
-      castLongs(Similarity.topKIvfQuantized(emb,
-        assignments = Some(asg), store = Some(qst)), "rank")
-        .orderBy("probe_id", "rank")
-    }),
-
-    // X3 — embedding-space decontamination: corpus vectors (vec_id % 20
-    // != 0) too cosine-similar to the benchmark slice (% 20 == 0) —
-    // the shingle-decontaminate convention on the embedding table.
-    // Threshold 0.35 exercises the op on the synthetic vectors (real
-    // embedding spaces run ~0.9).
-    "embedding_decontaminate" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      castLongs(Similarity.decontaminateEmbeddings(
-        emb.where(pmod(col("vec_id"), lit(20)) =!= 0),
-        emb.where(pmod(col("vec_id"), lit(20)) === 0),
-        threshold = 0.35), "n_hits")
-        .orderBy("vec_id")
-    }),
-
-    // X3 — multi-table LSH top-k: candidates share a bucket in either
-    // of 2 independent hyperplane families (the LSH recall knob),
-    // probing the multi-table signature store.
-    "ann_topk_lsh_multi" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val sigs = store(s, dir, "lsh_sigs_multi")(Similarity.lshSignaturesMulti(emb))
-      castLongs(Similarity.topKLshMulti(emb, signatures = Some(sigs)), "rank")
-        .orderBy("probe_id", "rank")
-    }),
-
-    // X3 — embedding-cosine near-dup pairs, cell-blocked candidates.
-    "embedding_near_dup" -> ((s, dir) =>
-      Similarity.nearDupCosine(Tables.embeddings(s, dir)).orderBy("vec_a", "vec_b")),
-
-    // X3 — int8 quantized embedding store (digested for the scalar-only
-    // oracle compare; the operator itself returns the raw qvec array).
-    "embedding_quantize" -> ((s, dir) =>
-      Similarity.quantizeEmbeddings(Tables.embeddings(s, dir))
-        .select(col("vec_id"), col("scale"),
-          md5(concat_ws(",",
-            transform(col("qvec"), x => x.cast("string"))).cast("binary")).as("q_md5"),
-          aggregate(col("qvec"), lit(0L), (a, x) => a + x).as("q_sum"),
-          array_max(col("qvec")).cast("long").as("q_max"))
-        .orderBy("vec_id")),
-
-    // X3 — cosine top-k over the int8 quantized store (search never
-    // touches the float embeddings).
-    "ann_topk_quantized" -> ((s, dir) =>
-      castLongs(Similarity.topKQuantized(Tables.embeddings(s, dir)), "rank")
-        .orderBy("probe_id", "rank")),
-
-    // X3 — two-stage retrieval: coarse int8 candidates, exact re-rank.
-    "ann_topk_rerank" -> ((s, dir) =>
-      castLongs(Similarity.topKRerank(Tables.embeddings(s, dir)), "rank")
-        .orderBy("probe_id", "rank")),
-
-    // X3 — per-(label, dim) centroid components (exact-decimal mean).
-    "label_centroids" -> ((s, dir) =>
-      Similarity.labelCentroids(Tables.embeddings(s, dir)).orderBy("label", "dim")),
-
-    // X3 — per-label cohesion: mean/min cosine to the label centroid.
-    "label_cohesion" -> ((s, dir) =>
-      Similarity.labelCohesion(Tables.embeddings(s, dir)).orderBy("label")),
-
-    // X3 — one k-means assignment step against the label centroids.
-    "kmeans_assign" -> ((s, dir) =>
-      Similarity.kmeansAssign(Tables.embeddings(s, dir)).orderBy("vec_id")),
-
-    // X3 — embedding drift audit: per-label centroid cosine between the
-    // two parity halves of the corpus (see Similarity.centroidShift).
-    "centroid_shift" -> ((s, dir) =>
-      Similarity.centroidShift(Tables.embeddings(s, dir)).orderBy("label")),
-
-    // X3 — ANN EVALUATION as a query: per-probe recall of the IVF
-    // search against the brute-force ground truth, in exact ppm — the
-    // "is the index good enough" gate run after every re-train, as one
-    // plan (semi-join on the two top-k tables, both bounded by
-    // probes·k rows).
-    "ann_recall" -> ((s, dir) => {
-      val brute = Similarity.topKBruteForce(Tables.embeddings(s, dir))
-        .select(col("probe_id"), col("neighbor_id"))
-      val ivf = Similarity.topKIvf(Tables.embeddings(s, dir))
-        .select(col("probe_id"), col("neighbor_id"))
-      val hits = ivf.join(brute, Seq("probe_id", "neighbor_id"), "left_semi")
-        .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
-      brute.groupBy("probe_id").agg(count(lit(1)).as("n_true"))
-        .join(hits, Seq("probe_id"), "left")
-        .na.fill(0L, Seq("n_hit"))
-        .withColumn("recall_ppm",
-          expr("CAST(n_hit * 1000000 DIV n_true AS BIGINT)"))
-        .orderBy("probe_id")
-    }),
-
-    // X4 — SemDeDup: cluster-scoped semantic dedup over the trained
-    // cell store (threshold tuned to this corpus's cosine scale).
-    "semantic_dedup" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val asg = store(s, dir, "ivf_cells")(Similarity.kmeansCells(emb))
-      Similarity.semDedup(emb, threshold = 0.3, assignments = Some(asg))
-        .orderBy("vec_id")
-    }),
-
-    // Corpus — RefinedWeb-style boilerplate line removal.
-    "line_dedup" -> ((s, dir) =>
-      Corpus.lineDedup(Tables.documents(s, dir)).orderBy("doc_id")),
-
-    // Privacy — per-class PII counts over the planted corpus.
-    "pii_stats" -> ((s, dir) =>
-      castLongs(Privacy.piiStats(plantPii(Tables.documents(s, dir))),
-        "n_email", "n_phone", "n_ssn", "n_ipv4", "n_pii").orderBy("doc_id")),
-
-    // Privacy — sentinel-token redaction, all classes in one projection.
-    "pii_redact" -> ((s, dir) =>
-      castLongs(Privacy.redactPii(plantPii(Tables.documents(s, dir))),
-        "n_redacted").orderBy("doc_id")),
-
-    // Multimodal — binary payload + stubbed decode, expression variant.
-    "multimodal_features" -> ((s, dir) =>
-      castLongs(Multimodal.featurizeExpr(Tables.documents(s, dir)), "n_bytes")
-        .orderBy("doc_id")),
-
-    // Multimodal — frame sampling + fit-box resize planning.
-    "frame_sample" -> ((s, dir) =>
-      castLongs(Multimodal.frameSample(Tables.documents(s, dir)),
-        "frame_no", "frame_offset", "out_w", "out_h")
-        .orderBy("doc_id", "frame_no")),
-
-    // Multimodal × dedup — cross-video duplicate FRAME detection: hash
-    // each sampled frame's byte slice (the decode stub's stand-in for a
-    // perceptual hash), census of hashes appearing in ≥ 2 distinct
-    // docs — how video-corpus dedup finds shared segments/intro cards
-    // without ever comparing frames pairwise. Distinct + two hash
-    // aggregates; the payload never shuffles (hash computed in the
-    // scan projection).
-    // (The stand-in payload is the ASCII text, so the character slice
-    // below equals the byte slice a real frame extractor would hash —
-    // DuckDB cannot slice BLOBs, and the decode step is a stub anyway.)
-    "frame_dedup" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val frames = Multimodal.frameSample(docs)
-        .join(Multimodal.featurizeExpr(docs).select("doc_id", "frame_stride"), "doc_id")
-        .join(docs.select("doc_id", "text"), "doc_id")
-        .select(col("doc_id"),
-          md5(expr("CAST(substring(text, frame_offset + 1, frame_stride) AS BINARY)")).as("fh"))
-        .distinct()
-      frames.groupBy("fh").agg(count(lit(1)).as("n_docs"))
-        .where(col("n_docs") >= 2)
-        .orderBy(col("n_docs").desc, col("fh"))
-    }),
-  )
+  /** The declared extension queries — per-family registries composed
+    * into one map (split r12 for maintainability; entries and plans
+    * unchanged).
+    */
+  def queries: Map[String, Q] =
+    QueriesText.entries ++
+      QueriesDedup.entries ++
+      QueriesEvents.entries ++
+      QueriesRetail.entries ++
+      QueriesSketches.entries ++
+      QueriesAnn.entries
 
   /** Cast int-typed count/rank columns to long so Spark schemas match
     * DuckDB's BIGINT len()/count()/row_number() outputs.
     */
-  private def castLongs(df: DataFrame, cols: String*): DataFrame =
+  private[graft] def castLongs(df: DataFrame, cols: String*): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("long")))
 
   /** Deterministic PII planting for the privacy queries: the synthetic
@@ -1839,7 +454,7 @@ object ExtQueries {
     * non-trivial hash-checkable workload on driver data (doc_id 0 carries
     * all four classes at once).
     */
-  private def plantPii(docs: DataFrame): DataFrame =
+  private[graft] def plantPii(docs: DataFrame): DataFrame =
     docs.withColumn("text", concat(col("text"),
       when(col("doc_id") % 5 === 0, concat(lit(" contact user"),
         col("doc_id").cast("string"), lit("@mail.example.com")))
@@ -1858,7 +473,7 @@ object ExtQueries {
     * `.stripMargin` AGAIN, so no rendered line may start with `|` — keep
     * every `||` at end-of-line.
     */
-  private val plantPiiSql =
+  private[graft] val plantPiiSql =
     """text ||
       |  CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id::VARCHAR ||
       |    '@mail.example.com' ELSE '' END ||
@@ -1872,7 +487,7 @@ object ExtQueries {
   /** The [[Privacy.Patterns]] regex for a class — interpolated into the
     * oracle SQL so both engines compile the identical pattern.
     */
-  private def piiRe(name: String): String =
+  private[graft] def piiRe(name: String): String =
     Privacy.Patterns.find(_._1 == name).get._2
 
   // oracles ----------------------------------------------------------------
@@ -1904,1853 +519,15 @@ object ExtQueries {
          |HAVING count(*) >= 2 ORDER BY h""".stripMargin
     })
 
-  def oracleSql: Map[String, String] = Map(
-    "text_stats" ->
-      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
-         |s AS (SELECT doc_id,
-         |  len(toks) AS n_tokens,
-         |  len(list_distinct(toks)) AS n_distinct_tokens,
-         |  length(text) AS n_chars,
-         |  floor(list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) * 10000) / 10000
-         |    AS avg_token_len,
-         |  floor((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
-         |    / greatest(length(text), 1) * 10000) / 10000 AS punct_ratio,
-         |  floor(len(list_filter(toks, t -> t IN $stopEn))::DOUBLE / len(toks) * 10000) / 10000
-         |    AS stopword_ratio
-         |FROM t)
-         |SELECT *, floor((0.4 * least(1.0, n_tokens / 50.0)
-         |    + 0.3 * (1.0 - punct_ratio)
-         |    + 0.3 * least(1.0, stopword_ratio * 5)) * 10000) / 10000 AS quality_score
-         |FROM s ORDER BY doc_id""".stripMargin,
-
-    "lang_id" -> {
-      val scores = TextOps.langProfiles.map { case (code, words) =>
-        s"len(list_filter(toks, t -> t IN ${inList(words)})) AS s_$code"
-      }.mkString(",\n  ")
-      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
-         |sc AS (SELECT doc_id, lang,
-         |  $scores
-         |FROM t)
-         |SELECT doc_id, lang,
-         |  CASE WHEN s_en + s_es + s_de + s_fr = 0 THEN 'und'
-         |       WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
-         |       WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
-         |       WHEN s_de >= s_fr THEN 'de'
-         |       ELSE 'fr' END AS predicted_lang,
-         |  lang = CASE WHEN s_en + s_es + s_de + s_fr = 0 THEN 'und'
-         |       WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
-         |       WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
-         |       WHEN s_de >= s_fr THEN 'de'
-         |       ELSE 'fr' END AS agree
-         |FROM sc ORDER BY doc_id""".stripMargin
-    },
-
-    "token_counts" ->
-      s"""SELECT doc_id,
-         |  len(regexp_extract_all(text, '\\S+')) AS ws_tokens,
-         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_pieces,
-         |  length(text) AS n_chars
-         |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "doc_fingerprints" ->
-      s"""SELECT doc_id,
-         |  md5($normSql) AS content_md5,
-         |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fingerprint_md5
-         |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "word_freq" ->
-      s"""SELECT token, count(*) AS n
-         |FROM (SELECT unnest($toksSql) AS token FROM documents)
-         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
-
-    "doc_length_histogram" ->
-      s"""SELECT n_chars // 250 AS bucket, (n_chars // 250) * 250 AS bucket_lo,
-         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
-         |FROM documents GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
-
-    "dedup_exact" ->
-      s"""WITH k AS (SELECT doc_id, md5($normSql) AS content_key FROM documents),
-         |r AS (SELECT doc_id, content_key,
-         |        row_number() OVER (PARTITION BY content_key ORDER BY doc_id) AS rn,
-         |        count(*) OVER (PARTITION BY content_key) AS group_size
-         |      FROM k)
-         |SELECT doc_id, content_key, group_size FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-
-    "near_dup_minhash" ->
-      s"""WITH ${minhashCtes()}
-         |SELECT doc_a, doc_b, jaccard FROM vp
-         |ORDER BY doc_a, doc_b""".stripMargin,
-
-    // Same banded candidates as near_dup_minhash, containment-verified.
-    "containment_near_dup" ->
-      s"""WITH ${minhashBaseCtes()},
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM bd a JOIN bd b
-         |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-         |          AND a.doc_id < b.doc_id),
-         |vc AS (SELECT doc_a, doc_b,
-         |  floor(len(list_intersect(sa.hs, sb.hs))::DOUBLE
-         |    / least(len(sa.hs), len(sb.hs)) * 1000000) / 1000000 AS containment
-         |FROM cand
-         |JOIN hh sa ON sa.doc_id = doc_a
-         |JOIN hh sb ON sb.doc_id = doc_b
-         |WHERE containment >= 0.8)
-         |SELECT doc_a, doc_b, containment FROM vc
-         |ORDER BY doc_a, doc_b""".stripMargin,
-
-    "ann_topk_quantized" ->
-      s"""WITH $dequantCtes,
-         |pairs AS (
-         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
-         |  FROM dq a JOIN dq b ON a.vec_id != b.vec_id
-         |  WHERE a.vec_id % 50 = 0 AND a.vec_id < ${50L * Similarity.MaxProbes}),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-         |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
-         |SELECT probe_id, rank, neighbor_id, cosine FROM r
-         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
-
-    // Coarse-then-rerank: quantized-cosine candidate rank ≤ 25 from the
-    // dq store, exact float cosine re-rank of just those pairs.
-    "ann_topk_rerank" ->
-      s"""WITH $dequantCtes,
-         |cp AS (
-         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
-         |  FROM dq a JOIN dq b ON a.vec_id != b.vec_id
-         |  WHERE a.vec_id % 50 = 0 AND a.vec_id < ${50L * Similarity.MaxProbes}),
-         |cr AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-         |        ORDER BY cosine DESC, neighbor_id) AS crank FROM cp),
-         |ex AS (
-         |  SELECT c.probe_id, c.neighbor_id, $cosSql AS cosine
-         |  FROM (SELECT probe_id, neighbor_id FROM cr WHERE crank <= 25) c
-         |  JOIN embeddings a ON a.vec_id = c.probe_id
-         |  JOIN embeddings b ON b.vec_id = c.neighbor_id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-         |        ORDER BY cosine DESC, neighbor_id) AS rank FROM ex)
-         |SELECT probe_id, rank, neighbor_id, cosine FROM r
-         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
-
-    // Banded channel + skewed-size channel (size ratio > 2, ≥ 2 matching
-    // signatures), unioned, containment-verified —
-    // Dedup.containmentNearDupStratified.
-    "containment_stratified" -> {
-      val sigList = (0 until Dedup.SigCount).map(i => s"sig$i").mkString("[", ", ", "]")
-      s"""WITH ${minhashBaseCtes()},
-         |sz AS (SELECT doc_id, len(hs) AS n FROM hh),
-         |sb AS (SELECT doc_id, unnest(range(0, ${Dedup.SigCount})) AS si,
-         |              unnest($sigList) AS sv FROM sg),
-         |cb AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |       FROM bd a JOIN bd b
-         |         ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-         |        AND a.doc_id < b.doc_id),
-         |c1 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |       FROM sb a JOIN sb b ON a.si = b.si AND a.sv = b.sv
-         |        AND a.doc_id < b.doc_id
-         |       JOIN sz za ON za.doc_id = a.doc_id
-         |       JOIN sz zb ON zb.doc_id = b.doc_id
-         |       WHERE za.n > zb.n * 2.0 OR zb.n > za.n * 2.0
-         |       GROUP BY 1, 2 HAVING count(*) >= 2),
-         |cand AS (SELECT DISTINCT doc_a, doc_b FROM
-         |         (SELECT * FROM cb UNION ALL SELECT * FROM c1)),
-         |vc AS (SELECT doc_a, doc_b,
-         |  floor(len(list_intersect(sa.hs, sb.hs))::DOUBLE
-         |    / least(len(sa.hs), len(sb.hs)) * 1000000) / 1000000 AS containment
-         |FROM cand
-         |JOIN hh sa ON sa.doc_id = doc_a
-         |JOIN hh sb ON sb.doc_id = doc_b
-         |WHERE containment >= 0.8)
-         |SELECT doc_a, doc_b, containment FROM vc
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
-
-    "embedding_quantize" ->
-      s"""WITH s AS (SELECT vec_id, embedding,
-         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
-         |  FROM embeddings),
-         |q AS (SELECT vec_id, scale,
-         |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
-         |         ELSE list_transform(embedding,
-         |                x -> CAST(floor(x::DOUBLE / scale + 0.5) AS INTEGER)) END AS qvec
-         |  FROM s)
-         |SELECT vec_id, scale,
-         |  md5(array_to_string(qvec, ',')) AS q_md5,
-         |  CAST(list_sum(qvec) AS BIGINT) AS q_sum,
-         |  CAST(list_max(qvec) AS BIGINT) AS q_max
-         |FROM q ORDER BY vec_id""".stripMargin,
-
-    // Connected components over the vp pair graph ([[dupGroupCtes]]).
-    "dup_groups" ->
-      s"""WITH RECURSIVE ${minhashCtes()},
-         |$dupGroupCtes
-         |SELECT doc_id, group_id,
-         |  count(*) OVER (PARTITION BY group_id) AS group_size
-         |FROM lbl ORDER BY doc_id""".stripMargin,
-
-    // Retention decision: corpus left-joined to the component labels;
-    // kept = the doc IS its component's minimum id (singletons label
-    // themselves).
-    "near_dup_retain" ->
-      s"""WITH RECURSIVE ${minhashCtes()},
-         |$dupGroupCtes
-         |SELECT d.doc_id,
-         |  coalesce(l.group_id, d.doc_id) AS group_id,
-         |  coalesce(l.group_id, d.doc_id) = d.doc_id AS kept
-         |FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
-
-    // Round trips are identities on the document table.
-    "jsonl_roundtrip" ->
-      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
-    "orc_roundtrip" ->
-      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
-
-    // Near-dup pair mass by unordered source pair; integer-exact
-    // micro-jaccard sum + integer-div mean (mirrors Dedup.sourceOverlap).
-    "source_overlap" ->
-      s"""WITH ${minhashCtes()},
-         |ps AS (SELECT least(sa.source, sb.source) AS source_a,
-         |              greatest(sa.source, sb.source) AS source_b,
-         |              CAST(round(vp.jaccard * 1000000) AS BIGINT) AS j_micro
-         |       FROM vp
-         |       JOIN documents sa ON sa.doc_id = vp.doc_a
-         |       JOIN documents sb ON sb.doc_id = vp.doc_b)
-         |SELECT source_a, source_b, count(*) AS n_pairs,
-         |  CAST(sum(j_micro) AS BIGINT) // count(*) AS avg_j_micro
-         |FROM ps GROUP BY source_a, source_b
-         |ORDER BY source_a, source_b""".stripMargin,
-
-    // Distinct 8-token spans per doc; a span is shared when ≥ 2 docs
-    // carry it (mirrors Corpus.duplicatedSpans).
-    "dup_spans" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |p AS (SELECT doc_id, toks FROM t WHERE len(toks) >= ${Corpus.DecontamShingle}),
-         |shg AS (SELECT DISTINCT doc_id,
-         |          ${hash60Sql(s"array_to_string(toks[i:i+${Corpus.DecontamShingle - 1}], ' ')")} AS h
-         |        FROM p, unnest(range(1, len(toks) - ${Corpus.DecontamShingle - 2})) AS u(i)),
-         |nd AS (SELECT h, count(*) AS n_docs FROM shg GROUP BY h)
-         |SELECT doc_id,
-         |  count(*) AS n_spans,
-         |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_spans,
-         |  floor(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE
-         |    / count(*) * 10000) / 10000 AS dup_span_frac
-         |FROM shg JOIN nd USING (h)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    // Incoming batch (a-side) restricted to doc_id % 10 ≥ 8; matches are
-    // existing docs (any id order) or earlier incoming docs — existing ×
-    // existing pairs never form, mirroring Dedup.nearDupIncremental.
-    "dedup_incremental" ->
-      s"""WITH ${minhashBaseCtes()},
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_match
-         |         FROM bd a JOIN bd b
-         |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-         |          AND a.doc_id % 10 >= 8 AND a.doc_id != b.doc_id
-         |          AND (b.doc_id % 10 < 8 OR b.doc_id < a.doc_id)),
-         |${verifiedPairsCte("vi", "doc_new", "doc_match")}
-         |SELECT doc_new, doc_match, jaccard FROM vi
-         |ORDER BY doc_new, doc_match""".stripMargin,
-
-    "decontaminate" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |p AS (SELECT doc_id, toks FROM t WHERE len(toks) >= ${Corpus.DecontamShingle}),
-         |shg AS (SELECT doc_id,
-         |          ${hash60Sql(s"array_to_string(toks[i:i+${Corpus.DecontamShingle - 1}], ' ')")} AS h
-         |        FROM p, unnest(range(1, len(toks) - ${Corpus.DecontamShingle - 2})) AS u(i)),
-         |bench AS (SELECT DISTINCT h FROM shg WHERE doc_id % 20 = 0),
-         |corp AS (SELECT DISTINCT doc_id, h FROM shg WHERE doc_id % 20 != 0)
-         |SELECT doc_id, count(*) AS n_shared_shingles
-         |FROM corp JOIN bench USING (h)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "repetition_score" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |bi AS (SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ')
-         |         for i in range(1, greatest(len(toks), 1))]) AS s
-         |       FROM t WHERE len(toks) > 1),
-         |c AS (SELECT doc_id, s, count(*) AS c FROM bi GROUP BY 1, 2)
-         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
-         |  count(*) AS n_distinct_bigrams,
-         |  floor((sum(c) - count(*))::DOUBLE / sum(c) * 10000) / 10000 AS dup_bigram_frac,
-         |  floor(max(c)::DOUBLE / sum(c) * 10000) / 10000 AS top_bigram_frac
-         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "bigram_lm_score" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |bi AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
-         |       FROM t, unnest(range(1, len(toks))) AS u(i)
-         |       WHERE len(toks) > 1),
-         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
-         |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
-         |m AS (SELECT doc_id, w1, w2, count(*) AS m FROM bi GROUP BY 1, 2, 3),
-         |s AS (SELECT m.doc_id, m.m,
-         |        floor(c2.c2::DOUBLE / c1.c1 * 1000000) / 1000000 AS cond6
-         |      FROM m JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
-         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
-         |  floor(sum(cond6::DECIMAL(20,10) * m)::DOUBLE / sum(m) * 1000000) / 1000000
-         |    AS avg_cond,
-         |  min(cond6) AS min_cond
-         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "collocations" ->
-      s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |uni AS (SELECT unnest(toks) AS w FROM tok),
-         |u AS (SELECT w, count(*) AS u FROM uni GROUP BY 1),
-         |nt AS (SELECT count(*) AS nt FROM uni),
-         |bi AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
-         |       FROM tok, unnest(range(1, len(toks))) AS x(i)
-         |       WHERE len(toks) > 1),
-         |c2 AS (SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY 1, 2
-         |       HAVING count(*) >= 5),
-         |nb AS (SELECT count(*) AS nb FROM bi),
-         |s AS (SELECT w1, w2, n_pair,
-         |        floor(n_pair::DOUBLE * nt / ua.u * nt / ub.u / nb * 1000000) / 1000000
-         |          AS lift
-         |      FROM c2
-         |      JOIN u ua ON ua.w = c2.w1
-         |      JOIN u ub ON ub.w = c2.w2, nt, nb),
-         |r AS (SELECT *, row_number() OVER (ORDER BY lift DESC, w1, w2) AS rank
-         |      FROM s)
-         |SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair, lift, rank
-         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
-
-    "corpus_mix" ->
-      s"""WITH wt(source, wt) AS (VALUES
-         |    ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1)),
-         |base AS (SELECT doc_id, source,
-         |    CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
-         |tot AS (SELECT source, wt, CAST(sum(n_tokens) AS BIGINT) AS tok
-         |        FROM base JOIN wt USING (source) GROUP BY 1, 2),
-         |k AS (SELECT min(tok::DOUBLE / wt) AS kfac FROM tot),
-         |rates AS (SELECT source, least(1.0, wt * kfac / tok::DOUBLE) AS rate
-         |          FROM tot, k)
-         |SELECT doc_id, source, n_tokens,
-         |  ${hash60Sql("source || ':' || doc_id::VARCHAR")} % 1000000 AS bucket,
-         |  ${hash60Sql("source || ':' || doc_id::VARCHAR")} % 1000000
-         |    < floor(rate * 1000000) AS keep
-         |FROM base JOIN rates USING (source)
-         |ORDER BY doc_id""".stripMargin,
-
-    "weighted_sample" ->
-      s"""WITH ${qualityCtes("documents")},
-         |q AS (SELECT doc_id, floor((0.4 * least(1.0, n_tokens / 50.0)
-         |    + 0.3 * (1.0 - punct_ratio)
-         |    + 0.3 * least(1.0, stopword_ratio * 5)) * 10000) / 10000
-         |    AS quality_score
-         |  FROM qs)
-         |SELECT d.doc_id, d.source, d.lang,
-         |  CAST(round(quality_score * 1000000) AS BIGINT) AS w_ppm
-         |FROM documents d JOIN q USING (doc_id)
-         |WHERE ${hash60Sql("doc_id::VARCHAR")} % 1000000
-         |  < CAST(round(quality_score * 1000000) AS BIGINT)
-         |ORDER BY doc_id""".stripMargin,
-
-    "ab_split_report" ->
-      s"""WITH u AS (SELECT ${hash60Sql("user_id::VARCHAR")} % 2 AS arm, user_id,
-         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
-         |  FROM events GROUP BY 1, 2),
-         |a AS (SELECT arm, count(*) AS n_users,
-         |    CAST(sum(conv) AS BIGINT) AS n_converted
-         |  FROM u GROUP BY 1)
-         |SELECT arm, n_users, n_converted,
-         |  CAST(n_converted * 1000000 // n_users AS BIGINT) AS conv_ppm
-         |FROM a ORDER BY arm""".stripMargin,
-
-    "stratified_sample" -> {
-      val bucket = s"${hash60Sql("source || ':' || doc_id::VARCHAR")} % 100"
-      s"""SELECT doc_id, source, lang, $bucket AS bucket
-         |FROM documents
-         |WHERE $bucket < CASE WHEN source = 'src0' THEN 50
-         |                     WHEN source = 'src1' THEN 0
-         |                     ELSE 20 END
-         |ORDER BY doc_id""".stripMargin
-    },
-
-    "dataset_split" ->
-      s"""SELECT doc_id, lang,
-         |  ${hash60Sql("doc_id::VARCHAR")} % 100 AS bucket,
-         |  CASE WHEN ${hash60Sql("doc_id::VARCHAR")} % 100 < 80 THEN 'train'
-         |       WHEN ${hash60Sql("doc_id::VARCHAR")} % 100 < 90 THEN 'val'
-         |       ELSE 'test' END AS split
-         |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "doc_chunks" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |c AS (SELECT doc_id, toks,
-         |        CASE WHEN len(toks) <= ${Corpus.ChunkSize} THEN 1
-         |             ELSE (len(toks) - ${Corpus.ChunkSize} + ${Corpus.ChunkStride} - 1)
-         |                    // ${Corpus.ChunkStride} + 1 END AS n_chunks
-         |      FROM t)
-         |SELECT doc_id, u.chunk_no,
-         |  len(list_slice(toks, u.chunk_no * ${Corpus.ChunkStride} + 1,
-         |    u.chunk_no * ${Corpus.ChunkStride} + ${Corpus.ChunkSize})) AS n_chunk_tokens,
-         |  md5(array_to_string(list_slice(toks, u.chunk_no * ${Corpus.ChunkStride} + 1,
-         |    u.chunk_no * ${Corpus.ChunkStride} + ${Corpus.ChunkSize}), ' ')) AS chunk_md5
-         |FROM c, unnest(range(0, n_chunks)) AS u(chunk_no)
-         |ORDER BY doc_id, chunk_no""".stripMargin,
-
-    "tf_idf" ->
-      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |n AS (SELECT count(*) AS n_docs FROM documents),
-         |s AS (SELECT doc_id, term, tf, df,
-         |        floor((tf * n_docs)::DOUBLE / df * 1000000) / 1000000 AS score
-         |      FROM tf JOIN df USING (term), n),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-         |        ORDER BY score DESC, term) AS rank FROM s)
-         |SELECT doc_id, term, tf, df, score, rank FROM r
-         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
-
-    "corpus_profile" ->
-      s"""WITH b AS (SELECT doc_id, lang,
-         |    len(regexp_extract_all(text, '\\S+')) AS ws_tokens,
-         |    length(text) AS n_chars
-         |  FROM documents),
-         |r AS (SELECT *,
-         |    row_number() OVER (PARTITION BY lang ORDER BY ws_tokens, doc_id) AS rk,
-         |    count(*) OVER (PARTITION BY lang) AS n
-         |  FROM b)
-         |SELECT lang, max(n) AS n_docs,
-         |  max(CASE WHEN rk = ceil(n * 0.5) THEN ws_tokens END) AS med_tokens,
-         |  max(CASE WHEN rk = ceil(n * 0.9) THEN ws_tokens END) AS p90_tokens,
-         |  floor(sum(n_chars)::DOUBLE / count(*) * 10000) / 10000 AS avg_chars,
-         |  max(n_chars) AS max_chars
-         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
-
-    "quality_filter" ->
-      s"""WITH ${qualityCtes("documents")}
-         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, avg_token_len,
-         |  punct_ratio, dup_bigram_frac, top_bigram_frac, reasons,
-         |  reasons = '' AS keep
-         |FROM qf ORDER BY doc_id""".stripMargin,
-
-    // End-to-end manifest: quality rules + exact-dup survivorship +
-    // near-dup group representative + benchmark contamination, over the
-    // doc_id % 20 != 0 training corpus (the % 20 = 0 subset is the
-    // benchmark side, matching the decontaminate convention).
-    "corpus_manifest" -> {
-      val k = Corpus.DecontamShingle
-      s"""WITH RECURSIVE corpus AS (SELECT * FROM documents WHERE doc_id % 20 != 0),
-         |${qualityCtes("corpus")},
-         |kept AS (SELECT c.* FROM corpus c
-         |         JOIN qf ON qf.doc_id = c.doc_id AND qf.reasons = ''),
-         |${minhashCtes("kept")},
-         |$dupGroupCtes,
-         |ex AS (SELECT doc_id, row_number() OVER (
-         |         PARTITION BY md5($normSql) ORDER BY doc_id) AS rn FROM kept),
-         |dt AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |dp AS (SELECT doc_id, toks FROM dt WHERE len(toks) >= $k),
-         |dshg AS (SELECT doc_id,
-         |          ${hash60Sql(s"array_to_string(toks[i:i+${k - 1}], ' ')")} AS h
-         |        FROM dp, unnest(range(1, len(toks) - ${k - 2})) AS u(i)),
-         |dbench AS (SELECT DISTINCT h FROM dshg WHERE doc_id % 20 = 0),
-         |dct AS (SELECT DISTINCT s.doc_id FROM dshg s JOIN dbench USING (h)
-         |        WHERE s.doc_id % 20 != 0),
-         |m AS (SELECT c.doc_id,
-         |  concat_ws(',',
-         |    CASE WHEN qf.reasons != '' THEN qf.reasons END,
-         |    CASE WHEN ex.rn != 1 THEN 'exact_dup' END,
-         |    CASE WHEN lbl.group_id IS NOT NULL AND lbl.group_id != c.doc_id
-         |         THEN 'near_dup' END,
-         |    CASE WHEN dct.doc_id IS NOT NULL THEN 'contaminated' END) AS reasons
-         |FROM corpus c
-         |JOIN qf ON qf.doc_id = c.doc_id
-         |LEFT JOIN ex ON ex.doc_id = c.doc_id
-         |LEFT JOIN lbl ON lbl.doc_id = c.doc_id
-         |LEFT JOIN dct ON dct.doc_id = c.doc_id)
-         |SELECT doc_id, reasons, reasons = '' AS keep
-         |FROM m ORDER BY doc_id""".stripMargin
-    },
-
-    "pack_sequences" ->
-      s"""WITH b AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
-         |    ${hash60Sql("doc_id::VARCHAR")} % ${Corpus.PackShards} AS shard
-         |  FROM documents),
-         |w AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
-         |    AS BIGINT) AS cum FROM b)
-         |SELECT shard, doc_id, n_tokens, cum - n_tokens AS start_offset,
-         |  (cum - n_tokens) // ${Corpus.SeqLen} AS seq_first,
-         |  (cum - 1) // ${Corpus.SeqLen} AS seq_last
-         |FROM w ORDER BY doc_id""".stripMargin,
-
-    "vocab_coverage" ->
-      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
-         |v AS (SELECT token FROM tok GROUP BY token
-         |      ORDER BY count(*) DESC, token LIMIT ${Corpus.VocabSize})
-         |SELECT doc_id, count(*) AS n_tokens,
-         |  CAST(count(v.token) AS BIGINT) AS n_in_vocab,
-         |  floor((count(*) - count(v.token))::DOUBLE / count(*) * 10000) / 10000
-         |    AS oov_frac
-         |FROM tok LEFT JOIN v ON tok.token = v.token
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "shingle_novelty" -> {
-      val k = Corpus.DecontamShingle
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |p AS (SELECT doc_id, toks FROM t WHERE len(toks) >= $k),
-         |shg AS (SELECT DISTINCT doc_id,
-         |          ${hash60Sql(s"array_to_string(toks[i:i+${k - 1}], ' ')")} AS h
-         |        FROM p, unnest(range(1, len(toks) - ${k - 2})) AS u(i)),
-         |f AS (SELECT h, min(doc_id) AS first_doc FROM shg GROUP BY h)
-         |SELECT doc_id, count(*) AS n_shingles,
-         |  CAST(count(*) FILTER (first_doc = doc_id) AS BIGINT) AS n_novel,
-         |  floor((count(*) FILTER (first_doc = doc_id))::DOUBLE / count(*) * 10000) / 10000
-         |    AS novelty_frac
-         |FROM shg JOIN f USING (h)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
-
-    "near_dup_simhash" -> {
-      val bands = Dedup.SimhashBands
-      val bits = Dedup.SimhashBits / bands
-      val chunkDefs = (0 until bands)
-        .map(j => s"('0x' || substr(m, ${j * 4 + 1}, 4))::INTEGER AS c$j").mkString(", ")
-      val sums = (for (j <- 0 until bands; k <- 0 until bits)
-        yield s"sum((c$j >> $k) & 1) AS s_${j}_$k").mkString(",\n  ")
-      val bandDefs = (0 until bands).map { j =>
-        (0 until bits)
-          .map(k => s"(CASE WHEN 2 * s_${j}_$k > n THEN ${1 << k} ELSE 0 END)")
-          .mkString(" + ") + s" AS band$j"
-      }.mkString(",\n  ")
-      val bandRefs = (0 until bands).map(j => s"band$j").mkString(", ")
-      val abRefs = (0 until bands)
-        .map(j => s"a.band$j AS a$j, b.band$j AS b$j").mkString(",\n                ")
-      val ham = (0 until bands).map(j => s"bit_count(xor(a$j, b$j))").mkString(" + ")
-      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM tok WHERE len(t) > 0),
-         |hx AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
-         |ch AS (SELECT DISTINCT doc_id, $chunkDefs
-         |       FROM (SELECT doc_id, md5(s) AS m FROM hx)),
-         |v AS (SELECT doc_id, count(*) AS n,
-         |  $sums
-         |FROM ch GROUP BY doc_id),
-         |fp AS (SELECT doc_id,
-         |  $bandDefs
-         |FROM v),
-         |bd AS (SELECT doc_id, $bandRefs,
-         |       unnest(range(0, $bands)) AS band_idx,
-         |       unnest([$bandRefs]) AS band_val FROM fp),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |                $abRefs
-         |         FROM bd a JOIN bd b
-         |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-         |          AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, CAST($ham AS BIGINT) AS hamming
-         |FROM cand
-         |WHERE hamming <= 6
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
-
-    "ngram_jaccard" ->
-      s"""WITH n AS (SELECT doc_id, lang, $normSql AS s FROM documents),
-         |g AS (SELECT doc_id, lang,
-         |        list_distinct([ascii(s[i]) * 65536 + ascii(s[i+1]) * 256 + ascii(s[i+2])
-         |          for i in range(1, greatest(len(s) - 1, 1))]) AS grams
-         |      FROM n),
-         |gg AS (SELECT * FROM g WHERE len(grams) > 0)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  floor(len(list_intersect(a.grams, b.grams))::DOUBLE
-         |    / len(list_distinct(a.grams || b.grams)) * 1000000) / 1000000 AS jaccard
-         |FROM gg a JOIN gg b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |WHERE jaccard >= 0.8
-         |ORDER BY doc_a, doc_b""".stripMargin,
-
-    "json_props" ->
-      s"""SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
-         |  count(*) AS n_events, round(sum(value), 4) AS sum_value
-         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
-
-    "embedding_audit" ->
-      s"""WITH per AS (SELECT len(embedding) AS dims,
-         |    list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))
-         |      AS norm2,
-         |    len(list_filter(embedding, x -> NOT (x - x = 0))) > 0
-         |      AS nonfinite
-         |  FROM embeddings)
-         |SELECT count(*) AS n_vectors,
-         |  min(dims) AS min_dims, max(dims) AS max_dims,
-         |  CAST(sum(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
-         |  CAST(sum(CASE WHEN nonfinite THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_nonfinite,
-         |  floor(min(sqrt(norm2)) * 1000000) / 1000000 AS min_norm_6dp,
-         |  floor(max(sqrt(norm2)) * 1000000) / 1000000 AS max_norm_6dp
-         |FROM per ORDER BY n_vectors""".stripMargin,
-
-    "cohort_revenue" ->
-      s"""WITH o AS (SELECT o_custkey,
-         |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
-         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-         |  FROM orders),
-         |a AS (SELECT o_custkey, min(ym) AS anchor_ym FROM o GROUP BY 1),
-         |cells AS (SELECT anchor_ym AS cohort_ym, ym - anchor_ym AS months_since,
-         |    count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS rev_cents
-         |  FROM o JOIN a USING (o_custkey) GROUP BY 1, 2)
-         |SELECT cohort_ym, months_since, n_orders, rev_cents,
-         |  CAST(sum(rev_cents) OVER (PARTITION BY cohort_ym
-         |    ORDER BY months_since
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-         |    AS cum_rev_cents
-         |FROM cells ORDER BY cohort_ym, months_since""".stripMargin,
-
-    "supplier_concentration" ->
-      s"""WITH rev AS (SELECT l_suppkey,
-         |    CAST(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
-         |      AS BIGINT)) AS BIGINT) // 100 AS BIGINT) AS dollars
-         |  FROM lineitem GROUP BY 1),
-         |r AS (SELECT dollars, CAST(row_number() OVER (
-         |    ORDER BY dollars, l_suppkey) AS BIGINT) AS i FROM rev),
-         |m AS (SELECT count(*) AS n_suppliers,
-         |    CAST(sum(dollars) AS BIGINT) AS total_dollars,
-         |    sum(CAST(i AS HUGEINT) * dollars) AS s1 FROM r)
-         |SELECT n_suppliers, total_dollars,
-         |  CAST((2 * s1 - (n_suppliers + 1) * CAST(total_dollars AS HUGEINT)) * 1000000
-         |    // (CAST(n_suppliers AS HUGEINT) * total_dollars) AS BIGINT) AS gini_ppm
-         |FROM m ORDER BY n_suppliers""".stripMargin,
-
-    "dup_rate_by_source" -> {
-      s"""WITH RECURSIVE ${minhashCtes()},
-         |$dupGroupCtes
-         |SELECT source, count(*) AS n_docs,
-         |  CAST(sum(CASE WHEN lbl.group_id IS NOT NULL THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_dup,
-         |  CAST(CAST(sum(CASE WHEN lbl.group_id IS NOT NULL THEN 1 ELSE 0 END)
-         |    AS BIGINT) * 1000000 // count(*) AS BIGINT) AS dup_ppm
-         |FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.doc_id
-         |GROUP BY 1 ORDER BY source""".stripMargin
-    },
-
-    "qty_discount_corr" ->
-      s"""WITH g AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
-         |    CAST(round(l_discount * 10000) AS BIGINT) AS y FROM lineitem),
-         |m AS (SELECT l_returnflag, count(*) AS n,
-         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         |    CAST(sum(x * y) AS BIGINT) AS sxy,
-         |    CAST(sum(x * x) AS BIGINT) AS sxx,
-         |    CAST(sum(y * y) AS BIGINT) AS syy
-         |  FROM g GROUP BY 1)
-         |SELECT l_returnflag, n, sx, sy, sxy, sxx, syy,
-         |  floor(((n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
-         |    / sqrt((n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE
-         |         * (n::HUGEINT * syy - sy::HUGEINT * sy)::DOUBLE))
-         |    * 1000000) / 1000000 AS corr_6dp
-         |FROM m ORDER BY l_returnflag""".stripMargin,
-
-    "k_anonymity" ->
-      s"""WITH c AS (SELECT c_nationkey, c_mktsegment, count(*) AS class_size
-         |  FROM customer GROUP BY 1, 2)
-         |SELECT count(*) AS n_classes,
-         |  CAST(sum(CASE WHEN class_size < 10 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_violating_classes,
-         |  CAST(sum(CASE WHEN class_size < 10 THEN class_size ELSE 0 END)
-         |    AS BIGINT) AS n_rows_at_risk,
-         |  CAST(min(class_size) AS BIGINT) AS min_class_size
-         |FROM c ORDER BY n_classes""".stripMargin,
-
-    "sliding_windows" ->
-      s"""WITH x AS (SELECT event_type, epoch_us(ts) AS eus FROM events),
-         |w AS (SELECT event_type,
-         |    make_timestamp((eus // 900000000) * 900000000
-         |      - t.k * 900000000) AS window_start
-         |  FROM x CROSS JOIN range(0, 4) t(k))
-         |SELECT window_start, event_type, count(*) AS n_events
-         |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
-
-    "multi_touch" ->
-      s"""WITH p AS (SELECT event_id, user_id, ts FROM events
-         |    WHERE event_type = 'purchase'),
-         |v AS (SELECT event_id AS view_id, user_id AS v_user, ts AS view_ts
-         |    FROM events WHERE event_type = 'view'),
-         |pr AS (SELECT p.event_id, p.user_id, v.view_id, v.view_ts
-         |  FROM p JOIN v ON v_user = user_id
-         |    AND view_ts <= ts AND view_ts >= ts - INTERVAL 3600 SECOND),
-         |c AS (SELECT *,
-         |    count(*) OVER (PARTITION BY event_id) AS n_views,
-         |    row_number() OVER (PARTITION BY event_id
-         |      ORDER BY view_ts DESC, view_id DESC) AS rn
-         |  FROM pr)
-         |SELECT event_id, user_id, view_id,
-         |  CAST(1000000 // n_views
-         |    + CASE WHEN rn = 1 THEN 1000000 % n_views ELSE 0 END
-         |    AS BIGINT) AS credit_ppm
-         |FROM c ORDER BY event_id, view_id""".stripMargin,
-
-    "event_paths" ->
-      s"""WITH $sessionCtes,
-         |t AS (SELECT event_type,
-         |    lead(event_type, 1) OVER w AS t1,
-         |    lead(event_type, 2) OVER w AS t2
-         |  FROM s WINDOW w AS (PARTITION BY user_id, session_no
-         |    ORDER BY ts, event_id))
-         |SELECT event_type || '>' || t1 || '>' || t2 AS path,
-         |  count(*) AS n_paths
-         |FROM t WHERE t1 IS NOT NULL AND t2 IS NOT NULL
-         |GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 15""".stripMargin,
-
-    "json_parse_audit" ->
-      s"""WITH r AS (SELECT event_type,
-         |    CASE WHEN event_id % 97 = 0 THEN 'broken{' || props
-         |         ELSE props END AS raw
-         |  FROM events)
-         |SELECT event_type, count(*) AS n_events,
-         |  CAST(sum(CASE WHEN NOT json_valid(raw) THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_malformed,
-         |  CAST(sum(CASE WHEN json_valid(raw)
-         |    THEN CAST(json_extract_string(raw, '$$.k') AS BIGINT)
-         |    ELSE 0 END) AS BIGINT) AS sum_k
-         |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
-
-    "sessionize" ->
-      s"""WITH $sessionCtes
-         |SELECT user_id, session_no,
-         |  min(ts) AS session_start, max(ts) AS session_end,
-         |  count(*) AS n_events,
-         |  count(*) FILTER (event_type = 'purchase') AS n_purchases,
-         |  round(sum(value), 4) AS sum_value
-         |FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
-
-    "session_funnel" ->
-      s"""WITH $sessionCtes,
-         |g AS (SELECT user_id, session_no,
-         |    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
-         |    max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
-         |  FROM s GROUP BY 1, 2),
-         |u AS (SELECT user_id, count(*) AS n_sessions,
-         |    CAST(sum(CASE WHEN first_view IS NOT NULL AND last_purchase IS NOT NULL
-         |      AND first_view <= last_purchase THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_converted
-         |  FROM g GROUP BY 1)
-         |SELECT user_id, n_sessions, n_converted,
-         |  floor(n_converted::DOUBLE / n_sessions * 10000) / 10000 AS conversion
-         |FROM u ORDER BY user_id""".stripMargin,
-
-    "event_windows" ->
-      s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
-         |  count(*) AS n_events, round(sum(value), 4) AS sum_value
-         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
-
-    "retention_cohorts" ->
-      s"""WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
-         |coh AS (SELECT user_id, min(d) AS cohort_day FROM act GROUP BY 1)
-         |SELECT cohort_day, CAST(d - cohort_day AS BIGINT) AS day_offset,
-         |  count(*) AS n_users
-         |FROM act JOIN coh USING (user_id)
-         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
-
-    "session_transitions" ->
-      s"""WITH $sessionCtes,
-         |t AS (SELECT event_type AS from_type,
-         |    lead(event_type) OVER (PARTITION BY user_id, session_no
-         |      ORDER BY ts, event_id) AS to_type FROM s)
-         |SELECT from_type, to_type, count(*) AS n_transitions
-         |FROM t WHERE to_type IS NOT NULL
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // The same conditional-min chain: each tᵢ₊₁ is a FILTER'd min
-    // anchored at t1's window; depth = non-null prefix length.
-    "funnel_depth" ->
-      s"""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
-         |    WHERE event_type = 'signup' GROUP BY 1),
-         |s2 AS (SELECT s1.user_id, s1.t1,
-         |    min(e.ts) FILTER (e.ts >= s1.t1
-         |      AND epoch_us(e.ts) - epoch_us(s1.t1) <= 604800000000) AS t2
-         |  FROM s1 LEFT JOIN events e
-         |    ON e.user_id = s1.user_id AND e.event_type = 'view'
-         |  GROUP BY 1, 2),
-         |s3 AS (SELECT s2.user_id, s2.t1, s2.t2,
-         |    min(e.ts) FILTER (e.ts >= s2.t2
-         |      AND epoch_us(e.ts) - epoch_us(s2.t1) <= 604800000000) AS t3
-         |  FROM s2 LEFT JOIN events e
-         |    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
-         |  GROUP BY 1, 2, 3)
-         |SELECT user_id,
-         |  (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
-         |   + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
-         |   + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS depth
-         |FROM s3 ORDER BY user_id""".stripMargin,
-
-    // Integer-cents frame sum → bit-identical despite DuckDB's
-    // segment-tree vs Spark's running-sum accumulation order.
-    "rolling_features" ->
-      s"""WITH w AS (SELECT event_id, user_id, ts, event_type,
-         |    count(*) OVER win AS n_1h,
-         |    sum(CAST(round(value * 100) AS BIGINT)) OVER win AS c_1h
-         |  FROM events
-         |  WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
-         |SELECT event_id, user_id, ts, n_1h, c_1h / 100.0 AS sum_1h
-         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
-
-    // (n·v − S)² > 9·(n·SQ − S²) over integer cents — z² > 9 cleared of
-    // denominators; HUGEINT keeps the squares exact past int64.
-    "event_anomalies" ->
-      s"""WITH vc AS (SELECT event_id, event_type, value,
-         |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
-         |m AS (SELECT event_type, count(*) AS n, sum(v) AS s,
-         |    sum(v::HUGEINT * v) AS sq FROM vc GROUP BY 1)
-         |SELECT event_id, event_type, value
-         |FROM vc JOIN m USING (event_type)
-         |WHERE (n::HUGEINT * v - s) * (n::HUGEINT * v - s)
-         |    > 9 * (n::HUGEINT * sq - s::HUGEINT * s)
-         |ORDER BY event_id""".stripMargin,
-
-    "interval_join" ->
-      s"""WITH $sessionCtes,
-         |iv AS (SELECT user_id, session_no, min(ts) AS st, max(ts) AS en
-         |  FROM s GROUP BY 1, 2)
-         |SELECT iv.user_id, iv.session_no, count(*) AS n_concurrent
-         |FROM iv JOIN events e ON e.ts >= iv.st AND e.ts <= iv.en
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "zorder_keys" ->
-      s"""WITH $zorderCtes
-         |SELECT l_orderkey, l_linenumber, (a | (b << 1)) AS z
-         |FROM z${ZOrder.SpreadSteps.size}
-         |ORDER BY z, l_orderkey, l_linenumber LIMIT 1000""".stripMargin,
-
-    "event_attribution" ->
-      s"""WITH v AS (SELECT user_id, ts AS vts, max(event_id) AS view_id
-         |    FROM events WHERE event_type = 'view' GROUP BY 1, 2),
-         |p AS (SELECT event_id, user_id, ts, value AS purchase_value
-         |    FROM events WHERE event_type = 'purchase')
-         |SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
-         |  v.view_id, v.vts AS view_ts
-         |FROM p ASOF LEFT JOIN v
-         |  ON p.user_id = v.user_id AND p.ts >= v.vts
-         |ORDER BY p.event_id""".stripMargin,
-
-    // The as-of match, then staleness nulling — DuckDB's ASOF picks the
-    // same "last view at or before" row, and the CASE discards it when
-    // it trails the purchase by more than the 30-minute tolerance.
-    "asof_tolerance" ->
-      s"""WITH v AS (SELECT user_id, ts AS vts, max(event_id) AS view_id
-         |    FROM events WHERE event_type = 'view' GROUP BY 1, 2),
-         |p AS (SELECT event_id, user_id, ts, value AS purchase_value
-         |    FROM events WHERE event_type = 'purchase'),
-         |a AS (SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
-         |        v.view_id, v.vts
-         |      FROM p ASOF LEFT JOIN v
-         |        ON p.user_id = v.user_id AND p.ts >= v.vts)
-         |SELECT event_id, user_id, ts, purchase_value,
-         |  CASE WHEN vts >= ts - INTERVAL 30 MINUTE THEN view_id END AS view_id,
-         |  CASE WHEN vts >= ts - INTERVAL 30 MINUTE THEN vts END AS view_ts
-         |FROM a ORDER BY event_id""".stripMargin,
-
-    // Backward + forward ASOF joins, then the same nearer-side pick
-    // (exact micros distance, tie → backward).
-    "asof_nearest" ->
-      s"""WITH v AS (SELECT user_id, ts AS vts, max(event_id) AS view_id
-         |    FROM events WHERE event_type = 'view' GROUP BY 1, 2),
-         |p AS (SELECT event_id, user_id, ts, value AS purchase_value
-         |    FROM events WHERE event_type = 'purchase'),
-         |b AS (SELECT p.event_id, v.view_id AS b_id, v.vts AS b_ts
-         |      FROM p ASOF LEFT JOIN v
-         |        ON p.user_id = v.user_id AND p.ts >= v.vts),
-         |f AS (SELECT p.event_id, v.view_id AS f_id, v.vts AS f_ts
-         |      FROM p ASOF LEFT JOIN v
-         |        ON p.user_id = v.user_id AND p.ts <= v.vts)
-         |SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
-         |  CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR
-         |         epoch_us(p.ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(p.ts))
-         |       THEN b_id ELSE f_id END AS view_id,
-         |  CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR
-         |         epoch_us(p.ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(p.ts))
-         |       THEN b_ts ELSE f_ts END AS view_ts
-         |FROM p JOIN b USING (event_id) JOIN f USING (event_id)
-         |ORDER BY p.event_id""".stripMargin,
-
-    "user_streaks" ->
-      s"""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
-         |isl AS (SELECT user_id,
-         |    CAST(d - DATE '1970-01-01' AS BIGINT)
-         |      - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
-         |  FROM days),
-         |runs AS (SELECT user_id, grp, count(*) AS len
-         |         FROM isl GROUP BY 1, 2)
-         |SELECT user_id, max(len) AS longest_streak, count(*) AS n_streaks
-         |FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin,
-
-    "bloom_join" ->
-      s"""SELECT p_brand, count(*) AS n_items,
-         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
-         |FROM lineitem JOIN part ON l_partkey = p_partkey
-         |WHERE p_size <= 5
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "salted_rollup" ->
-      s"""SELECT o_orderpriority, count(*) AS n_items,
-         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
-         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "abc_class" ->
-      s"""WITH rev AS (
-         |  SELECT p_brand, p_partkey,
-         |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-         |      AS rev_cents
-         |  FROM lineitem JOIN part ON l_partkey = p_partkey
-         |  GROUP BY 1, 2),
-         |w AS (
-         |  SELECT *,
-         |    row_number() OVER br AS rn,
-         |    sum(rev_cents) OVER (br ROWS UNBOUNDED PRECEDING) AS cum,
-         |    sum(rev_cents) OVER (PARTITION BY p_brand) AS tot
-         |  FROM rev
-         |  WINDOW br AS (PARTITION BY p_brand
-         |    ORDER BY rev_cents DESC, p_partkey))
-         |SELECT p_brand, p_partkey, rev_cents,
-         |  CASE WHEN rn = 1 OR cum * 100 <= tot * 80 THEN 'A'
-         |       WHEN cum * 100 <= tot * 95 THEN 'B'
-         |       ELSE 'C' END AS abc_class
-         |FROM w ORDER BY p_brand, rev_cents DESC, p_partkey""".stripMargin,
-
-    "demand_forecast" ->
-      s"""WITH daily AS (
-         |  SELECT p_brand, CAST(l_shipdate AS DATE) AS day,
-         |    CAST(sum(l_quantity) AS BIGINT) AS qty
-         |  FROM lineitem JOIN part ON l_partkey = p_partkey
-         |  WHERE l_shipdate >= DATE '1995-01-01'
-         |    AND l_shipdate < DATE '1996-01-01'
-         |  GROUP BY 1, 2)
-         |SELECT p_brand, day, qty,
-         |  CAST(sum(qty) OVER w AS BIGINT) AS qty_7d,
-         |  count(*) OVER w AS days_observed
-         |FROM daily
-         |WINDOW w AS (PARTITION BY p_brand
-         |  ORDER BY datediff('day', DATE '1970-01-01', day)
-         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-         |ORDER BY p_brand, day""".stripMargin,
-
-    "copurchase_pairs" ->
-      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         |nt AS (SELECT count(DISTINCT l_orderkey) AS n_total FROM items),
-         |pp AS (SELECT l_partkey, count(*) AS n_part FROM items GROUP BY 1),
-         |pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-         |    count(*) AS n_ab
-         |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
-         |    AND a.l_partkey < b.l_partkey
-         |  GROUP BY 1, 2 HAVING count(*) >= 3),
-         |l AS (SELECT part_a, part_b, n_ab,
-         |    floor(n_ab::DOUBLE * n_total / pa.n_part / pb.n_part * 1000000)
-         |      / 1000000 AS lift
-         |  FROM pr
-         |  CROSS JOIN nt
-         |  JOIN pp pa ON pr.part_a = pa.l_partkey
-         |  JOIN pp pb ON pr.part_b = pb.l_partkey),
-         |r AS (SELECT *, row_number() OVER
-         |    (ORDER BY lift DESC, part_a, part_b) AS rank FROM l)
-         |SELECT part_a, part_b, n_ab, lift, rank
-         |FROM r WHERE rank <= 25 ORDER BY rank""".stripMargin,
-
-    // The 3 Pregel rounds unrolled as CTE pairs (contribution, refresh);
-    // `//` is DuckDB's floor division ≡ Spark's `div` on positive BIGINTs.
-    "copurchase_rank" -> {
-      val rounds = (1 to 3).map { i =>
-        s"""c$i AS (SELECT e.dst AS node, sum(r.rank_ppm // d.out_deg) AS s
-           |  FROM edges e JOIN deg d USING (src)
-           |  JOIN r${i - 1} r ON e.src = r.node GROUP BY 1),
-           |r$i AS (SELECT r0.node,
-           |    CAST(150000 + (85 * COALESCE(c$i.s, 0)) // 100 AS BIGINT) AS rank_ppm
-           |  FROM r0 LEFT JOIN c$i USING (node))""".stripMargin
-      }.mkString(",\n")
-      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         |und AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
-         |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
-         |    AND a.l_partkey < b.l_partkey
-         |  GROUP BY 1, 2 HAVING count(*) >= 3),
-         |edges AS (SELECT pa AS src, pb AS dst FROM und
-         |          UNION ALL SELECT pb, pa FROM und),
-         |deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY 1),
-         |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank_ppm FROM deg),
-         |$rounds
-         |SELECT node AS p_partkey, rank_ppm FROM r3
-         |ORDER BY rank_ppm DESC, p_partkey""".stripMargin
-    },
-
-    "repeat_affinity" ->
-      s"""WITH c AS (SELECT o_custkey, o_orderkey, o_orderdate,
-         |    lead(o_orderkey) OVER (PARTITION BY o_custkey
-         |      ORDER BY o_orderdate, o_orderkey) AS next_orderkey
-         |  FROM orders),
-         |items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         |p AS (SELECT a.l_partkey AS part_first, b.l_partkey AS part_next
-         |  FROM c
-         |  JOIN items a ON a.l_orderkey = c.o_orderkey
-         |  JOIN items b ON b.l_orderkey = c.next_orderkey
-         |  WHERE c.next_orderkey IS NOT NULL
-         |    AND a.l_partkey != b.l_partkey)
-         |SELECT part_first, part_next, count(*) AS n_sequences
-         |FROM p GROUP BY 1, 2 HAVING count(*) >= 3
-         |ORDER BY n_sequences DESC, part_first, part_next LIMIT 25""".stripMargin,
-
-    "reach_levels" -> {
-      val rounds = (1 to 3).map { i =>
-        s"""r$i AS (SELECT e.dst AS node, min(d.dist + 1) AS nd
-           |  FROM edges e JOIN d${i - 1} d ON e.src = d.node
-           |  WHERE d.dist IS NOT NULL GROUP BY 1),
-           |d$i AS (SELECT n.node,
-           |    CASE WHEN n.dist IS NOT NULL AND (r.nd IS NULL OR n.dist <= r.nd)
-           |         THEN n.dist ELSE r.nd END AS dist
-           |  FROM d${i - 1} n LEFT JOIN r$i r ON n.node = r.node)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         |und AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
-         |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
-         |    AND a.l_partkey < b.l_partkey
-         |  GROUP BY 1, 2 HAVING count(*) >= 3),
-         |edges AS (SELECT pa AS src, pb AS dst FROM und
-         |          UNION ALL SELECT pb, pa FROM und),
-         |seedv AS (SELECT min(src) AS seed FROM edges),
-         |d0 AS (SELECT DISTINCT e.src AS node,
-         |    CASE WHEN e.src = s.seed THEN CAST(0 AS BIGINT) END AS dist
-         |  FROM edges e CROSS JOIN seedv s),
-         |$rounds
-         |SELECT COALESCE(dist, -1) AS distance, count(*) AS n_parts
-         |FROM d3 GROUP BY 1 ORDER BY distance""".stripMargin
-    },
-
-    "copurchase_communities" -> {
-      val rounds = (1 to 2).map { i =>
-        s"""v$i AS (SELECT e.src, l.label, CAST(sum(e.n_ab) AS BIGINT) AS w
-           |  FROM edges e JOIN l${i - 1} l ON e.dst = l.node GROUP BY 1, 2),
-           |l$i AS (SELECT src AS node, label FROM (
-           |  SELECT src, label,
-           |    row_number() OVER (PARTITION BY src ORDER BY w DESC, label) AS rn
-           |  FROM v$i) WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         |und AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
-         |    count(*) AS n_ab
-         |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
-         |    AND a.l_partkey < b.l_partkey
-         |  GROUP BY 1, 2 HAVING count(*) >= 3),
-         |edges AS (SELECT pa AS src, pb AS dst, n_ab FROM und
-         |          UNION ALL SELECT pb, pa, n_ab FROM und),
-         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
-         |$rounds
-         |SELECT label AS community, count(*) AS n_members FROM l2
-         |GROUP BY 1 ORDER BY n_members DESC, community""".stripMargin
-    },
-
-    "hierarchy_flatten" ->
-      s"""WITH RECURSIVE e AS (SELECT p_partkey AS node, p_partkey // 10 AS parent
-         |    FROM part WHERE p_partkey >= 10),
-         |n AS (SELECT DISTINCT node FROM (
-         |  SELECT node FROM e UNION ALL SELECT parent FROM e)),
-         |w AS (SELECT node AS node0, node AS cur, CAST(0 AS BIGINT) AS d FROM n
-         |  UNION ALL
-         |  SELECT w.node0, e.parent, w.d + 1 FROM w JOIN e ON w.cur = e.node),
-         |flat AS (SELECT node0 AS node, cur AS root, d AS depth FROM w
-         |  WHERE cur NOT IN (SELECT node FROM e))
-         |SELECT depth, count(*) AS n_nodes,
-         |  CAST(count(DISTINCT root) AS BIGINT) AS n_roots
-         |FROM flat GROUP BY 1 ORDER BY depth""".stripMargin,
-
-    "hierarchy_rollup" ->
-      s"""WITH RECURSIVE e AS (SELECT p_partkey AS node, p_partkey // 10 AS parent
-         |    FROM part WHERE p_partkey >= 10),
-         |n AS (SELECT DISTINCT node FROM (
-         |  SELECT node FROM e UNION ALL SELECT parent FROM e)),
-         |w AS (SELECT node AS node0, node AS cur, CAST(0 AS BIGINT) AS d FROM n
-         |  UNION ALL
-         |  SELECT w.node0, e.parent, w.d + 1 FROM w JOIN e ON w.cur = e.node),
-         |flat AS (SELECT node0 AS node, cur AS root, d AS depth FROM w
-         |  WHERE cur NOT IN (SELECT node FROM e))
-         |SELECT root,
-         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
-         |    AS BIGINT)) AS BIGINT) AS revenue_cents,
-         |  CAST(count(DISTINCT node) AS BIGINT) AS n_parts
-         |FROM lineitem JOIN flat ON l_partkey = node
-         |GROUP BY 1 ORDER BY revenue_cents DESC, root LIMIT 10""".stripMargin,
-
-    "hierarchy_share" ->
-      s"""WITH RECURSIVE e AS (SELECT p_partkey AS node, p_partkey // 10 AS parent
-         |    FROM part WHERE p_partkey >= 10),
-         |n AS (SELECT DISTINCT node FROM (
-         |  SELECT node FROM e UNION ALL SELECT parent FROM e)),
-         |w AS (SELECT node AS node0, node AS cur, CAST(0 AS BIGINT) AS d FROM n
-         |  UNION ALL
-         |  SELECT w.node0, e.parent, w.d + 1 FROM w JOIN e ON w.cur = e.node),
-         |flat AS (SELECT node0 AS node, cur AS root, d AS depth FROM w
-         |  WHERE cur NOT IN (SELECT node FROM e)),
-         |rev AS (SELECT node, root,
-         |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
-         |      AS BIGINT)) AS BIGINT) AS node_cents
-         |  FROM lineitem JOIN flat ON l_partkey = node GROUP BY 1, 2),
-         |roots AS (SELECT root, CAST(sum(node_cents) AS BIGINT) AS root_cents
-         |  FROM rev GROUP BY 1)
-         |SELECT rev.root, node, node_cents, root_cents,
-         |  CAST(CAST(node_cents AS HUGEINT) * 1000000 // root_cents AS BIGINT) AS share_ppm
-         |FROM rev JOIN roots ON rev.root = roots.root
-         |ORDER BY rev.root, node""".stripMargin,
-
-    "stock_sim" ->
-      s"""WITH RECURSIVE sold AS (SELECT l_partkey AS part,
-         |    CAST(datepart('day', l_shipdate) AS INTEGER) AS day,
-         |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sold
-         |  FROM lineitem
-         |  WHERE l_shipdate >= TIMESTAMP '1996-06-01'
-         |    AND l_shipdate < TIMESTAMP '1996-07-01'
-         |  GROUP BY 1, 2),
-         |parts AS (SELECT DISTINCT part FROM sold),
-         |g AS (SELECT p.part, t.d AS day, COALESCE(s.sold, 0) AS sold
-         |  FROM parts p CROSS JOIN range(1, 31) t(d)
-         |  LEFT JOIN sold s ON p.part = s.part AND s.day = t.d),
-         |sim AS (
-         |  SELECT part, 0 AS day, CAST(50 AS BIGINT) AS bal,
-         |    CAST(0 AS BIGINT) AS so, CAST(0 AS BIGINT) AS unmet FROM parts
-         |  UNION ALL
-         |  SELECT g.part, g.day,
-         |    CASE WHEN sim.bal + 8 - g.sold < 0 THEN 0
-         |         ELSE sim.bal + 8 - g.sold END,
-         |    sim.so + CASE WHEN sim.bal + 8 - g.sold < 0 THEN 1 ELSE 0 END,
-         |    sim.unmet + CASE WHEN sim.bal + 8 - g.sold < 0
-         |         THEN -(sim.bal + 8 - g.sold) ELSE 0 END
-         |  FROM sim JOIN g ON g.part = sim.part AND g.day = sim.day + 1)
-         |SELECT part, bal AS final_balance, so AS n_stockouts,
-         |  unmet AS total_unmet
-         |FROM sim WHERE day = 30 ORDER BY part""".stripMargin,
-
-    "key_skew" ->
-      s"""WITH per AS (SELECT user_id, count(*) AS n_events
-         |  FROM events GROUP BY 1),
-         |tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM per)
-         |SELECT user_id, n_events,
-         |  CAST(CAST(n_events AS HUGEINT) * 1000000 // total AS BIGINT) AS share_ppm
-         |FROM per CROSS JOIN tot
-         |ORDER BY n_events DESC, user_id LIMIT 20""".stripMargin,
-
-    "benford_digits" ->
-      s"""WITH d AS (SELECT CAST(substring(
-         |      CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
-         |      1, 1) AS INTEGER) AS digit
-         |  FROM orders WHERE o_totalprice > 0),
-         |per AS (SELECT digit, count(*) AS n_orders FROM d GROUP BY 1),
-         |tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM per)
-         |SELECT digit, n_orders,
-         |  CAST(CAST(n_orders AS HUGEINT) * 1000000 // total AS BIGINT) AS obs_ppm
-         |FROM per CROSS JOIN tot ORDER BY digit""".stripMargin,
-
-    "rfm_segments" ->
-      s"""WITH per AS (
-         |  SELECT o_custkey,
-         |    max(CAST(o_orderdate AS DATE)) AS last_order,
-         |    count(*) AS n_orders,
-         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-         |      AS total_cents
-         |  FROM orders GROUP BY 1),
-         |a AS (SELECT max(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
-         |sc AS (SELECT per.*, CAST(anchor - last_order AS BIGINT) AS recency_days
-         |       FROM per CROSS JOIN a),
-         |t AS (SELECT o_custkey, recency_days, n_orders, total_cents,
-         |    CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r,
-         |    CAST(ntile(5) OVER (ORDER BY n_orders DESC, o_custkey) AS BIGINT) AS f,
-         |    CAST(ntile(5) OVER (ORDER BY total_cents DESC, o_custkey) AS BIGINT) AS m
-         |  FROM sc)
-         |SELECT o_custkey, recency_days, n_orders, total_cents, r, f, m,
-         |  r::VARCHAR || f::VARCHAR || m::VARCHAR AS segment
-         |FROM t ORDER BY o_custkey""".stripMargin,
-
-    "assoc_rules" ->
-      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         |pp AS (SELECT l_partkey AS antecedent, count(*) AS n_ante
-         |       FROM items GROUP BY 1),
-         |pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-         |    count(*) AS n_ab
-         |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
-         |    AND a.l_partkey < b.l_partkey
-         |  GROUP BY 1, 2 HAVING count(*) >= 3),
-         |d AS (SELECT part_a AS antecedent, part_b AS consequent, n_ab FROM pr
-         |      UNION ALL SELECT part_b, part_a, n_ab FROM pr),
-         |c AS (SELECT d.antecedent, d.consequent, d.n_ab, pp.n_ante,
-         |    CAST(CAST(d.n_ab AS HUGEINT) * 1000000 // pp.n_ante AS BIGINT) AS conf_ppm
-         |  FROM d JOIN pp USING (antecedent))
-         |SELECT antecedent, consequent, n_ab, n_ante, conf_ppm
-         |FROM c WHERE conf_ppm >= 100000
-         |ORDER BY conf_ppm DESC, antecedent, consequent LIMIT 50""".stripMargin,
-
-    "time_to_convert" ->
-      s"""WITH per AS (
-         |  SELECT user_id,
-         |    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
-         |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
-         |  FROM events GROUP BY 1)
-         |SELECT user_id, first_view, first_purchase,
-         |  CAST((epoch_us(first_purchase) - epoch_us(first_view)) // 1000000
-         |    AS BIGINT) AS secs_to_convert
-         |FROM per
-         |WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
-         |  AND first_purchase >= first_view
-         |ORDER BY user_id""".stripMargin,
-
-    "triangle_count" ->
-      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         |e AS (SELECT a.l_partkey AS a, b.l_partkey AS b
-         |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
-         |    AND a.l_partkey < b.l_partkey
-         |  GROUP BY 1, 2 HAVING count(*) >= 2),
-         |tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
-         |  FROM e e1 JOIN e e2 ON e1.b = e2.a
-         |  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
-         |nodes AS (SELECT a AS p_partkey FROM tri
-         |          UNION ALL SELECT b FROM tri
-         |          UNION ALL SELECT c FROM tri)
-         |SELECT p_partkey, count(*) AS n_triangles
-         |FROM nodes GROUP BY 1 ORDER BY n_triangles DESC, p_partkey""".stripMargin,
-
-    "dup_size_hist" ->
-      s"""WITH RECURSIVE ${minhashCtes()},
-         |$dupGroupCtes,
-         |g AS (SELECT group_id, count(*) AS group_size FROM lbl GROUP BY 1)
-         |SELECT group_size, count(*) AS n_groups
-         |FROM g GROUP BY 1 ORDER BY group_size""".stripMargin,
-
-    // Both directions of every verified pair that touches a probe doc.
-    "probe_near_dups" ->
-      s"""WITH ${minhashCtes()},
-         |pl AS (SELECT doc_a AS probe_id, doc_b AS match_id, jaccard
-         |       FROM vp WHERE doc_a % 3 = 0
-         |       UNION ALL
-         |       SELECT doc_b, doc_a, jaccard FROM vp WHERE doc_b % 3 = 0)
-         |SELECT probe_id, match_id, jaccard
-         |FROM pl ORDER BY probe_id, match_id""".stripMargin,
-
-    "hist_quantiles" ->
-      s"""WITH h AS (SELECT o_orderpriority,
-         |    CAST(round(o_totalprice * 100) AS BIGINT) // 10000 AS bucket,
-         |    count(*) AS n
-         |  FROM orders GROUP BY 1, 2),
-         |c AS (SELECT o_orderpriority, bucket, n,
-         |    sum(n) OVER (PARTITION BY o_orderpriority ORDER BY bucket
-         |      ROWS UNBOUNDED PRECEDING) AS cum,
-         |    sum(n) OVER (PARTITION BY o_orderpriority) AS nt
-         |  FROM h)
-         |SELECT o_orderpriority,
-         |  CAST(min(CASE WHEN cum >= (nt * 50 + 99) // 100
-         |    THEN bucket * 10000 END) AS BIGINT) AS p50_cents,
-         |  CAST(min(CASE WHEN cum >= (nt * 90 + 99) // 100
-         |    THEN bucket * 10000 END) AS BIGINT) AS p90_cents,
-         |  CAST(min(CASE WHEN cum >= (nt * 99 + 99) // 100
-         |    THEN bucket * 10000 END) AS BIGINT) AS p99_cents
-         |FROM c GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
-
-    "quality_by_source" ->
-      s"""WITH ${qualityCtes("documents")},
-         |q AS (SELECT doc_id, floor((0.4 * least(1.0, n_tokens / 50.0)
-         |    + 0.3 * (1.0 - punct_ratio)
-         |    + 0.3 * least(1.0, stopword_ratio * 5)) * 10000) / 10000
-         |    AS quality_score
-         |  FROM qs),
-         |j AS (SELECT d.source, q.quality_score
-         |      FROM documents d JOIN q USING (doc_id)),
-         |h AS (SELECT source, CAST(round(quality_score * 100) AS BIGINT) // 1
-         |    AS bucket, count(*) AS n FROM j GROUP BY 1, 2),
-         |c AS (SELECT source, bucket, n,
-         |    sum(n) OVER (PARTITION BY source ORDER BY bucket
-         |      ROWS UNBOUNDED PRECEDING) AS cum,
-         |    sum(n) OVER (PARTITION BY source) AS nt
-         |  FROM h)
-         |SELECT source,
-         |  CAST(min(CASE WHEN cum >= (nt * 50 + 99) // 100
-         |    THEN bucket * 1 END) AS BIGINT) AS p50_cents,
-         |  CAST(min(CASE WHEN cum >= (nt * 90 + 99) // 100
-         |    THEN bucket * 1 END) AS BIGINT) AS p90_cents
-         |FROM c GROUP BY 1 ORDER BY source""".stripMargin,
-
-    "price_outliers" ->
-      s"""WITH li AS (SELECT p_brand,
-         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
-         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
-         |h AS (SELECT p_brand, price_c // 1000 AS bucket, count(*) AS n
-         |      FROM li GROUP BY 1, 2),
-         |c AS (SELECT p_brand, bucket, n,
-         |    sum(n) OVER (PARTITION BY p_brand ORDER BY bucket
-         |      ROWS UNBOUNDED PRECEDING) AS cum,
-         |    sum(n) OVER (PARTITION BY p_brand) AS nt
-         |  FROM h),
-         |p99 AS (SELECT p_brand,
-         |    CAST(min(CASE WHEN cum >= (nt * 99 + 99) // 100
-         |      THEN bucket * 1000 END) AS BIGINT) AS p99_cents
-         |  FROM c GROUP BY 1)
-         |SELECT li.p_brand, p99_cents, count(*) AS n_above,
-         |  max(price_c) AS max_cents
-         |FROM li JOIN p99 USING (p_brand)
-         |WHERE price_c >= p99_cents
-         |GROUP BY 1, 2 ORDER BY li.p_brand""".stripMargin,
-
-    "session_quantiles" ->
-      s"""WITH $sessionCtes,
-         |dur AS (SELECT 'all' AS scope,
-         |    CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
-         |      AS duration_secs
-         |  FROM s GROUP BY user_id, session_no),
-         |h AS (SELECT scope,
-         |    CAST(round(duration_secs * 100) AS BIGINT) // 6000 AS bucket,
-         |    count(*) AS n
-         |  FROM dur GROUP BY 1, 2),
-         |c AS (SELECT scope, bucket, n,
-         |    sum(n) OVER (PARTITION BY scope ORDER BY bucket
-         |      ROWS UNBOUNDED PRECEDING) AS cum,
-         |    sum(n) OVER (PARTITION BY scope) AS nt
-         |  FROM h)
-         |SELECT scope,
-         |  CAST(min(CASE WHEN cum >= (nt * 50 + 99) // 100
-         |    THEN bucket * 6000 END) AS BIGINT) AS p50_cents,
-         |  CAST(min(CASE WHEN cum >= (nt * 90 + 99) // 100
-         |    THEN bucket * 6000 END) AS BIGINT) AS p90_cents,
-         |  CAST(min(CASE WHEN cum >= (nt * 99 + 99) // 100
-         |    THEN bucket * 6000 END) AS BIGINT) AS p99_cents
-         |FROM c GROUP BY 1 ORDER BY scope""".stripMargin,
-
-    "behavior_segments" ->
-      s"""WITH b AS (SELECT user_id, CAST(ts AS DATE) AS d,
-         |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
-         |      WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
-         |      WHEN 'error' THEN 16 ELSE 0 END AS bit
-         |  FROM events),
-         |m AS (SELECT user_id, d, CAST(bit_or(bit) AS BIGINT) AS mask
-         |      FROM b GROUP BY 1, 2)
-         |SELECT mask, count(*) AS n_user_days
-         |FROM m GROUP BY 1 ORDER BY mask""".stripMargin,
-
-    "orders_backlog" ->
-      s"""WITH ev AS (
-         |  SELECT CAST(o_orderdate AS DATE) AS d, 1 AS delta FROM orders
-         |  UNION ALL
-         |  SELECT CAST(min(l_shipdate) AS DATE) AS d, -1 AS delta
-         |  FROM lineitem GROUP BY l_orderkey),
-         |net AS (SELECT d, CAST(sum(delta) AS BIGINT) AS net
-         |        FROM ev GROUP BY 1)
-         |SELECT d, net,
-         |  CAST(sum(net) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
-         |    AS backlog
-         |FROM net ORDER BY d""".stripMargin,
-
-    "fulfillment_latency" ->
-      s"""WITH fs AS (SELECT l_orderkey, min(l_shipdate) AS first_ship
-         |            FROM lineitem GROUP BY 1),
-         |g AS (SELECT CAST(CAST(first_ship AS DATE) - CAST(o_orderdate AS DATE)
-         |    AS BIGINT) AS days_to_ship
-         |  FROM orders JOIN fs ON o_orderkey = l_orderkey)
-         |SELECT days_to_ship, count(*) AS n_orders
-         |FROM g GROUP BY 1 ORDER BY days_to_ship""".stripMargin,
-
-    "hapax_ratio" ->
-      s"""WITH tok AS (SELECT source, unnest($toksSql) AS token FROM documents),
-         |tc AS (SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2),
-         |agg AS (SELECT source, count(*) AS n_distinct_tokens,
-         |    CAST(count(*) FILTER (n = 1) AS BIGINT) AS n_hapax
-         |  FROM tc GROUP BY 1)
-         |SELECT source, n_distinct_tokens, n_hapax,
-         |  CAST(n_hapax * 1000000 // n_distinct_tokens AS BIGINT) AS hapax_ppm
-         |FROM agg ORDER BY source""".stripMargin,
-
-    "table_profile" -> {
-      val arms = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
-        .map(c =>
-          s"SELECT '$c' AS column_name, CAST(round($c * 100) AS BIGINT) AS v FROM lineitem")
-        .mkString("\n  UNION ALL\n")
-      s"""WITH m AS (
-         |$arms)
-         |SELECT column_name, count(*) AS n_rows, count(v) AS n_values,
-         |  count(DISTINCT v) AS n_distinct, min(v) AS min_cents,
-         |  max(v) AS max_cents, CAST(sum(v) AS BIGINT) AS sum_cents
-         |FROM m GROUP BY 1 ORDER BY column_name""".stripMargin
-    },
-
-    "bpe_merges" ->
-      s"""WITH w AS (SELECT unnest($toksSql) AS w FROM documents),
-         |wc AS (SELECT w, count(*) AS wc FROM w GROUP BY 1),
-         |p AS (SELECT wc, unnest([substring(w, i, 2) for i in range(1, length(w))])
-         |        AS pair
-         |      FROM wc WHERE length(w) >= 2)
-         |SELECT pair, CAST(sum(wc) AS BIGINT) AS n
-         |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
-
-    "quality_calibration" ->
-      s"""WITH ${qualityCtes("documents")},
-         |q AS (SELECT doc_id, floor((0.4 * least(1.0, n_tokens / 50.0)
-         |    + 0.3 * (1.0 - punct_ratio)
-         |    + 0.3 * least(1.0, stopword_ratio * 5)) * 10000) / 10000
-         |    AS quality_score
-         |  FROM qs),
-         |j AS (SELECT d.doc_id, d.lang, q.quality_score
-         |      FROM documents d JOIN q USING (doc_id))
-         |SELECT doc_id, lang, quality_score,
-         |  floor(percent_rank() OVER (PARTITION BY lang
-         |    ORDER BY quality_score, doc_id) * 1000000) / 1000000 AS pct_rank
-         |FROM j ORDER BY doc_id""".stripMargin,
-
-    "rolling_active_users" ->
-      s"""WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
-         |    ${hash60Sql("user_id::VARCHAR")} AS h FROM events
-         |  WHERE user_id IS NOT NULL),
-         |d AS (SELECT day, h,
-         |    row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM e),
-         |sk AS (SELECT day, h FROM d WHERE rn <= 64),
-         |days AS (SELECT DISTINCT day FROM e),
-         |contrib AS (SELECT DISTINCT t.day AS day, sk.h
-         |  FROM sk JOIN days t ON t.day >= sk.day AND t.day <= sk.day + 6),
-         |r AS (SELECT day, h,
-         |    row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM contrib),
-         |s AS (SELECT day, count(*) AS cnt, max(h) AS kth
-         |    FROM r WHERE rn <= 64 GROUP BY 1)
-         |SELECT day,
-         |  CASE WHEN cnt < 64 THEN cnt
-         |       ELSE (63::HUGEINT * 1152921504606846976 // kth)::BIGINT
-         |  END AS users_roll
-         |FROM s ORDER BY day""".stripMargin,
-
-    "kmv_distinct" ->
-      s"""WITH h AS (SELECT DISTINCT event_type,
-         |    ${hash60Sql("user_id::VARCHAR")} AS h FROM events
-         |  WHERE user_id IS NOT NULL),
-         |r AS (SELECT event_type, h,
-         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
-         |s AS (SELECT event_type, count(*) AS cnt, max(h) AS kth
-         |    FROM r WHERE rn <= 64 GROUP BY 1)
-         |SELECT event_type,
-         |  CASE WHEN cnt < 64 THEN cnt
-         |       ELSE (63::HUGEINT * 1152921504606846976 // kth)::BIGINT
-         |  END AS est_distinct
-         |FROM s ORDER BY event_type""".stripMargin,
-
-    "kmv_overlap" ->
-      s"""WITH av AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
-         |    ${hash60Sql("user_id::VARCHAR")} AS h FROM events
-         |  WHERE event_type = 'view' AND user_id IS NOT NULL),
-         |ar AS (SELECT day, h,
-         |    row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM av),
-         |a AS (SELECT day, h FROM ar WHERE rn <= 64),
-         |bv AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
-         |    ${hash60Sql("user_id::VARCHAR")} AS h FROM events
-         |  WHERE event_type = 'purchase' AND user_id IS NOT NULL),
-         |br AS (SELECT day, h,
-         |    row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM bv),
-         |b AS (SELECT day, h FROM br WHERE rn <= 64),
-         |u0 AS (SELECT day, h FROM a UNION SELECT day, h FROM b),
-         |ur AS (SELECT day, h,
-         |    row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM u0),
-         |u AS (SELECT day, h FROM ur WHERE rn <= 64),
-         |f AS (SELECT u.day, u.h,
-         |    CASE WHEN a.h IS NOT NULL THEN 1 ELSE 0 END AS in_a,
-         |    CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END AS in_b
-         |  FROM u LEFT JOIN a ON u.day = a.day AND u.h = a.h
-         |         LEFT JOIN b ON u.day = b.day AND u.h = b.h),
-         |s AS (SELECT day, count(*) AS kk, max(h) AS kth,
-         |    sum(in_a * in_b) AS n_both FROM f GROUP BY 1)
-         |SELECT day,
-         |  ((n_both * CASE WHEN kk < 64 THEN kk
-         |      ELSE (63::HUGEINT * 1152921504606846976 // kth)::BIGINT
-         |    END) // kk)::BIGINT AS est_overlap
-         |FROM s ORDER BY day""".stripMargin,
-
-    "cms_freq" ->
-      s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
-         |top AS (SELECT token, count(*) AS n FROM tok
-         |  GROUP BY 1 ORDER BY n DESC, token LIMIT 20),
-         |th AS (SELECT ${hash60Sql("token")} AS h FROM tok),
-         |sk AS (SELECT cms_row, cms_bucket, count(*) AS cms_cnt FROM (
-         |${cmsArmsSql("th", "")}) GROUP BY 1, 2),
-         |ph AS (SELECT token, n, ${hash60Sql("token")} AS h FROM top),
-         |pb AS (
-         |${cmsArmsSql("ph", "token, n, ")}),
-         |est AS (SELECT token, n,
-         |    min(coalesce(sk.cms_cnt, 0)) AS cms_est
-         |  FROM pb LEFT JOIN sk USING (cms_row, cms_bucket)
-         |  GROUP BY 1, 2)
-         |SELECT token, n, cms_est FROM est
-         |ORDER BY n DESC, token""".stripMargin,
-
-    "order_quantiles" ->
-      s"""WITH r AS (SELECT o_orderpriority, o_totalprice AS v,
-         |    row_number() OVER (PARTITION BY o_orderpriority
-         |      ORDER BY o_totalprice) AS rn,
-         |    count(*) OVER (PARTITION BY o_orderpriority) AS n
-         |  FROM orders WHERE o_totalprice IS NOT NULL)
-         |SELECT o_orderpriority,
-         |  max(CASE WHEN rn = (n * 50 + 99) // 100 THEN v END) AS p50,
-         |  max(CASE WHEN rn = (n * 90 + 99) // 100 THEN v END) AS p90,
-         |  max(CASE WHEN rn = (n * 99 + 99) // 100 THEN v END) AS p99
-         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "demand_gapfill" ->
-      s"""WITH daily AS (
-         |  SELECT p_brand, CAST(l_shipdate AS DATE) AS day,
-         |    CAST(sum(l_quantity) AS BIGINT) AS qty
-         |  FROM lineitem JOIN part ON l_partkey = p_partkey
-         |  WHERE l_shipdate >= DATE '1995-01-01'
-         |    AND l_shipdate < DATE '1996-01-01'
-         |  GROUP BY 1, 2),
-         |b AS (SELECT p_brand, min(day) AS d0, max(day) AS d1
-         |  FROM daily GROUP BY 1),
-         |cal AS (SELECT p_brand,
-         |    unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
-         |  FROM b)
-         |SELECT cal.p_brand, cal.day, coalesce(d.qty, 0) AS qty
-         |FROM cal LEFT JOIN daily d
-         |  ON cal.p_brand = d.p_brand AND cal.day = d.day
-         |ORDER BY 1, 2""".stripMargin,
-
-    "ann_topk" -> bruteTopkSql,
-
-    // Same result contract as ann_topk — the Spark side differs only in
-    // ENTRY PATH (SQL text + registered function vs Column API).
-    "sql_topk" -> bruteTopkSql,
-
-    "ann_topk_ivf_trained" ->
-      s"""WITH ${kmeansCtes(Similarity.IvfTrainRounds)},
-         |e2 AS (SELECT e.vec_id, e.embedding, a.cell
-         |  FROM embeddings e JOIN a${Similarity.IvfTrainRounds} a USING (vec_id)),
-         |pairs AS (
-         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
-         |  FROM e2 a JOIN e2 b ON a.cell = b.cell AND a.vec_id != b.vec_id
-         |  WHERE a.vec_id % 50 = 0 AND a.vec_id < ${50L * Similarity.MaxProbes}),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-         |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
-         |SELECT probe_id, rank, neighbor_id, cosine FROM r
-         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
-
-    // The trained-cell pair join with NO probe filter: every vector is
-    // a probe, top-3 per vector.
-    "knn_join" ->
-      s"""WITH ${kmeansCtes(Similarity.IvfTrainRounds)},
-         |e2 AS (SELECT e.vec_id, e.embedding, a.cell
-         |  FROM embeddings e JOIN a${Similarity.IvfTrainRounds} a USING (vec_id)),
-         |pairs AS (
-         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
-         |  FROM e2 a JOIN e2 b ON a.cell = b.cell AND a.vec_id != b.vec_id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-         |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
-         |SELECT probe_id, rank, neighbor_id, cosine FROM r
-         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
-
-    "hard_negatives" ->
-      s"""WITH ${kmeansCtes(Similarity.IvfTrainRounds)},
-         |e2 AS (SELECT e.vec_id, e.embedding, e.label, a.cell
-         |  FROM embeddings e JOIN a${Similarity.IvfTrainRounds} a USING (vec_id)),
-         |pairs AS (
-         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
-         |  FROM e2 a JOIN e2 b ON a.cell = b.cell AND a.label != b.label),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-         |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
-         |SELECT probe_id, rank, neighbor_id, cosine FROM r
-         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
-
-    "leakage_safe_split" ->
-      s"""WITH RECURSIVE ${minhashCtes()},
-         |$dupGroupCtes,
-         |an AS (SELECT d.doc_id, COALESCE(lbl.group_id, d.doc_id) AS anchor
-         |  FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.doc_id),
-         |sp AS (SELECT doc_id, anchor,
-         |    CASE WHEN ${hash60Sql("anchor::VARCHAR")} % 100 < 80 THEN 'train'
-         |         WHEN ${hash60Sql("anchor::VARCHAR")} % 100 < 90 THEN 'val'
-         |         ELSE 'test' END AS split
-         |  FROM an)
-         |SELECT split, count(*) AS n_docs,
-         |  CAST(count(DISTINCT anchor) AS BIGINT) AS n_components
-         |FROM sp GROUP BY 1 ORDER BY split""".stripMargin,
-
-    // Trained cells + final-assignment centroids; each probe searches
-    // its 2 nearest cells — Similarity.topKIvfMultiProbe.
-    "ann_topk_ivf_multiprobe" -> {
-      val r = Similarity.IvfTrainRounds
-      s"""WITH ${kmeansCtes(r)},
-         |cxf AS (SELECT a.cell, i - 1 AS dim, e.embedding[i]::DOUBLE AS x
-         |  FROM embeddings e JOIN a$r a USING (vec_id),
-         |       unnest(range(1, len(e.embedding) + 1)) AS u(i)),
-         |csf AS (SELECT cell, dim, sum(x::DECIMAL(30,10)) AS sx, count(*) AS n_vecs
-         |  FROM cxf GROUP BY 1, 2),
-         |centf AS (SELECT cell AS c_cell,
-         |    list((floor(sx::DOUBLE / n_vecs * 1000000) / 1000000)::FLOAT ORDER BY dim)
-         |      AS cen
-         |  FROM csf GROUP BY cell),
-         |pcos AS (SELECT e.vec_id, c_cell, $cosCenSql AS cos
-         |  FROM embeddings e CROSS JOIN centf
-         |  WHERE e.vec_id % 50 = 0 AND e.vec_id < ${50L * Similarity.MaxProbes}),
-         |pc AS (SELECT vec_id AS probe_id, c_cell AS cell FROM (
-         |    SELECT vec_id, c_cell,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_cell) AS rn
-         |    FROM pcos) WHERE rn <= 2),
-         |e2 AS (SELECT e.vec_id, e.embedding, a.cell
-         |  FROM embeddings e JOIN a$r a USING (vec_id)),
-         |pairs AS (
-         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
-         |  FROM embeddings a
-         |  JOIN pc ON pc.probe_id = a.vec_id
-         |  JOIN e2 b ON b.cell = pc.cell AND b.vec_id != a.vec_id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-         |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
-         |SELECT probe_id, rank, neighbor_id, cosine FROM r
-         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
-    },
-
-    // Trained cells (kmeansCtes over the FULL-PRECISION embeddings, the
-    // offline IVF build) restricting a search over the dequantized int8
-    // store — Similarity.topKIvfQuantized.
-    "ann_topk_ivf_quantized" ->
-      s"""WITH ${kmeansCtes(Similarity.IvfTrainRounds)},
-         |sc AS (SELECT vec_id, embedding,
-         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
-         |  FROM embeddings),
-         |dq AS (SELECT vec_id,
-         |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> CAST(0 AS FLOAT))
-         |         ELSE list_transform(embedding,
-         |                x -> CAST(CAST(floor(x::DOUBLE / scale + 0.5) AS INTEGER)::DOUBLE
-         |                          * scale AS FLOAT)) END AS embedding
-         |  FROM sc),
-         |e2 AS (SELECT d.vec_id, d.embedding, a.cell
-         |  FROM dq d JOIN a${Similarity.IvfTrainRounds} a USING (vec_id)),
-         |pairs AS (
-         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
-         |  FROM e2 a JOIN e2 b ON a.cell = b.cell AND a.vec_id != b.vec_id
-         |  WHERE a.vec_id % 50 = 0 AND a.vec_id < ${50L * Similarity.MaxProbes}),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-         |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
-         |SELECT probe_id, rank, neighbor_id, cosine FROM r
-         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
-
-    "ann_topk_lsh" ->
-      s"""WITH e AS (SELECT vec_id, embedding, ${rpBucketSql("embedding")} AS bkt
-         |    FROM embeddings),
-         |pairs AS (
-         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
-         |  FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id != b.vec_id
-         |  WHERE a.vec_id % 50 = 0 AND a.vec_id < ${50L * Similarity.MaxProbes}),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-         |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
-         |SELECT probe_id, rank, neighbor_id, cosine FROM r
-         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
-
-    "ann_topk_lsh_multi" ->
-      s"""WITH e AS (SELECT vec_id, embedding,
-         |    ${rpBucketSql("embedding", 0)} AS b0,
-         |    ${rpBucketSql("embedding", 1)} AS b1
-         |    FROM embeddings),
-         |pairs AS (
-         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
-         |  FROM e a JOIN e b
-         |    ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.vec_id != b.vec_id
-         |  WHERE a.vec_id % 50 = 0 AND a.vec_id < ${50L * Similarity.MaxProbes}),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-         |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
-         |SELECT probe_id, rank, neighbor_id, cosine FROM r
-         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
-
-    "centroid_shift" ->
-      s"""WITH cxa AS (SELECT label, i - 1 AS dim, embedding[i]::DOUBLE AS x
-         |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
-         |  WHERE vec_id % 2 = 0),
-         |csa AS (SELECT label, dim, sum(x::DECIMAL(30,10)) AS sx, count(*) AS n
-         |        FROM cxa GROUP BY 1, 2),
-         |ca AS (SELECT label,
-         |    list((floor(sx::DOUBLE / n * 1000000) / 1000000)::FLOAT ORDER BY dim)
-         |      AS cen_a
-         |  FROM csa GROUP BY 1),
-         |cxb AS (SELECT label, i - 1 AS dim, embedding[i]::DOUBLE AS x
-         |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
-         |  WHERE vec_id % 2 = 1),
-         |csb AS (SELECT label, dim, sum(x::DECIMAL(30,10)) AS sx, count(*) AS n
-         |        FROM cxb GROUP BY 1, 2),
-         |cb AS (SELECT label,
-         |    list((floor(sx::DOUBLE / n * 1000000) / 1000000)::FLOAT ORDER BY dim)
-         |      AS cen_b
-         |  FROM csb GROUP BY 1),
-         |na AS (SELECT label, count(*) AS n_even FROM embeddings
-         |       WHERE vec_id % 2 = 0 GROUP BY 1),
-         |nb AS (SELECT label, count(*) AS n_odd FROM embeddings
-         |       WHERE vec_id % 2 = 1 GROUP BY 1)
-         |SELECT label, n_even, n_odd,
-         |  floor(
-         |    list_sum(list_transform(range(1, len(cen_a) + 1),
-         |      i -> cen_a[i]::DOUBLE * cen_b[i]::DOUBLE)) /
-         |    (sqrt(list_sum(list_transform(range(1, len(cen_a) + 1),
-         |      i -> cen_a[i]::DOUBLE * cen_a[i]::DOUBLE))) *
-         |     sqrt(list_sum(list_transform(range(1, len(cen_b) + 1),
-         |      i -> cen_b[i]::DOUBLE * cen_b[i]::DOUBLE))))
-         |    * 1000000) / 1000000 AS shift_cos
-         |FROM ca JOIN cb USING (label) JOIN na USING (label) JOIN nb USING (label)
-         |ORDER BY label""".stripMargin,
-
-    "ann_recall" ->
-      s"""WITH bp AS (
-         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
-         |  WHERE a.vec_id % 50 = 0 AND a.vec_id < ${50L * Similarity.MaxProbes}),
-         |br AS (SELECT probe_id, neighbor_id, row_number() OVER
-         |    (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
-         |  FROM bp),
-         |bt AS (SELECT probe_id, neighbor_id FROM br WHERE rank <= 5),
-         |ip AS (
-         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
-         |  FROM embeddings a JOIN embeddings b
-         |    ON a.label = b.label AND a.vec_id != b.vec_id
-         |  WHERE a.vec_id % 50 = 0 AND a.vec_id < ${50L * Similarity.MaxProbes}),
-         |ir AS (SELECT probe_id, neighbor_id, row_number() OVER
-         |    (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
-         |  FROM ip),
-         |it AS (SELECT probe_id, neighbor_id FROM ir WHERE rank <= 5),
-         |h AS (SELECT bt.probe_id, count(*) AS n_hit
-         |      FROM it JOIN bt USING (probe_id, neighbor_id) GROUP BY 1),
-         |t AS (SELECT probe_id, count(*) AS n_true FROM bt GROUP BY 1)
-         |SELECT t.probe_id, n_true, COALESCE(n_hit, 0) AS n_hit,
-         |  CAST(COALESCE(n_hit, 0) * 1000000 // n_true AS BIGINT) AS recall_ppm
-         |FROM t LEFT JOIN h USING (probe_id) ORDER BY probe_id""".stripMargin,
-
-    "ann_topk_ivf" ->
-      s"""WITH pairs AS (
-         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
-         |  FROM embeddings a JOIN embeddings b
-         |    ON a.label = b.label AND a.vec_id != b.vec_id
-         |  WHERE a.vec_id % 50 = 0 AND a.vec_id < ${50L * Similarity.MaxProbes}),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-         |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
-         |SELECT probe_id, rank, neighbor_id, cosine FROM r
-         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
-
-    "embedding_decontaminate" ->
-      s"""WITH hits AS (
-         |  SELECT a.vec_id, b.vec_id AS bench_id, $cosSql AS cos
-         |  FROM (SELECT * FROM embeddings WHERE vec_id % 20 != 0) a,
-         |       (SELECT * FROM embeddings WHERE vec_id % 20 = 0) b
-         |  WHERE cos >= 0.35),
-         |r AS (SELECT vec_id, bench_id, cos,
-         |        count(*) OVER (PARTITION BY vec_id) AS n_hits,
-         |        row_number() OVER (PARTITION BY vec_id
-         |          ORDER BY cos DESC, bench_id) AS rn
-         |      FROM hits)
-         |SELECT vec_id, n_hits, cos AS max_cos, bench_id AS nearest_bench
-         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
-
-    "embedding_near_dup" ->
-      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cosSql AS cosine
-         |FROM embeddings a JOIN embeddings b
-         |  ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE cosine >= 0.4
-         |ORDER BY vec_a, vec_b""".stripMargin,
-
-    "kmeans_assign" ->
-      s"""WITH ${centroidCtes("c_label")},
-         |p AS (SELECT e.vec_id, e.label, cent.c_label, $cosCenSql AS cos
-         |  FROM embeddings e CROSS JOIN cent),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-         |        ORDER BY cos DESC, c_label) AS rn FROM p)
-         |SELECT vec_id, label, c_label AS new_label, cos,
-         |  c_label != label AS moved
-         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
-
-    "label_centroids" ->
-      s"""WITH $centroidSumCtes
-         |SELECT label, dim, n_vecs,
-         |  floor(sx::DOUBLE / n_vecs * 1000000) / 1000000 AS centroid_val
-         |FROM cs ORDER BY label, dim""".stripMargin,
-
-    "label_cohesion" ->
-      s"""WITH ${centroidCtes("label")},
-         |j AS (SELECT e.label, $cosCenSql AS cos_c
-         |  FROM embeddings e JOIN cent USING (label))
-         |SELECT label, count(*) AS n_vecs,
-         |  floor(sum(cos_c::DECIMAL(20,10))::DOUBLE / count(*) * 1000000) / 1000000
-         |    AS avg_cos,
-         |  min(cos_c) AS min_cos
-         |FROM j GROUP BY label ORDER BY label""".stripMargin,
-
-    "multimodal_features" ->
-      s"""SELECT doc_id,
-         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         |  64 + (ascii(substr(md5(text), 1, 1)) % 16) * 16 AS width,
-         |  64 + (ascii(substr(md5(text), 2, 1)) % 16) * 16 AS height,
-         |  1 + ascii(substr(md5(text), 3, 1)) % 8 AS n_frames,
-         |  CAST(octet_length(encode(text)) // (1 + ascii(substr(md5(text), 3, 1)) % 8) AS INTEGER)
-         |    AS frame_stride
-         |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "semantic_dedup" -> {
-      val r = Similarity.IvfTrainRounds
-      s"""WITH ${kmeansCtes(r)},
-         |e2 AS (SELECT e.vec_id, e.embedding, a.cell
-         |  FROM embeddings e JOIN a$r a USING (vec_id)),
-         |d AS (SELECT DISTINCT b.vec_id FROM e2 a JOIN e2 b
-         |  ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |  WHERE $cosSql >= 0.3)
-         |SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
-         |FROM a$r a LEFT JOIN d ON a.vec_id = d.vec_id
-         |ORDER BY a.vec_id""".stripMargin
-    },
-
-    "line_dedup" -> {
-      val k = Corpus.LineTokens
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |l AS (SELECT doc_id, u.line_no,
-         |    array_to_string(list_slice(toks, u.line_no * $k + 1,
-         |      u.line_no * $k + $k), ' ') AS line
-         |  FROM t, unnest(range(0, greatest((len(toks) + $k - 1) // $k, 1)))
-         |    AS u(line_no)),
-         |df AS (SELECT line, count(DISTINCT doc_id) AS line_df
-         |  FROM l GROUP BY 1),
-         |f AS (SELECT doc_id, line_no, line,
-         |    line_df <= ${Corpus.LineMaxDocs} AS kept
-         |  FROM l JOIN df USING (line))
-         |SELECT doc_id,
-         |  coalesce(string_agg(line, ' ' ORDER BY line_no)
-         |    FILTER (WHERE kept), '') AS clean_text,
-         |  count(*) AS n_lines,
-         |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
-         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
-
-    "pii_stats" ->
-      s"""WITH p AS (SELECT doc_id, $plantPiiSql AS text FROM documents)
-         |SELECT doc_id,
-         |  len(regexp_extract_all(text, '${piiRe("email")}')) AS n_email,
-         |  len(regexp_extract_all(text, '${piiRe("phone")}')) AS n_phone,
-         |  len(regexp_extract_all(text, '${piiRe("ssn")}')) AS n_ssn,
-         |  len(regexp_extract_all(text, '${piiRe("ipv4")}')) AS n_ipv4,
-         |  len(regexp_extract_all(text, '${piiRe("email")}'))
-         |    + len(regexp_extract_all(text, '${piiRe("phone")}'))
-         |    + len(regexp_extract_all(text, '${piiRe("ssn")}'))
-         |    + len(regexp_extract_all(text, '${piiRe("ipv4")}')) AS n_pii
-         |FROM p ORDER BY doc_id""".stripMargin,
-
-    "pii_redact" ->
-      s"""WITH p AS (SELECT doc_id, $plantPiiSql AS text FROM documents)
-         |SELECT doc_id,
-         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-         |    '${piiRe("email")}', '<EMAIL>', 'g'),
-         |    '${piiRe("phone")}', '<PHONE>', 'g'),
-         |    '${piiRe("ssn")}', '<SSN>', 'g'),
-         |    '${piiRe("ipv4")}', '<IP>', 'g') AS redacted,
-         |  len(regexp_extract_all(text, '${piiRe("email")}'))
-         |    + len(regexp_extract_all(text, '${piiRe("phone")}'))
-         |    + len(regexp_extract_all(text, '${piiRe("ssn")}'))
-         |    + len(regexp_extract_all(text, '${piiRe("ipv4")}')) AS n_redacted
-         |FROM p ORDER BY doc_id""".stripMargin,
-
-    "frame_sample" ->
-      s"""WITH f AS (SELECT doc_id,
-         |    64 + (ascii(substr(md5(text), 1, 1)) % 16) * 16 AS width,
-         |    64 + (ascii(substr(md5(text), 2, 1)) % 16) * 16 AS height,
-         |    1 + ascii(substr(md5(text), 3, 1)) % 8 AS n_frames,
-         |    octet_length(encode(text)) // (1 + ascii(substr(md5(text), 3, 1)) % 8)
-         |      AS frame_stride
-         |  FROM documents)
-         |SELECT doc_id, CAST(t.frame_no AS BIGINT) AS frame_no,
-         |  CAST(t.frame_no * frame_stride AS BIGINT) AS frame_offset,
-         |  CAST((width * 224) // greatest(width, height) AS BIGINT) AS out_w,
-         |  CAST((height * 224) // greatest(width, height) AS BIGINT) AS out_h
-         |FROM f, unnest(range(0, n_frames, 2)) AS t(frame_no)
-         |ORDER BY doc_id, frame_no""".stripMargin,
-
-    "frame_dedup" ->
-      s"""WITH f AS (SELECT doc_id, text,
-         |    1 + ascii(substr(md5(text), 3, 1)) % 8 AS n_frames,
-         |    octet_length(encode(text)) // (1 + ascii(substr(md5(text), 3, 1)) % 8)
-         |      AS frame_stride
-         |  FROM documents),
-         |fr AS (SELECT DISTINCT doc_id,
-         |    md5(substr(text, CAST(t.frame_no * frame_stride + 1 AS BIGINT),
-         |      frame_stride)) AS fh
-         |  FROM f, unnest(range(0, n_frames, 2)) AS t(frame_no))
-         |SELECT fh, count(*) AS n_docs
-         |FROM fr GROUP BY 1 HAVING count(*) >= 2
-         |ORDER BY n_docs DESC, fh""".stripMargin,
-  )
+  /** Every declared query's DuckDB oracle — the per-family `oracles`
+    * maps composed back into the driver contract.
+    */
+  def oracleSql: Map[String, String] =
+    QueriesText.oracles ++
+      QueriesDedup.oracles ++
+      QueriesEvents.oracles ++
+      QueriesRetail.oracles ++
+      QueriesSketches.oracles ++
+      QueriesAnn.oracles
 }
+
