@@ -378,9 +378,30 @@ object Similarity {
     * materialized. The driver loop is iteration control only; a cell
     * that loses all members simply drops out of the next centroid table
     * (deterministically, on both engines).
+    *
+    * CELL-COUNT KNOB (`numCells`): the default label seeding pins
+    * |cells| to the label fixture's cardinality, which does NOT grow
+    * with the corpus — so every Σ|cell|²-scoped consumer ([[knnJoin]],
+    * [[hardNegatives]], [[semDedup]]) sees per-cell occupancy, and
+    * therefore pair volume, grow quadratically with corpus size. At
+    * scale the IVF design point is cells ∝ n (occupancy ≈ constant,
+    * n/|cells|): pass `numCells > 0` to seed from `vec_id mod numCells`
+    * instead (equally deterministic and oracle-unrollable — the seed is
+    * pure integer arithmetic). Measured (graft.CellKnob, BASELINE.md
+    * r12 "ANN cell-count knob" section): with occupancy pinned at ~200
+    * (cells = n/200), knn_join costs 0.40 / 0.81 / 3.10 s at
+    * sf0.1 / sf1 / sf10 — 2.0× then 3.8× per 10× of corpus, i.e.
+    * sublinear-to-linear — where the pinned-10-cells run measured
+    * 6.79 s at sf1 (12× for 10× data) and is quadratic-bound at sf10
+    * (Σ|cell|² = n²/10 = 4×10⁹ candidate pairs).
     */
-  def kmeansCells(embeddings: DataFrame, rounds: Int = IvfTrainRounds): DataFrame = {
-    var assign = embeddings.select(col("vec_id"), col("label").as("cell"))
+  def kmeansCells(embeddings: DataFrame, rounds: Int = IvfTrainRounds,
+      numCells: Int = 0): DataFrame = {
+    var assign =
+      if (numCells > 0)
+        embeddings.select(col("vec_id"),
+          pmod(col("vec_id"), lit(numCells)).cast("int").as("cell"))
+      else embeddings.select(col("vec_id"), col("label").as("cell"))
     for (_ <- 1 to rounds) {
       val cent = centroidsOf(
         embeddings.join(assign, "vec_id").select(col("cell"), col("embedding")),
