@@ -83,6 +83,23 @@ private[graft] object QueriesEvents {
         .orderBy("user_id", "session_no")
     }),
 
+    // X7 — stabbing-COUNT twin of `interval_join`: identical result
+    // (per-session all-user concurrency counts), computed by a
+    // distributed endpoint-marker prefix sum instead of pair
+    // enumeration. The pair join's cost IS its pair volume — quadratic
+    // in per-window density (measured 100× pairs for 10× data at sf1);
+    // this plan never materializes a pair, so its cost stays linear in
+    // events + sessions at any density (see RangeJoin.intervalCount).
+    "interval_count" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val sessions = Events.sessionize(ev).select(col("user_id"),
+        col("session_no"), col("session_start"), col("session_end"))
+      RangeJoin.intervalCount(ev.select(col("ts")), "ts", sessions,
+          Seq("user_id", "session_no"), "session_start", "session_end",
+          countCol = "n_concurrent")
+        .orderBy("user_id", "session_no")
+    }),
+
     // Layout — z-order clustering keys: the Morton code zorderWrite
     // range-partitions files on, so footer min/max prune on EITHER key.
     "zorder_keys" -> ((s, dir) =>
@@ -379,6 +396,18 @@ private[graft] object QueriesEvents {
          |ORDER BY event_id""".stripMargin,
 
     "interval_join" ->
+      s"""WITH $sessionCtes,
+         |iv AS (SELECT user_id, session_no, min(ts) AS st, max(ts) AS en
+         |  FROM s GROUP BY 1, 2)
+         |SELECT iv.user_id, iv.session_no, count(*) AS n_concurrent
+         |FROM iv JOIN events e ON e.ts >= iv.st AND e.ts <= iv.en
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Same result contract as interval_join — the oracle's inner pair
+    // join is safe here because every session interval contains its own
+    // endpoints (session_start/end ARE events of that user), so no
+    // zero-count session exists for the join to drop.
+    "interval_count" ->
       s"""WITH $sessionCtes,
          |iv AS (SELECT user_id, session_no, min(ts) AS st, max(ts) AS en
          |  FROM s GROUP BY 1, 2)

@@ -48,4 +48,86 @@ object RangeJoin {
         col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop("__bkt")
   }
+
+  /** Stabbing COUNT — per interval, the NUMBER of points inside
+    * `[startCol, endCol]` (inclusive both ends), WITHOUT enumerating the
+    * point-interval pairs.
+    *
+    * Why it exists: [[pointInInterval]]'s cost is its OUTPUT — the pair
+    * volume is quadratic in per-window density (the sf1 scale run
+    * measured exactly 100× pairs for 10× density on both sides:
+    * 16.27M → 1.627B, BASELINE.md). When the caller only aggregates a
+    * COUNT over those pairs, none of that volume needs to exist: count
+    * of points in [s, e] = F(e) − F(s⁻), where F(t) is the global
+    * cumulative point count at time t. This operator computes F with a
+    * distributed two-level prefix sum over endpoint MARKERS, so total
+    * cost is O((|points| + 2|intervals|) · log) with output exactly
+    * |intervals| — linear where the pair join is density-quadratic.
+    *
+    * Plan shape (all stages linear, no pair stage anywhere):
+    *   1. Union one marker row per point (weight 1) with two per
+    *      interval (start, sign −1; end, sign +1). Inclusive-endpoint
+    *      tie-break rides a `__tie` column: a start marker sorts BEFORE
+    *      equal-time points (so F(s⁻) excludes them → they count as
+    *      inside), an end marker AFTER (so F(e) includes them).
+    *   2. Bucket the time axis (same axis blocking as
+    *      [[pointInInterval]]); per-bucket point totals cumsum into
+    *      bucket OFFSETS. The offset table is bucket-scale (time range /
+    *      bucketSeconds — ~9k rows/year at the 1h default), so its
+    *      single-partition window and its broadcast are nation/region-
+    *      class at any data scale; a multi-decade 100 TB deployment
+    *      that outgrows that applies the same two-level trick to the
+    *      bucket table itself.
+    *   3. Within each bucket, a (ts, tie)-ordered running count of
+    *      point markers — the only data-scale exchange, one hash
+    *      partition by bucket. F(marker) = bucket offset + running
+    *      count. Marker rows with equal (ts, tie) are order-ambiguous
+    *      only among themselves, and endpoint markers carry weight 0,
+    *      so every endpoint's F is deterministic.
+    *   4. Keep endpoint rows, sum sign·F per `keyCols` — an interval
+    *      with no points inside yields a 0-count row (the pair join
+    *      would omit it).
+    *
+    * `keyCols` must identify intervals (duplicate keys sum their
+    * intervals' counts). Only the count is available — callers needing
+    * per-pair payloads (joins back to point attributes) still pay
+    * [[pointInInterval]]'s output-bound cost, which is then optimal:
+    * the answer itself is that large.
+    */
+  def intervalCount(points: DataFrame, ptCol: String,
+      intervals: DataFrame, keyCols: Seq[String],
+      startCol: String, endCol: String,
+      bucketSeconds: Long = 3600L,
+      countCol: String = "n_inside"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bw = bucketSeconds * 1000000L
+    val keyTypes = keyCols.map(k => k -> intervals.schema(k).dataType)
+    val pts = points.select(
+      keyTypes.map { case (k, t) => lit(null).cast(t).as(k) } ++ Seq(
+        unix_micros(col(ptCol)).as("__t"), lit(0).as("__tie"),
+        lit(1L).as("__ev"), lit(0L).as("__sign")): _*)
+    def endpoint(tc: String, tie: Int, sign: Long) = intervals.select(
+      keyCols.map(col) ++ Seq(
+        unix_micros(col(tc)).as("__t"), lit(tie).as("__tie"),
+        lit(0L).as("__ev"), lit(sign).as("__sign")): _*)
+    val u = pts
+      .unionByName(endpoint(startCol, -1, -1L))
+      .unionByName(endpoint(endCol, 1, 1L))
+      .withColumn("__bkt", floor(col("__t") / bw))
+    // Bucket offsets: points strictly BEFORE each bucket. Bucket-scale
+    // frame; the empty-bucket gaps need no rows because every marker's
+    // own bucket is present by construction.
+    val wOff = Window.orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = u.groupBy("__bkt").agg(sum("__ev").as("__c"))
+      .withColumn("__off", coalesce(sum("__c").over(wOff), lit(0L)))
+      .select("__bkt", "__off")
+    val wRun = Window.partitionBy("__bkt").orderBy(col("__t"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__run", sum("__ev").over(wRun))
+      .where(col("__sign") =!= 0)
+      .join(broadcast(offs), "__bkt")
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__sign") * (col("__run") + col("__off"))).as(countCol))
+  }
 }

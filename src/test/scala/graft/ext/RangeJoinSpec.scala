@@ -59,4 +59,46 @@ class RangeJoinSpec extends SparkSpec {
       .select("pid").as[Long].collect()
     assert(got.toSeq === Seq(1L))
   }
+
+  test("intervalCount equals the pair join's group count, plus 0-rows") {
+    // Same spread fixture as the pair-join equivalence test — many
+    // intervals spanning several 1h buckets, some empty.
+    val points = (1L to 60L)
+      .map(i => (i, ts(f"2024-01-0${1 + (i % 3)}%d ${(i * 7 % 24)}%02d:${i % 60}%02d:00")))
+      .toDF("pid", "pt")
+    val intervals = (1L to 12L).map { k =>
+      val st = ts(f"2024-01-0${1 + (k % 3)}%d ${(k * 5 % 23)}%02d:00:00")
+      val en = new Timestamp(st.getTime + k * k * 1000L * 60 * 17)
+      (k, st, en)
+    }.toDF("iid", "st", "en")
+    val got = RangeJoin.intervalCount(points.select(col("pt")), "pt",
+        intervals, Seq("iid"), "st", "en")
+      .as[(Long, Long)].collect().toMap
+    val viaPairs = RangeJoin.pointInInterval(points, "pt", intervals, "st", "en")
+      .groupBy("iid").count().as[(Long, Long)].collect().toMap
+    assert(got.keySet === (1L to 12L).toSet,
+      "every interval gets a row, empty ones included")
+    for (k <- 1L to 12L)
+      assert(got(k) === viaPairs.getOrElse(k, 0L), s"interval $k")
+    assert(viaPairs.nonEmpty, "fixture must produce matches")
+  }
+
+  test("intervalCount endpoints are inclusive; equal-time ties count inward") {
+    val points = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // exactly start
+      (2L, ts("2024-01-01 10:00:00")), // duplicate at start
+      (3L, ts("2024-01-01 12:00:00")), // exactly end, on a bucket edge
+      (4L, ts("2024-01-01 12:00:01")), // past the end
+      (5L, ts("2024-01-01 09:59:59"))) // before the start
+      .toDF("pid", "pt")
+    val intervals = Seq(
+      (7L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")),
+      (8L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00")), // zero-length
+      (9L, ts("2024-01-01 03:00:00"), ts("2024-01-01 04:00:00"))) // empty
+      .toDF("iid", "st", "en")
+    val got = RangeJoin.intervalCount(points.select(col("pt")), "pt",
+        intervals, Seq("iid"), "st", "en")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(7L -> 3L, 8L -> 2L, 9L -> 0L))
+  }
 }
