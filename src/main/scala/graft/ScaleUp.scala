@@ -108,8 +108,40 @@ object ScaleUp {
       def b26(n: Int): String =
         if (n < 26) ('a' + n).toChar.toString
         else b26(n / 26 - 1) + ('a' + n % 26).toChar
+      // The suffix decorrelates copies at the TOKEN level but not at
+      // the CHARACTER level: a suffixed token keeps every interior
+      // char-3-gram of its seed token, so all `factor` copies of a doc
+      // share ~50% of their gram SETS (measured at factor 10: jaccard
+      // 0.45–0.58 between copies, under any sane near-dup threshold
+      // but far above corpus background). Against a [a-z0-9 ]³ ≤ 37³
+      // gram universe that cannot grow with the corpus, gram posting
+      // lists then scale ∝ factor and char-gram candidate volume
+      // quadratically in density — the factor-100 run drove
+      // ngram_jaccard's candidate join into ~80 GB of shuffle spill
+      // and a disk-full abort while its TRUE output stayed flat (every
+      // cross-copy pair verifies below 0.8). A real 100× crawl does
+      // not share half its gram vocabulary corpus-wide, so copy i>0
+      // additionally runs through a per-copy AFFINE LETTER CIPHER
+      // (x → a·x + b mod 26 with a coprime to 26 — 312 distinct
+      // permutations, deterministic, bijective): intra-copy gram
+      // structure is preserved exactly (any alphabet bijection maps
+      // gram sets 1:1), cross-copy gram sets decorrelate to corpus
+      // background, and letters stay letters for the tokenizer. The
+      // cipher is applied BEFORE the suffix so suffix letters are
+      // plain and per-copy token disjointness keeps holding via the
+      // suffix alone at every factor.
+      val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+      def cipher(n: Int): String = {
+        val a = coprimes((n / 26) % coprimes.size)
+        val b = n % 26
+        (0 until 26).map(x => ('a' + (a * x + b) % 26).toChar).mkString
+      }
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      val enc = if (i == 0) col("text")
+        else translate(col("text"), alpha + alpha.toUpperCase,
+          cipher(i) + cipher(i).toUpperCase)
       val text = if (i == 0) col("text")
-        else regexp_replace(col("text"), "(\\S+)", "$1q" + b26(i - 1))
+        else regexp_replace(enc, "(\\S+)", "$1q" + b26(i - 1))
       df.withColumn("doc_id", col("doc_id") + lit(i * strides("documents")))
         .withColumn("text", text)
     }, 16)
