@@ -130,6 +130,19 @@ object ScaleUp {
       // cipher is applied BEFORE the suffix so suffix letters are
       // plain and per-copy token disjointness keeps holding via the
       // suffix alone at every factor.
+      //
+      // KNOWN LIMITS of the decorrelation claim (ADVICE r12) — both are
+      // corpus/factor-dependent, not general guarantees:
+      //   - LETTERS ONLY: digits, punctuation and whitespace pass
+      //     through, so char-grams containing non-letters stay shared
+      //     across every copy of a numeric/symbol-heavy doc. Measured
+      //     cross-copy jaccard on THIS corpus is 0.00–0.01 (word-soup
+      //     text, few digits); a digit-heavy seed corpus would need the
+      //     map extended to [0-9].
+      //   - ONLY 312 DISTINCT CIPHERS exist (12 coprime slopes × 26
+      //     offsets), so at factor > 312 copies repeat ciphers and
+      //     cross-copy gram sharing returns for the repeats. Factors
+      //     used here (10, 100) stay well inside the budget.
       val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
       def cipher(n: Int): String = {
         val a = coprimes((n / 26) % coprimes.size)

@@ -93,13 +93,25 @@ object RangeJoin {
     * per-pair payloads (joins back to point attributes) still pay
     * [[pointInInterval]]'s output-bound cost, which is then optimal:
     * the answer itself is that large.
+    *
+    * DEGENERATE intervals (null start/end, or start > end) are filtered
+    * out up front, matching the twin contract exactly: the pair join's
+    * null-intolerant / contradictory range predicate emits no row for
+    * them, so the count path must emit no row either — without the
+    * filter a null endpoint would drop only its ONE marker at the
+    * bucket join (null never equi-matches), leaving a one-sided ±F
+    * contribution, and an inverted interval would yield F(e) − F(s⁻)
+    * < 0 (RangeJoinSpec pins both cases).
     */
   def intervalCount(points: DataFrame, ptCol: String,
-      intervals: DataFrame, keyCols: Seq[String],
+      intervals0: DataFrame, keyCols: Seq[String],
       startCol: String, endCol: String,
       bucketSeconds: Long = 3600L,
       countCol: String = "n_inside"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val intervals = intervals0.where(
+      col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(startCol) <= col(endCol))
     val bw = bucketSeconds * 1000000L
     val keyTypes = keyCols.map(k => k -> intervals.schema(k).dataType)
     val pts = points.select(

@@ -101,4 +101,27 @@ class RangeJoinSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(7L -> 3L, 8L -> 2L, 9L -> 0L))
   }
+
+  test("intervalCount drops degenerate intervals exactly like the pair join") {
+    // Null endpoints and inverted intervals: pointInInterval's range
+    // predicate emits no row for them, so the count twin must emit no
+    // row either (not a one-sided or negative count — ADVICE r12).
+    val points = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 11:00:00")))
+      .toDF("pid", "pt")
+    val intervals = Seq(
+      (1L, Some(ts("2024-01-01 10:00:00")), Some(ts("2024-01-01 12:00:00"))), // valid
+      (2L, None, Some(ts("2024-01-01 12:00:00"))),                            // null start
+      (3L, Some(ts("2024-01-01 10:00:00")), None),                            // null end
+      (4L, Some(ts("2024-01-01 12:00:00")), Some(ts("2024-01-01 10:00:00")))) // inverted
+      .toDF("iid", "st", "en")
+    val got = RangeJoin.intervalCount(points.select(col("pt")), "pt",
+        intervals, Seq("iid"), "st", "en")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L))
+    val viaPairs = RangeJoin.pointInInterval(points, "pt", intervals, "st", "en")
+      .groupBy("iid").count().as[(Long, Long)].collect().toMap
+    assert(viaPairs === Map(1L -> 2L))
+  }
 }

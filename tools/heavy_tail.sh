@@ -11,6 +11,7 @@
 # ~an hour materializing 163B pairs the plan is provably linear in;
 # interval_count is its linear stand-in at every scale.
 set -e
+set -o pipefail
 cd /root/repo
 mkdir -p tools/v11_runs
 

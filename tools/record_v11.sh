@@ -5,6 +5,7 @@
 # run — several minutes of unrelated load each, per the v10 protocol.
 # Each stage appends to /root/repo/tools/v11_runs/ as its own JSON.
 set -e
+set -o pipefail
 cd /root/repo
 mkdir -p tools/v11_runs
 

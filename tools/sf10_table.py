@@ -9,8 +9,8 @@ import json, re
 
 sf1 = json.load(open("tools/v11_runs/heavy_sf1.json"))["queries"]
 sf10 = json.load(open("tools/v11_runs/heavy_sf10.json"))["queries"]
-e1 = json.load(open("tools/v11_runs/heavy_sf1.json"))["errors"]
-e10 = json.load(open("tools/v11_runs/heavy_sf10.json"))["errors"]
+e1 = json.load(open("tools/v11_runs/heavy_sf1.json")).get("errors", {})
+e10 = json.load(open("tools/v11_runs/heavy_sf10.json")).get("errors", {})
 
 text = open("BASELINE.md").read()
 ROW = r"^\| (\w+) \| ([0-9.]+)(?: \*)? \| ([0-9.]+) \|$"
@@ -28,7 +28,9 @@ for q in sorted(sf10, key=lambda q: -sf10[q]):
     b, a, t = med.get(q), sf1.get(q), sf10[q]
     r = t / a if a else None
     rs = f"{r:.1f}x" if r else "—"
-    print(f"| {q} | {b:.2f} | {a:.2f} | {t:.2f} | {rs} |")
+    bs = f"{b:.2f}" if b is not None else "—"
+    as_ = f"{a:.2f}" if a is not None else "—"
+    print(f"| {q} | {bs} | {as_} | {t:.2f} | {rs} |")
     if r and r > 10 and t > 5:
         flagged.append((q, round(r, 1)))
 print(f"\nsf10 total {sum(sf10.values()):.1f} s vs sf1 {sum(sf1.get(q,0) for q in sf10):.1f} s"
