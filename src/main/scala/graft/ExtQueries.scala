@@ -290,14 +290,24 @@ object ExtQueries {
       |      i -> cen[i]::DOUBLE * cen[i]::DOUBLE))))
       |    * 1000000) / 1000000""".stripMargin
 
+  /** The scaled-cells seed expression — oracle twin of
+    * Similarity.kmeansCellsByOccupancy's in-plan `vec_id mod
+    * max(n/occupancy, 1)` seeding (the corpus count unrolls to a scalar
+    * subquery, deterministic like every other seed).
+    */
+  private[graft] def scaledSeedSql(occupancy: Int): String =
+    s"CAST(vec_id % (SELECT greatest(count(*) // $occupancy, 1) FROM embeddings) AS INTEGER)"
+
   /** Unrolled k-means CTE chain — the oracle twin of
-    * Similarity.kmeansCells: assignment a0 is the stored label; each
+    * Similarity.kmeansCells: assignment a0 is `seedSql` (default: the
+    * stored label — the fixture seeding; [[scaledSeedSql]] mirrors the
+    * occupancy-scaled seeding); each
     * round r derives exact-decimal centroids from a(r−1) (grouped by the
     * CURRENT cell, unlike centroidCtes' static label) and reassigns every
     * vector by argmax cosine with the smaller-cell tie-break. Ends in
     * `a$rounds(vec_id, cell)`.
     */
-  private[graft] def kmeansCtes(rounds: Int): String = {
+  private[graft] def kmeansCtes(rounds: Int, seedSql: String = "label"): String = {
     val steps = (1 to rounds).map { r =>
       s"""cx$r AS (SELECT a.cell, i - 1 AS dim, e.embedding[i]::DOUBLE AS x
          |  FROM embeddings e JOIN a${r - 1} a USING (vec_id),
@@ -315,7 +325,7 @@ object ExtQueries {
          |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_cell) AS rn
          |    FROM p$r) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""a0 AS (SELECT vec_id, label AS cell FROM embeddings),
+    s"""a0 AS (SELECT vec_id, $seedSql AS cell FROM embeddings),
        |$steps""".stripMargin
   }
 
@@ -503,7 +513,7 @@ object ExtQueries {
     "convert_ingest_replay" -> oracleSql("time_to_convert"),
     "lsh_ingest_replay" -> oracleSql("ann_topk_lsh"),
     "quantize_ingest_replay" -> oracleSql("ann_topk_quantized"),
-    "semdedup_ingest_replay" -> oracleSql("semantic_dedup"),
+    "semdedup_ingest_replay" -> oracleSql("semantic_dedup_scaled"),
     "quantile_ingest_replay" -> oracleSql("hist_quantiles"),
     // The span store has no standalone one-shot query (dup_spans reads
     // the per-doc projection), so its replay oracle is the one-shot

@@ -1,0 +1,87 @@
+package graft
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.SparkSession
+
+import graft.etl.{Pipeline, ParquetWarehouseSink, RetailMapping}
+
+/** Scale exercise of the ETL pipeline itself (VERDICT r12 ask #6): the
+  * reference's PRODUCT is the daily DAG (dags/retail_pipeline_dag.py:
+  * 65-100 — stage ∥ dims → reconcile → alert → warehouse loads), and
+  * all prior sf1/sf10 evidence was query-side. This main replays a
+  * multi-day calendar through [[graft.etl.Pipeline.runCalendar]] at any
+  * corpus scale, with the per-day raw inputs drawn from the scaled
+  * lineitem/part tables via [[graft.etl.RetailMapping]] (sales = the
+  * day's POS rows, snapshots = per-sku aggregates — FIXTURES.md §C),
+  * writing through the ParquetWarehouseSink (dynamic partition
+  * overwrite, the DELETE-by-date+COPY analogue).
+  *
+  * What it records, per sf dir:
+  *   - per-day wall seconds for the full DAG (stage + dim refresh +
+  *     reconcile + partition-pruned alert read-back);
+  *   - total fact rows after the calendar;
+  *   - an IDEMPOTENCY replay: the middle date re-runs, and the fact
+  *     row counts must be UNCHANGED (dynamic partition overwrite
+  *     replaced exactly that date's partition) — the K1 contract
+  *     PipelineSpec pins at toy scale, demonstrated at volume.
+  *
+  * Output lines (stdout):
+  *   PIPESCALE <dir> day=<date> <sec>
+  *   PIPESCALE <dir> total_days=<n> total_sec=<s> fact_rows=<r> recon_rows=<r>
+  *   PIPESCALE <dir> replay day=<date> <sec> idempotent=<bool>
+  *
+  * Usage: SPARK_GRAFT_PIPE_DAYS=5 sbt "runMain graft.PipelineScale
+  *   /root/repo/scale-data/sf1 ..." (dirs default to sf0.1/sf1/sf10).
+  */
+object PipelineScale {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.1", "/root/repo/scale-data/sf1",
+        "/root/repo/scale-data/sf10")
+    val nDays = sys.env.getOrElse("SPARK_GRAFT_PIPE_DAYS", "5").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.sessionDefaults.foldLeft(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false"))((b, kv) => b.config(kv._1, kv._2))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // Calendar around the flagship date — present at every sf (ScaleUp
+    // replicates the seed's shipdate calendar verbatim).
+    val dates = (0 until nDays).map(i => RetailMapping.Day.plusDays(i - nDays / 2))
+    for (dir <- dirs) {
+      val root = java.nio.file.Files.createTempDirectory("graft-pipescale").toString
+      val sink = new ParquetWarehouseSink(root)
+      def perDate(d: LocalDate) = (
+        RetailMapping.rawSales(spark, dir, d),
+        RetailMapping.snapshot(spark, dir, d.minusDays(1), "stock_on_hand"),
+        RetailMapping.snapshot(spark, dir, d, "stock_on_hand"))
+      var total = 0.0
+      for (d <- dates) {
+        val (sales, open, close) = perDate(d)
+        val t0 = System.nanoTime()
+        Pipeline.run(spark, sales, open, close, d, sink)
+        val t = (System.nanoTime() - t0) / 1e9
+        total += t
+        println(f"PIPESCALE $dir day=$d $t%.2f")
+      }
+      val factRows = sink.read(spark, "fact_daily_sales").count()
+      val reconRows = sink.read(spark, "fact_inventory_reconciliation").count()
+      println(f"PIPESCALE $dir total_days=$nDays total_sec=$total%.2f " +
+        s"fact_rows=$factRows recon_rows=$reconRows")
+      // Idempotency at volume: re-run the middle date; dynamic partition
+      // overwrite must replace exactly that date's partition.
+      val mid = dates(dates.size / 2)
+      val (s2, o2, c2) = perDate(mid)
+      val t0 = System.nanoTime()
+      Pipeline.run(spark, s2, o2, c2, mid, sink)
+      val rt = (System.nanoTime() - t0) / 1e9
+      val ok = sink.read(spark, "fact_daily_sales").count() == factRows &&
+        sink.read(spark, "fact_inventory_reconciliation").count() == reconRows
+      println(f"PIPESCALE $dir replay day=$mid $rt%.2f idempotent=$ok")
+    }
+    spark.stop()
+  }
+}

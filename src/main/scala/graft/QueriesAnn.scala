@@ -97,6 +97,32 @@ private[graft] object QueriesAnn {
         .orderBy("probe_id", "rank")
     }),
 
+    // X3 — the SCALED-CELLS kNN join: same contract as knn_join but the
+    // cell count grows with the corpus (cells = max(n/200, 1), the IVF
+    // design point — Similarity.kmeansCellsByOccupancy), so Σ|cell|²
+    // pair volume stays linear per corpus decade where the pinned
+    // 10-cell fixture is quadratic (r12: 12×/decade measured, 4e9 pairs
+    // at sf10). THIS is the plan a production user runs at scale; the
+    // fixture twin stays declared as the small-corpus form.
+    "knn_join_scaled" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val asg = store(s, dir, "ivf_cells_scaled")(
+        Similarity.kmeansCellsByOccupancy(emb))
+      castLongs(Similarity.knnJoin(emb, assignments = Some(asg)), "rank")
+        .orderBy("probe_id", "rank")
+    }),
+
+    // X4 — SemDeDup over the scaled cells (see knn_join_scaled): the
+    // occupancy-pinned assignment keeps the within-cell pair join linear
+    // per decade; semdedup_ingest_replay folds against the SAME stores.
+    "semantic_dedup_scaled" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val asg = store(s, dir, "ivf_cells_scaled")(
+        Similarity.kmeansCellsByOccupancy(emb))
+      Similarity.semDedup(emb, threshold = 0.3, assignments = Some(asg))
+        .orderBy("vec_id")
+    }),
+
     // X3 — hard-negative mining: per anchor, top-3 most-similar
     // DIFFERENT-label vectors within its trained cell (the contrastive-
     // training pair miner; see Similarity.hardNegatives). Shares the
@@ -377,6 +403,34 @@ private[graft] object QueriesAnn {
          |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
          |SELECT probe_id, rank, neighbor_id, cosine FROM r
          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // Scaled-cells twins: the same pair-join SQL over the
+    // occupancy-seeded k-means chain (cells = max(n/200, 1), unrolled
+    // as a scalar subquery — deterministic on both engines).
+    "knn_join_scaled" ->
+      s"""WITH ${kmeansCtes(Similarity.IvfTrainRounds, scaledSeedSql(200))},
+         |e2 AS (SELECT e.vec_id, e.embedding, a.cell
+         |  FROM embeddings e JOIN a${Similarity.IvfTrainRounds} a USING (vec_id)),
+         |pairs AS (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
+         |  FROM e2 a JOIN e2 b ON a.cell = b.cell AND a.vec_id != b.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
+         |SELECT probe_id, rank, neighbor_id, cosine FROM r
+         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    "semantic_dedup_scaled" -> {
+      val r = Similarity.IvfTrainRounds
+      s"""WITH ${kmeansCtes(r, scaledSeedSql(200))},
+         |e2 AS (SELECT e.vec_id, e.embedding, a.cell
+         |  FROM embeddings e JOIN a$r a USING (vec_id)),
+         |d AS (SELECT DISTINCT b.vec_id FROM e2 a JOIN e2 b
+         |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE $cosSql >= 0.3)
+         |SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
+         |FROM a$r a LEFT JOIN d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin
+    },
 
     // The trained-cell pair join with NO probe filter: every vector is
     // a probe, top-3 per vector.

@@ -45,10 +45,17 @@ private[graft] object QueriesDedup {
           Dedup.simhashChunks(Tables.documents(s, dir)))), "hamming")
         .orderBy("doc_a", "doc_b")),
 
-    // X4 — prefix-filtered char-3-gram Jaccard ≥ 0.8 within lang;
-    // probes the char-gram half of the session signature store.
+    // X4 — char-5-gram Jaccard ≥ 0.8 within lang; probes the char-gram
+    // half of the session signature store. 5-grams, not 3: the 3-gram
+    // universe (≤ 37³) saturates past ~10⁵ docs (83×/decade at sf10,
+    // r12) — see Dedup.GramLen. Candidates come from the 16×6 minhash
+    // banding over the gram sets (Dedup.ngramJaccardBanded — the
+    // similarity-bounded scale path; ≈99.2% recall at the threshold,
+    // mirrored exactly by the oracle), verification stays the exact
+    // sorted-merge; the lossless AllPairs prefix plan remains the
+    // small-corpus API (ngramJaccardBlocked, property-tested).
     "ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardFromGrams(
+      Dedup.ngramJaccardBanded(
         store(s, dir, "chargram_sets")(
           Dedup.charGramSets(Tables.documents(s, dir))))
         .orderBy("doc_a", "doc_b")),
@@ -139,7 +146,10 @@ private[graft] object QueriesDedup {
 
     // X4 — point-lookup near-dup search: every third doc probes the
     // signature store for its matches (see Dedup.nearDupLookup — the
-    // pruned-index read path, never a corpus scan).
+    // pruned-index read path, never a corpus scan). Band buckets with
+    // > 64 docs are skipped (the hot-band bound: per-probe cost stays
+    // flat at any corpus size; recall note in the scaladoc), mirrored
+    // exactly by the oracle's occupancy gate.
     "probe_near_dups" -> ((s, dir) =>
       Dedup.nearDupLookup(minhashBandsStore(s, dir), minhashStore(s, dir),
           pmod(col("doc_id"), lit(3)) === 0)
@@ -321,19 +331,49 @@ private[graft] object QueriesDedup {
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 
-    "ngram_jaccard" ->
+    // Banded char-5-gram Jaccard — mirrors Dedup.ngramJaccardBanded
+    // EXACTLY: same positional base-256 BIGINT gram codes
+    // (charGramSets), same 96 universal-hash signatures over the gram
+    // codes, same md5-packed 16×6 band keys, same size-ratio residual,
+    // same exact-intersection verification at >= 0.8.
+    "ngram_jaccard" -> {
+      val rows = Dedup.GramSigCount / Dedup.GramBandCount
+      val sigDefs = Dedup.perms(Dedup.GramSigCount).zipWithIndex.map {
+        case ((a, b), i) =>
+          s"list_min(list_transform(grams, x -> ($a * (x % ${Dedup.Prime}) + $b) % ${Dedup.Prime})) AS sig$i"
+      }.mkString(",\n  ")
+      val bandList = (0 until Dedup.GramBandCount).map { j =>
+        val cat = (0 until rows).map(r => s"sig${j * rows + r}::VARCHAR")
+          .mkString(" || ',' || ")
+        hash60Sql(cat)
+      }.mkString("[", ", ", "]")
       s"""WITH n AS (SELECT doc_id, lang, $normSql AS s FROM documents),
          |g AS (SELECT doc_id, lang,
-         |        list_distinct([ascii(s[i]) * 65536 + ascii(s[i+1]) * 256 + ascii(s[i+2])
-         |          for i in range(1, greatest(len(s) - 1, 1))]) AS grams
+         |        list_distinct([ascii(s[i]) * 4294967296 + ascii(s[i+1]) * 16777216
+         |          + ascii(s[i+2]) * 65536 + ascii(s[i+3]) * 256 + ascii(s[i+4])
+         |          for i in range(1, greatest(len(s) - 3, 1))]) AS grams
          |      FROM n),
-         |gg AS (SELECT * FROM g WHERE len(grams) > 0)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |gg AS (SELECT * FROM g WHERE len(grams) > 0),
+         |sg AS (SELECT doc_id, lang, len(grams) AS n, grams,
+         |  $sigDefs
+         |FROM gg),
+         |bd AS (SELECT doc_id, lang, n,
+         |       unnest(range(0, ${Dedup.GramBandCount})) AS band_idx,
+         |       unnest($bandList) AS band_val FROM sg),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bd a JOIN bd b
+         |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |          AND a.lang = b.lang AND a.doc_id < b.doc_id
+         |          AND a.n >= 0.8 * b.n - 1e-9 AND b.n >= 0.8 * a.n - 1e-9)
+         |SELECT doc_a, doc_b,
          |  floor(len(list_intersect(a.grams, b.grams))::DOUBLE
          |    / len(list_distinct(a.grams || b.grams)) * 1000000) / 1000000 AS jaccard
-         |FROM gg a JOIN gg b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |FROM cand
+         |JOIN gg a ON a.doc_id = doc_a
+         |JOIN gg b ON b.doc_id = doc_b
          |WHERE jaccard >= 0.8
-         |ORDER BY doc_a, doc_b""".stripMargin,
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "dup_rate_by_source" -> {
       s"""WITH RECURSIVE ${minhashCtes()},
@@ -354,13 +394,21 @@ private[graft] object QueriesDedup {
          |SELECT group_size, count(*) AS n_groups
          |FROM g GROUP BY 1 ORDER BY group_size""".stripMargin,
 
-    // Both directions of every verified pair that touches a probe doc.
+    // Probe-band × store-band candidates with the hot-band occupancy
+    // gate (buckets ≤ 64 docs), verified at jaccard ≥ 0.5 — mirrors
+    // Dedup.nearDupLookup including the cap; both directions emerge
+    // from the a-side probe filter alone.
     "probe_near_dups" ->
-      s"""WITH ${minhashCtes()},
-         |pl AS (SELECT doc_a AS probe_id, doc_b AS match_id, jaccard
-         |       FROM vp WHERE doc_a % 3 = 0
-         |       UNION ALL
-         |       SELECT doc_b, doc_a, jaccard FROM vp WHERE doc_b % 3 = 0)
+      s"""WITH ${minhashBaseCtes()},
+         |bdc AS (SELECT bd.* FROM bd
+         |        JOIN (SELECT band_idx, band_val FROM bd
+         |              GROUP BY 1, 2 HAVING count(*) <= 64) occ
+         |          USING (band_idx, band_val)),
+         |cand AS (SELECT DISTINCT a.doc_id AS probe_id, b.doc_id AS match_id
+         |         FROM bdc a JOIN bdc b
+         |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |          AND a.doc_id % 3 = 0 AND a.doc_id != b.doc_id),
+         |${verifiedPairsCte("pl", "probe_id", "match_id")}
          |SELECT probe_id, match_id, jaccard
          |FROM pl ORDER BY probe_id, match_id""".stripMargin,
 

@@ -236,11 +236,17 @@ private[graft] object QueriesSketches {
     // re-granted, and every batch vector joins the store dropped or
     // not (the semDedupIngestStream sink contract). Routing probes the
     // frozen trained-assignment store, so the fold must converge to
-    // the one-shot semantic_dedup verdicts.
+    // the one-shot semantic_dedup verdicts. Re-based r13 onto the
+    // SCALED cell stores (cells = n/200 — knn_join_scaled's rationale):
+    // the r12 sf10 run measured the 10-cell fixture replay at
+    // 17.4×/decade because batch × shared-cell volume is Σ|cell|²;
+    // occupancy-pinned cells make the fold linear per decade, and the
+    // one-shot oracle is semantic_dedup_scaled's.
     "semdedup_ingest_replay" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val asg = store(s, dir, "ivf_cells")(Similarity.kmeansCells(emb))
-      val cent = store(s, dir, "ivf_centroids")(
+      val asg = store(s, dir, "ivf_cells_scaled")(
+        Similarity.kmeansCellsByOccupancy(emb))
+      val cent = store(s, dir, "ivf_centroids_scaled")(
         Similarity.trainedCentroids(emb, asg))
       val routed = emb.join(asg.select("vec_id", "cell"), "vec_id")
         .select("vec_id", "embedding", "cell")

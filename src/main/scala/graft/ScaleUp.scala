@@ -95,54 +95,51 @@ object ScaleUp {
         .withColumn("user_id", col("user_id") + lit(i * strides("user")))
     }, 16)
     save("documents", replicate(spark, src, "documents", factor) { (df, i) =>
-      // The per-copy suffix must SURVIVE the text pipeline's
-      // [^a-z0-9]→space tokenizer: an "_i" suffix splits into an
-      // interleaved digit token, which collapses every copy's 2-word
-      // shingle vocabulary to ~2·|vocab| and turns the whole copy into
-      // one genuine near-dup group (measured: 99.6M band candidates at
-      // factor 10 vs the intended ~10×204k). An all-LETTER suffix keeps
-      // one token per seed token, so each copy replays the seed's
-      // shingle structure over a disjoint token universe. Base-26 so the
-      // suffix stays [a-z] for ANY factor (a single 'a'+i char walks
-      // past 'z' at i>26 and reintroduces the split-token collapse).
-      def b26(n: Int): String =
-        if (n < 26) ('a' + n).toChar.toString
-        else b26(n / 26 - 1) + ('a' + n % 26).toChar
-      // The suffix decorrelates copies at the TOKEN level but not at
-      // the CHARACTER level: a suffixed token keeps every interior
-      // char-3-gram of its seed token, so all `factor` copies of a doc
-      // share ~50% of their gram SETS (measured at factor 10: jaccard
-      // 0.45–0.58 between copies, under any sane near-dup threshold
-      // but far above corpus background). Against a [a-z0-9 ]³ ≤ 37³
-      // gram universe that cannot grow with the corpus, gram posting
-      // lists then scale ∝ factor and char-gram candidate volume
-      // quadratically in density — the factor-100 run drove
-      // ngram_jaccard's candidate join into ~80 GB of shuffle spill
-      // and a disk-full abort while its TRUE output stayed flat (every
-      // cross-copy pair verifies below 0.8). A real 100× crawl does
-      // not share half its gram vocabulary corpus-wide, so copy i>0
-      // additionally runs through a per-copy AFFINE LETTER CIPHER
+      // Copy i>0 runs through a per-copy AFFINE LETTER CIPHER
       // (x → a·x + b mod 26 with a coprime to 26 — 312 distinct
-      // permutations, deterministic, bijective): intra-copy gram
-      // structure is preserved exactly (any alphabet bijection maps
-      // gram sets 1:1), cross-copy gram sets decorrelate to corpus
-      // background, and letters stay letters for the tokenizer. The
-      // cipher is applied BEFORE the suffix so suffix letters are
-      // plain and per-copy token disjointness keeps holding via the
-      // suffix alone at every factor.
+      // permutations, deterministic, bijective). The cipher alone is
+      // the whole decorrelation mechanism as of r13:
+      //   - TOKEN level: cipher_i is a bijection on tokens, so each
+      //     copy replays the seed's 2-word-shingle structure exactly
+      //     over a (near-)disjoint token universe — distinct ciphers
+      //     map every letter-bearing token differently, so cross-copy
+      //     token identity is accidental-collision noise only.
+      //   - CHARACTER level: any alphabet bijection maps char-gram
+      //     sets 1:1, so intra-copy gram Jaccard equals the seed's
+      //     and cross-copy gram sets decorrelate to corpus background
+      //     (measured 0.00–0.01 at factor 10).
+      //
+      // History — two generator artifacts found and removed here, each
+      // caught because a scale run measured a regime the seed corpus
+      // does not have:
+      //   r12: a per-copy "_i"/letter SUFFIX alone decorrelated tokens
+      //     but left ~50% cross-copy char-gram sharing (suffixed
+      //     tokens keep every interior gram of their seed token) —
+      //     the factor-100 run drove ngram_jaccard's candidate join
+      //     into ~80 GB of spill and a disk-full abort while the true
+      //     output stayed flat. The cipher fixed cross-copy sharing.
+      //   r13: the retained suffix ("q"+base-26 letters appended to
+      //     every token) inflated INTRA-copy char-gram density — the
+      //     fixed per-copy suffix makes ~40% of every token window a
+      //     shared subsequence, measured as within-copy background
+      //     gram-J of 0.5–0.7 at sf1 vs the seed's 0.1–0.2 (GramDiag
+      //     pairJ histograms), again a regime no real 10× crawl has.
+      //     The suffix is GONE: the cipher already provides cross-copy
+      //     token disjointness, and cipher-only copies replay the
+      //     seed's intra-copy statistics at both levels exactly.
       //
       // KNOWN LIMITS of the decorrelation claim (ADVICE r12) — both are
       // corpus/factor-dependent, not general guarantees:
       //   - LETTERS ONLY: digits, punctuation and whitespace pass
       //     through, so char-grams containing non-letters stay shared
-      //     across every copy of a numeric/symbol-heavy doc. Measured
-      //     cross-copy jaccard on THIS corpus is 0.00–0.01 (word-soup
-      //     text, few digits); a digit-heavy seed corpus would need the
-      //     map extended to [0-9].
+      //     across every copy of a numeric/symbol-heavy doc (this
+      //     corpus is letter-word soup — measured negligible); a
+      //     digit-heavy seed corpus would need the map extended.
       //   - ONLY 312 DISTINCT CIPHERS exist (12 coprime slopes × 26
-      //     offsets), so at factor > 312 copies repeat ciphers and
-      //     cross-copy gram sharing returns for the repeats. Factors
-      //     used here (10, 100) stay well inside the budget.
+      //     offsets), so factor > 312 would repeat ciphers AND lose
+      //     token disjointness for the repeats — now a hard require,
+      //     not a comment.
+      require(factor <= 312, s"only 312 distinct ciphers; factor $factor would repeat")
       val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
       def cipher(n: Int): String = {
         val a = coprimes((n / 26) % coprimes.size)
@@ -150,11 +147,9 @@ object ScaleUp {
         (0 until 26).map(x => ('a' + (a * x + b) % 26).toChar).mkString
       }
       val alpha = "abcdefghijklmnopqrstuvwxyz"
-      val enc = if (i == 0) col("text")
+      val text = if (i == 0) col("text")
         else translate(col("text"), alpha + alpha.toUpperCase,
           cipher(i) + cipher(i).toUpperCase)
-      val text = if (i == 0) col("text")
-        else regexp_replace(enc, "(\\S+)", "$1q" + b26(i - 1))
       df.withColumn("doc_id", col("doc_id") + lit(i * strides("documents")))
         .withColumn("text", text)
     }, 16)

@@ -111,18 +111,24 @@ object Dedup {
     */
   val Prime: Long = 2147483647L
 
-  /** Deterministic (a, b) pairs for the [[SigCount]] universal-hash
-    * permutations `h ↦ (a·(h mod p) + b) mod p` — splitmix64 constants
-    * scaled per index, reduced into [1, p−1] / [0, p−1]. One md5 per
-    * shingle feeds all 16 permutations; the previous form (16 independent
-    * md5s per shingle) paid 16× the dominant hashing cost for the same
-    * uniform-min property.
+  /** Deterministic (a, b) pairs for `n` universal-hash permutations
+    * `h ↦ (a·(h mod p) + b) mod p` — splitmix64 constants scaled per
+    * index, reduced into [1, p−1] / [0, p−1]. [[Perms]] (the first
+    * [[SigCount]]) drives the shingle-minhash family; the char-gram
+    * banding ([[gramMinhashBands]]) draws [[GramSigCount]] from the
+    * same generator, so all stores share one constant family.
     */
-  val Perms: Seq[(Long, Long)] = (1 to SigCount).map { i =>
+  def perms(n: Int): Seq[(Long, Long)] = (1 to n).map { i =>
     val a = ((0x9E3779B97F4A7C15L * i) & Long.MaxValue) % (Prime - 1) + 1
     val b = ((0xBF58476D1CE4E5B9L * i) & Long.MaxValue) % Prime
     (a, b)
   }
+
+  /** One md5 per shingle feeds all 16 permutations; the previous form
+    * (16 independent md5s per shingle) paid 16× the dominant hashing
+    * cost for the same uniform-min property.
+    */
+  val Perms: Seq[(Long, Long)] = perms(SigCount)
 
   /** X4 — near-duplicate pairs via MinHash + LSH banding on 2-word
     * shingles, verified by exact Jaccard ≥ `threshold` over the hashed
@@ -540,12 +546,39 @@ object Dedup {
     * index read, not a table scan; the set fetch is a semi-join by
     * candidate doc_id (point reads against the at-rest sets table).
     * Nothing in the plan scans the corpus text.
+    *
+    * HOT-BAND BOUND (`maxBandOccupancy`): band buckets holding more
+    * than `maxBandOccupancy` documents are SKIPPED entirely — without
+    * it, per-probe cost is bounded only by the hottest posting list,
+    * and saturated buckets DO occur at scale (a healthy banded store
+    * runs occupancy ~1–2, but identical-signature duplicate clusters
+    * and degenerate-content bands grow ∝ their cluster size: the r12
+    * sf10 run measured per-probe cost ×2.8 per corpus decade from
+    * exactly this). With the cap, a probe verifies ≤ [[BandCount]] ×
+    * maxBandOccupancy candidates — FLAT per-probe cost at any corpus
+    * size. The recall trade, documented: a pair is lost only if EVERY
+    * band it collides in is saturated — for true near-dups below
+    * cluster size `maxBandOccupancy` at least one rare band survives
+    * in expectation, and a probe INSIDE a >cap identical cluster is
+    * exactly the case exact dedup ([[exact]]) already answers without
+    * pair enumeration (the LSH-Ensemble `minSigMatches` class of
+    * trade; WarehouseOpsSpec pins both sides). The occupancy census is
+    * one aggregate over the band store — at rest it is maintained with
+    * the store itself and the skip is a partition-pruned read.
     */
   def nearDupLookup(storeBands: DataFrame, hr: DataFrame, probe: Column,
-      threshold: Double = 0.5): DataFrame = {
-    val probeBands = storeBands.where(probe)
+      threshold: Double = 0.5, maxBandOccupancy: Int = 64): DataFrame = {
+    // Saturated-bucket list: tiny (only buckets above the cap), so the
+    // anti joins below broadcast it; the aggregate is one scan of the
+    // band store (at rest: the store's maintained occupancy census).
+    val hot = storeBands.groupBy("band_idx", "band_val")
+      .agg(count(lit(1)).as("__occ"))
+      .where(col("__occ") > maxBandOccupancy)
+      .select("band_idx", "band_val")
+    val bands = storeBands.join(hot, Seq("band_idx", "band_val"), "left_anti")
+    val probeBands = bands.where(probe)
     val cand = probeBands.as("a")
-      .join(storeBands.as("b"),
+      .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") =!= col("b.doc_id"))
@@ -887,13 +920,38 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
-  /** X4 — PREFIX-FILTERED character-3-gram Jaccard (AllPairs/PPJoin
+  /** Character n-gram length of the prefix-filtered Jaccard family.
+    * FIVE, not three, and the choice is a scale wall, not taste: the
+    * normalized alphabet is [a-z0-9 ] (37 symbols), so the 3-gram
+    * universe is ≤ 37³ ≈ 5·10⁴ values — it CANNOT grow with the
+    * corpus, so past ~10⁵ documents every posting list (even the
+    * rare-prefix ones AllPairs leans on) grows ∝ n and prefix-candidate
+    * volume grows ~n²/universe: the r12 sf10 run measured 83×/decade
+    * (14.7 s → 1224 s) on the 3-gram plan. The 5-gram universe is 37⁵ ≈
+    * 6.9·10⁷ — 1,400× the headroom — and, more fundamentally, the
+    * OCCUPIED gram set now grows with corpus content (new documents
+    * bring new 5-grams where every 3-gram is already taken), so rare
+    * prefix grams stay rare as the corpus grows and candidate volume
+    * tracks true near-dup density instead of corpus density. Grams pack
+    * into one BIGINT (ascii·256ᵏ positional code, max ≈ 5.3·10¹¹ ≪ 2⁶³
+    * — portable to any engine).
+    *
+    * A larger universe is necessary but NOT sufficient: a corpus whose
+    * token vocabulary is itself tiny occupies few grams at ANY n and
+    * prefix postings stay dense — the regime where the declared query
+    * routes candidates through [[ngramJaccardBanded]]'s similarity-
+    * bounded minhash banding instead (see its scaladoc for the
+    * measured comparison).
+    */
+  val GramLen = 5
+
+  /** X4 — PREFIX-FILTERED character-n-gram Jaccard (AllPairs/PPJoin
     * candidate generation — Bayardo et al. WWW'07, Xiao et al. WWW'08):
     * candidates are pairs sharing at least one gram in their PREFIXES —
     * each doc's first |g| − ⌈t·|g|⌉ + 1 grams under a global rarity
     * order (ascending document frequency, derived at probe time over
     * the probed corpus; see [[ngramJaccardFromGrams]]) — verified by
-    * exact char-3-gram
+    * exact char-[[GramLen]]-gram
     * Jaccard ≥ `threshold`. Output: doc_a, doc_b, jaccard (truncated
     * 6dp).
     *
@@ -924,11 +982,12 @@ object Dedup {
     *   unconditional.
     */
   def ngramJaccardBlocked(docs: DataFrame, threshold: Double = 0.8,
-      broadcastBlocked: Boolean = false): DataFrame =
-    ngramJaccardFromGrams(charGramSets(docs), threshold,
+      broadcastBlocked: Boolean = false, gramLen: Int = GramLen): DataFrame =
+    ngramJaccardFromGrams(charGramSets(docs, gramLen), threshold,
       broadcastBlocked)
 
-  /** Per-doc sorted INT-encoded char-3-gram sets (doc_id, lang, grams)
+  /** Per-doc sorted BIGINT-encoded char-`gramLen`-gram sets (doc_id,
+    * lang, grams)
     * — the char-gram half of the signature store, a PURE per-document
     * function (see [[ngramJaccardBlocked]]): each stored array element
     * is the packed-ASCII gram code alone, sorted by VALUE, with no
@@ -944,11 +1003,13 @@ object Dedup {
     * length-bucket column baked `1/threshold` into the schema and tied
     * the store to its build threshold).
     */
-  def charGramSets(docs: DataFrame): DataFrame = {
+  def charGramSets(docs: DataFrame, gramLen: Int = GramLen): DataFrame = {
+    require(gramLen >= 1 && gramLen <= 7,
+      s"gram code must fit a BIGINT (127·Σ256^k < 2^63 needs gramLen ≤ 7), got $gramLen")
     val parallelism =
       docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    // Normalize once, filter on the cheap scalar (length ≥ 3 ⟺ grams
-    // non-empty — a filter on size(grams) would be pushed below the
+    // Normalize once, filter on the cheap scalar (length ≥ gramLen ⟺
+    // grams non-empty — a filter on size(grams) would be pushed below the
     // exchange with the gram expression inlined, recreating the
     // per-element-recompute trap), round-robin repartition so the gram
     // arrays materialize once per document on all cores, THEN build grams
@@ -965,11 +1026,11 @@ object Dedup {
     val base = docs
       .select(col("doc_id"), col("lang"),
         coalesce(TextOps.normalized(col("text")), lit("")).as("s"))
-      .where(length(col("s")) >= 3)
+      .where(length(col("s")) >= gramLen)
       .repartition(parallelism)
     // Sorted distinct grams, numerically encoded (the normalized
-    // alphabet is ASCII, so a 3-gram packs into ascii*65536 + ascii*256
-    // + ascii, then rarity-prefixed into a long below): sorting and
+    // alphabet is ASCII, so an n-gram packs positionally into
+    // Σ ascii(cₖ)·256^(n−1−k) — one BIGINT per gram): sorting and
     // merging fixed-width integers skips per-comparison string overhead
     // entirely, and sorted distinct input lets the verification use the
     // codegen'd linear-merge SortedIntersectSize instead of per-pair hash
@@ -983,13 +1044,17 @@ object Dedup {
     // Generate + projection the per-char work lives in whole-stage
     // codegen, and the aggregate output is non-nullable by construction
     // (no isnotnull(grams) constraint — see trap note above).
+    // Positional base-256 packing, spelled as one explicit sum so the
+    // multipliers are compile-time literals on both engines.
+    val packed = (0 until gramLen).map { k =>
+      val mult = (0 until (gramLen - 1 - k)).foldLeft(1L)((m, _) => m * 256L)
+      ascii(col("s").substr(col("i") + k, lit(1))).cast("long") * lit(mult)
+    }.reduce(_ + _)
     val dg = base
       .select(col("doc_id"), col("lang"), col("s"),
-        posexplode(sequence(lit(1), length(col("s")) - 2)).as(Seq("ord", "i")))
-      .select(col("doc_id"), col("lang"),
-        (ascii(col("s").substr(col("i"), lit(1))) * 65536 +
-          ascii(col("s").substr(col("i") + 1, lit(1))) * 256 +
-          ascii(col("s").substr(col("i") + 2, lit(1)))).as("gram"))
+        posexplode(sequence(lit(1), length(col("s")) - (gramLen - 1)))
+          .as(Seq("ord", "i")))
+      .select(col("doc_id"), col("lang"), packed.as("gram"))
       .distinct()
     dg.groupBy("doc_id", "lang")
       .agg(array_sort(collect_set(col("gram"))).as("grams"))
@@ -1018,10 +1083,14 @@ object Dedup {
     // by df of the rarest prefix grams, not by hot-gram |posting|².
     // (A value-ordered prefix measured unboundedly worse at sf1:
     // common grams like "e t" sit in thousands of prefixes and
-    // re-create the quadratic block.) The df table is hard-bounded by
-    // the 3-gram universe (≤ 37³ ≈ 5e4 rows for the normalized
-    // [a-z0-9 ] alphabet), hence the pinned broadcast — the
-    // nation/region class of hint, safe at any corpus scale. Deriving
+    // re-create the quadratic block.) The df table is the corpus's
+    // OCCUPIED gram set — with [[GramLen]] = 5 that set grows with the
+    // corpus (the whole point of 5-grams: see the GramLen scaladoc),
+    // so unlike the former ≤ 37³-row 3-gram table it is NOT pinned
+    // broadcast: the df join is a plain shuffle join that AQE upgrades
+    // to a runtime broadcast whenever the measured size allows (it
+    // does at every bench sf; at 100 TB the shuffle join is the only
+    // plan that cannot OOM). Deriving
     // df at probe time (rather than baking it into the store as r11's
     // df·2²⁴+gram element encoding did) makes the store
     // corpus-independent: a mixed-era store (base + appended builds)
@@ -1043,7 +1112,7 @@ object Dedup {
     // array is rebuilt or re-exploded.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id", "lang").orderBy(col("df"), col("gram"))
-    val pfx = ex.join(broadcast(dfreq), "gram")
+    val pfx = ex.join(dfreq, "gram")
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <=
         (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1))
@@ -1082,6 +1151,101 @@ object Dedup {
     val jaccard = TextOps.trunc6(
       inter / (size(col("ga")) + size(col("gb")) - inter).cast("double"))
     candSide
+      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
+      .where(jaccard >= threshold)
+      .select(col("doc_a"), col("doc_b"), jaccard.as("jaccard"))
+  }
+
+  /** Signature width / band count of the char-gram MINHASH BANDING
+    * channel ([[ngramJaccardBanded]]): 96 signatures in 16 bands of 6.
+    * The (r = 6, b = 16) point is chosen for a HIGH threshold over a
+    * DENSE similarity background: candidate probability is
+    * 1 − (1 − J⁶)¹⁶ ≈ 99.2% at J = 0.8 (→ 99.99% at J = 0.9) while a
+    * background pair at J = 0.2 fires at ~0.1% — the 2-row shingle
+    * banding (tuned for threshold 0.5) would fire on ~25% of J = 0.2
+    * background pairs, which on a dense corpus IS the pair space.
+    */
+  val GramSigCount = 96
+  val GramBandCount = 16
+
+  /** Char-gram minhash BAND table (doc_id, lang, n, band_idx,
+    * band_val): [[GramSigCount]] universal-hash minhash signatures over
+    * the stored gram codes (the grams are already 60-bit-safe BIGINTs,
+    * so the permutation family applies to them directly — no second
+    * hashing pass), packed [[GramBandCount]] ways via md5 of the
+    * band's comma-joined signatures ([[hash60]] — 6 sigs × 31 bits
+    * exceed one BIGINT, and md5 packing is bit-identical in every
+    * engine where a modular polynomial would overflow DuckDB). A pure
+    * per-document function of the [[charGramSets]] store — computable
+    * at probe time or persisted beside it; either way batch-by-batch
+    * equals one-shot (SignatureStoreSpec). `n` (the distinct gram
+    * count) rides along from the same aggregate for the size-ratio
+    * residual.
+    */
+  def gramMinhashBands(g: DataFrame): DataFrame = {
+    val rows = GramSigCount / GramBandCount
+    val ex = g.select(col("doc_id"), col("lang"), explode(col("grams")).as("gram"))
+    val aggs = count(lit(1)).as("n") +:
+      perms(GramSigCount).zipWithIndex.map { case ((a, b), i) =>
+        min((lit(a) * (col("gram") % Prime) + lit(b)) % Prime).as(s"sig$i")
+      }
+    val sig = ex.groupBy("doc_id", "lang").agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until GramBandCount).map { j =>
+      hash60(concat_ws(",",
+        (0 until rows).map(r => col(s"sig${j * rows + r}").cast("string")): _*))
+    }
+    sig.select(col("doc_id"), col("lang"), col("n"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+  }
+
+  /** X4 — BANDED char-n-gram Jaccard: the SCALE PATH of the gram-
+    * Jaccard contract — candidates from [[gramMinhashBands]] collisions
+    * (same band, same lang, id order, the lossless size-ratio
+    * residual), verified by the same exact [[SortedIntersectSize]]
+    * merge over the stored gram arrays. Output: doc_a, doc_b, jaccard
+    * (truncated 6dp) — identical row shape to [[ngramJaccardBlocked]].
+    *
+    * WHY a banded channel exists beside the lossless AllPairs one
+    * (r13, measured): prefix filtering is CONTENT-bounded — its
+    * candidate volume is Σ over prefix grams of posting², which is
+    * small exactly when most grams are rare. On a corpus with a small
+    * token vocabulary (this synthetic corpus: 31 tokens, ~2k occupied
+    * 5-grams per cipher copy, median gram df = 292 of 5,000 docs)
+    * there ARE no rare grams, and the lossless plan measured 7.6M
+    * candidates for 790 true pairs at sf1 — linear per decade but with
+    * a ~10,000× verification overhead whose array shuffle (~50 GB+ at
+    * sf10) is the disk wall. Banding is SIMILARITY-bounded instead:
+    * a pair's candidate probability is 1 − (1 − J^r)^b regardless of
+    * how much vocabulary it shares, so background J ≈ 0.2 pairs fire
+    * at ~0.1% and candidate volume tracks the near-dup mass. The
+    * trade, documented: recall at the 0.8 threshold is ≈ 99.2% (not
+    * 100%), rising to ~1 above it — the [[nearDupMinhash]] class of
+    * contract, and the DuckDB oracle mirrors the banding exactly so
+    * the declared query stays hash-checkable. [[ngramJaccardBlocked]]
+    * remains the exact small-corpus form (property-tested lossless).
+    */
+  def ngramJaccardBanded(g: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val parallelism =
+      g.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val bd = gramMinhashBands(g)
+    val cand = bd.as("a")
+      .join(bd.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") >= lit(threshold) * col("b.n") - lit(1e-9) &&
+          col("b.n") >= lit(threshold) * col("a.n") - lit(1e-9))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = SortedIntersectSize(col("ga"), col("gb"))
+    val jaccard = TextOps.trunc6(
+      inter / (size(col("ga")) + size(col("gb")) - inter).cast("double"))
+    // Same verification discipline as the prefix plan: by-num
+    // repartition keeps the merge stage wide under AQE's byte-based
+    // coalescing (PLANS.md trap 6).
+    cand.repartition(parallelism)
       .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
       .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
       .where(jaccard >= threshold)

@@ -396,12 +396,46 @@ object Similarity {
     * (Σ|cell|² = n²/10 = 4×10⁹ candidate pairs).
     */
   def kmeansCells(embeddings: DataFrame, rounds: Int = IvfTrainRounds,
-      numCells: Int = 0): DataFrame = {
-    var assign =
+      numCells: Int = 0): DataFrame =
+    lloydFromSeed(embeddings,
       if (numCells > 0)
         embeddings.select(col("vec_id"),
           pmod(col("vec_id"), lit(numCells)).cast("int").as("cell"))
-      else embeddings.select(col("vec_id"), col("label").as("cell"))
+      else embeddings.select(col("vec_id"), col("label").as("cell")),
+      rounds)
+
+  /** [[kmeansCells]] with the cell count derived from the CORPUS SIZE
+    * instead of passed in: cells = max(⌊n / occupancy⌋, 1), seeded
+    * `vec_id mod cells` — the production IVF design point (per-cell
+    * occupancy ≈ constant as the corpus grows, so every Σ|cell|²-scoped
+    * consumer — [[knnJoin]], [[semDedup]], [[hardNegatives]] — stays
+    * linear per corpus decade; see the CELL-COUNT KNOB note above:
+    * measured 0.40/0.81/3.10 s across three decades at occupancy 200
+    * vs quadratic blow-up under any FIXED cell count). The count is
+    * computed IN-PLAN (a 1-row aggregate broadcast into the seed
+    * projection — no driver-side action sizes the index) and the seed
+    * stays pure integer arithmetic, so the assignment is exactly as
+    * deterministic and oracle-unrollable as the fixed-count form:
+    * `kmeansCellsByOccupancy(e, o)` ≡ `kmeansCells(e, numCells =
+    * max(n/o, 1))` (spec-asserted).
+    */
+  def kmeansCellsByOccupancy(embeddings: DataFrame, occupancy: Int = 200,
+      rounds: Int = IvfTrainRounds): DataFrame = {
+    val cells = embeddings.agg(
+      greatest(expr(s"count(1) div $occupancy"), lit(1L)).as("__cells"))
+    lloydFromSeed(embeddings,
+      embeddings.crossJoin(broadcast(cells))
+        .select(col("vec_id"),
+          pmod(col("vec_id"), col("__cells")).cast("int").as("cell")),
+      rounds)
+  }
+
+  /** The shared Lloyd loop of [[kmeansCells]] / [[kmeansCellsByOccupancy]]
+    * (see kmeansCells' scaladoc for the per-round plan shape).
+    */
+  private def lloydFromSeed(embeddings: DataFrame, seed: DataFrame,
+      rounds: Int): DataFrame = {
+    var assign = seed
     for (_ <- 1 to rounds) {
       val cent = centroidsOf(
         embeddings.join(assign, "vec_id").select(col("cell"), col("embedding")),

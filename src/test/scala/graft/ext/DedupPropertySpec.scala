@@ -59,12 +59,13 @@ class DedupPropertySpec extends AnyFunSuite {
   }
 
   test("ngramJaccardBlocked ≡ naive all-pairs (the blocking is lossless)") {
-    // Unlike the LSH families, the lang × length-bucket blocking claims
-    // ZERO recall loss at the threshold — so exact set equality with a
-    // naive all-pairs computation is the right property.
+    // Unlike the LSH families, prefix filtering claims ZERO recall
+    // loss at the threshold — so exact set equality with a naive
+    // all-pairs computation is the right property (char-GramLen-grams,
+    // the declared contract).
     def grams(words: List[String]): Set[String] = {
       val s = words.mkString(" ")
-      if (s.length < 3) Set.empty else s.sliding(3).toSet
+      if (s.length < Dedup.GramLen) Set.empty else s.sliding(Dedup.GramLen).toSet
     }
     val prop = Prop.forAll(corpusGen) { docs0 =>
       val docs = docs0 :+ (docs0.head :+ "tok1") // force ≥1 high-J pair
@@ -82,6 +83,46 @@ class DedupPropertySpec extends AnyFunSuite {
         if math.floor(jac * 1e6) / 1e6 >= 0.8
       } yield (i.toLong, j.toLong, math.floor(jac * 1e6) / 1e6)).toSet
       out == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("ngramJaccardBanded is sound (⊆ exact) and finds planted near-identical pairs") {
+    // The banded channel trades ~0.8% recall at the threshold for
+    // similarity-bounded candidates (Dedup.ngramJaccardBanded): so the
+    // property is SOUNDNESS (every emitted pair is in the exact result,
+    // with the identical jaccard) plus recall on a planted pair high
+    // enough above the threshold that banding is near-certain
+    // (J ≥ 0.95 → miss ≤ (1−0.95⁶)¹⁶ ≈ 6e-10).
+    def grams(words: List[String]): Set[String] = {
+      val s = words.mkString(" ")
+      if (s.length < Dedup.GramLen) Set.empty else s.sliding(Dedup.GramLen).toSet
+    }
+    val prop = Prop.forAll(corpusGen) { docs0 =>
+      val docs = docs0 :+ (docs0.head :+ "tok1")
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" "), "en") }
+        .toDF("doc_id", "text", "lang")
+      val banded = Dedup.ngramJaccardBanded(Dedup.charGramSets(df)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val sets = docs.map(grams)
+      val exact = (for {
+        i <- docs.indices; j <- (i + 1) until docs.length
+        if sets(i).nonEmpty && sets(j).nonEmpty
+        inter = sets(i).intersect(sets(j)).size
+        jac = inter.toDouble / (sets(i).size + sets(j).size - inter)
+        if math.floor(jac * 1e6) / 1e6 >= 0.8
+      } yield (i.toLong, j.toLong, math.floor(jac * 1e6) / 1e6)).toSet
+      val sound = banded.subsetOf(exact)
+      val plantedJ = {
+        val (a, b) = (sets.head, sets.last)
+        if (a.isEmpty || b.isEmpty) 0.0
+        else a.intersect(b).size.toDouble / a.union(b).size
+      }
+      val recalled = plantedJ < 0.95 ||
+        banded.exists { case (a, b, _) => a == 0L && b == (docs.length - 1).toLong }
+      sound && recalled
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(res.passed, res.status.toString)

@@ -43,19 +43,22 @@ class ExtOpsSpec extends SparkSpec {
 
   test("ngram bucket blocking is lossless vs naive lang-only blocking") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
-    // threshold 0.5: size-ratio spans ~2 buckets, exercising the ±1
-    // claims across bucket boundaries with a non-trivial result set.
+    // threshold 0.5: size ratios span a wide band, exercising the
+    // prefix-length and size-ratio residual arithmetic with a
+    // non-trivial result set. Naive side rebuilds the GramLen=5 packed
+    // codes independently (positional base-256, BIGINT).
     val blocked = Dedup.ngramJaccardBlocked(d, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val norm = coalesce(TextOps.normalized(col("text")), lit("")).as("s")
+    val packed = (0 until 5).map { k =>
+      val mult = (0 until (4 - k)).foldLeft(1L)((m, _) => m * 256L)
+      ascii(col("s").substr(col("i") + k, lit(1))).cast("long") * lit(mult)
+    }.reduce(_ + _)
     val g = d.select(col("doc_id"), col("lang"), norm)
-      .where(length(col("s")) >= 3)
+      .where(length(col("s")) >= 5)
       .select(col("doc_id"), col("lang"), col("s"),
-        posexplode(sequence(lit(1), length(col("s")) - 2)).as(Seq("ord", "i")))
-      .select(col("doc_id"), col("lang"),
-        (ascii(col("s").substr(col("i"), lit(1))) * 65536 +
-          ascii(col("s").substr(col("i") + 1, lit(1))) * 256 +
-          ascii(col("s").substr(col("i") + 2, lit(1)))).as("gram"))
+        posexplode(sequence(lit(1), length(col("s")) - 4)).as(Seq("ord", "i")))
+      .select(col("doc_id"), col("lang"), packed.as("gram"))
       .groupBy("doc_id", "lang")
       .agg(array_sort(collect_set(col("gram"))).as("grams"))
     val inter = graft.functions.SortedIntersectSize(col("a.grams"), col("b.grams"))

@@ -46,6 +46,25 @@ class SignatureStoreSpec extends SparkSpec {
     assert(viaParquet === direct)
   }
 
+  test("char-gram store: banded probe round trip + mixed era ≡ one-shot banded") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    // The banded channel's signatures/bands are pure per-doc functions
+    // of the stored gram arrays, so a parquet round trip and a
+    // mixed-era (append) store must both probe exactly like a fresh
+    // one-shot build — the same contract as the prefix probe below,
+    // for the channel the declared query actually runs.
+    val oneShot = Dedup.ngramJaccardBanded(Dedup.charGramSets(docs))
+      .collect().toSet
+    val viaParquet = Dedup.ngramJaccardBanded(
+      roundTrip(Dedup.charGramSets(docs), "grams-banded")).collect().toSet
+    assert(viaParquet === oneShot)
+    val base = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+    val fresh = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+    val mixed = roundTrip(Dedup.charGramSets(base), "grams-banded-era1")
+      .unionByName(Dedup.charGramSets(fresh))
+    assert(Dedup.ngramJaccardBanded(mixed).collect().toSet === oneShot)
+  }
+
   test("char-gram store: mixed-era incremental append loses no pairs") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     // The hazard this pins (VERDICT r11 #4 / ADVICE r11): a store built

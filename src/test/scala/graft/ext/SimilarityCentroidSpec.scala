@@ -301,6 +301,21 @@ class SimilarityCentroidSpec extends SparkSpec {
     assert(cells(d) === cells(d.repartition(7)))
   }
 
+  test("kmeansCellsByOccupancy ≡ kmeansCells with numCells = max(n/occupancy, 1)") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = d.count()
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // occupancy small enough to give several cells on the tiny fixture,
+    // plus the degenerate 1-cell floor (occupancy > n).
+    for (occ <- Seq(5, (n + 1).toInt)) {
+      val expectCells = math.max(n / occ, 1L).toInt
+      val scaled = m(Similarity.kmeansCellsByOccupancy(d, occupancy = occ))
+      val fixed = m(Similarity.kmeansCells(d, numCells = expectCells))
+      assert(scaled === fixed, s"occupancy $occ")
+    }
+  }
+
   test("labelCentroids is invariant to input partitioning (exact decimal sums)") {
     val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val a = Similarity.labelCentroids(d).orderBy("label", "dim")

@@ -212,4 +212,30 @@ class WarehouseOpsSpec extends SparkSpec {
       .select("probe_id", "match_id").as[(Long, Long)].collect().toSet
     assert(got === Set((2L, 1L)))
   }
+
+  test("nearDupLookup hot-band cap skips saturated buckets, keeps rare-band pairs") {
+    // 10 identical docs saturate ALL their shared band buckets at
+    // occupancy 10; a distinct near-dup pair occupies rare buckets.
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val clones = (10L to 19L).map(i =>
+      (i, "many copies of this exact boilerplate sentence repeat verbatim", "en"))
+    val docs = (Seq(
+      (1L, base, "en"),
+      (2L, base.replace("today", "tomorrow"), "en")) ++ clones)
+      .toDF("doc_id", "text", "lang")
+    val hr = Dedup.hashedShingleRows(docs)
+    val bands = Dedup.minhashBands(hr)
+    // Cap 5 < clone-cluster 10: every clone bucket is skipped, so clone
+    // pairs vanish; the (1,2) pair's buckets have occupancy 1–2 and
+    // survive — the documented recall trade, exactly.
+    val capped = Dedup.nearDupLookup(bands, hr, lit(true), maxBandOccupancy = 5)
+      .select("probe_id", "match_id").as[(Long, Long)].collect().toSet
+    assert(capped === Set((1L, 2L), (2L, 1L)))
+    // Default cap 64 > 10: nothing saturated, clone pairs all present.
+    val full = Dedup.nearDupLookup(bands, hr, lit(true))
+      .select("probe_id", "match_id").as[(Long, Long)].collect().toSet
+    val clonePairs = (for { a <- 10L to 19L; b <- 10L to 19L if a != b }
+      yield (a, b)).toSet
+    assert(full === clonePairs + ((1L, 2L)) + ((2L, 1L)))
+  }
 }
