@@ -54,10 +54,19 @@ object PipelineScale {
     for (dir <- dirs) {
       val root = java.nio.file.Files.createTempDirectory("graft-pipescale").toString
       val sink = new ParquetWarehouseSink(root)
+      // Inventory snapshots carry the product attributes the dim job
+      // refreshes from (the reference's closing snapshot is the dim
+      // source — Pipeline.run builds DimProducts from it).
+      import org.apache.spark.sql.functions.col
+      val productCols = Tables.part(spark, dir).select(
+        RetailMapping.skuCol(col("p_partkey")).as("sku"),
+        col("p_name").as("product_name"),
+        col("p_type").as("category"))
       def perDate(d: LocalDate) = (
         RetailMapping.rawSales(spark, dir, d),
         RetailMapping.snapshot(spark, dir, d.minusDays(1), "stock_on_hand"),
-        RetailMapping.snapshot(spark, dir, d, "stock_on_hand"))
+        RetailMapping.snapshot(spark, dir, d, "stock_on_hand")
+          .join(productCols, Seq("sku"), "left"))
       var total = 0.0
       for (d <- dates) {
         val (sales, open, close) = perDate(d)

@@ -32,12 +32,14 @@ private[graft] object QueriesSketches {
     // X2 × sketch — corpus-health drill-down: median / p90 quality
     // score per source from the centi-score histogram (the per-source
     // twin of quality_calibration's per-language percentiles; one
-    // histogram aggregate, bucket-scale windows).
+    // histogram aggregate, bucket-scale windows). `source` rides the
+    // stats projection (textStats carry param, r13): the former
+    // doc_id reunite join shuffled BOTH corpus-scale sides at any
+    // scale where neither broadcasts — the audited super-linear knee
+    // of the r12 sf10 run (12.8×/decade vs the ~10× map floor).
     "quality_by_source" -> ((s, dir) => {
-      val stats = TextOps.textStats(Tables.documents(s, dir))
-        .select(col("doc_id"), col("quality_score"))
-      val scored = Tables.documents(s, dir).select("doc_id", "source")
-        .join(stats, "doc_id")
+      val scored = TextOps.textStats(Tables.documents(s, dir), carry = Seq("source"))
+        .select(col("source"), col("quality_score"))
       ext.Stats.histogramQuantiles(scored, Seq("source"), "quality_score", 1L,
           Seq(50, 90))
         .orderBy("source")

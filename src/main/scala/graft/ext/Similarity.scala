@@ -144,9 +144,13 @@ object Similarity {
     * hyperplanes separates the pair; with L tables the miss probability
     * is pₘᵢₛₛᴸ, at a cost multiplier ≤ L on candidates. Pairs colliding
     * in several tables are deduped BEFORE the cosine, so verification
-    * pays each candidate once. The candidate list is bounded by the
-    * [[MaxProbes]] contract (probe-side), so its broadcast cannot grow
-    * with the corpus. `signatures` probes a persisted
+    * pays each candidate once. Only PROBE-scale frames are broadcast
+    * (the probe band rows and the probe embeddings — both ≤
+    * [[MaxProbes]]·L rows by contract): the CANDIDATE list grows
+    * ∝ probes · corpus/2^[[LshBits]] · L, so it flows through shuffle
+    * joins — broadcasting it measured a driver maxResultSize abort at
+    * the sf10 full-set run (1 GB of candidate×embedding rows collected
+    * for the broadcast; the r13 fix). `signatures` probes a persisted
     * [[lshSignaturesMulti]] store; `tables = 1` reproduces [[topKLsh]]
     * exactly (spec-asserted).
     */
@@ -163,9 +167,10 @@ object Similarity {
       .select(col("probe_id"), col("vec_id").as("neighbor_id"))
       .distinct()
     topK(
-      broadcast(cand.join(pr, "probe_id"))
+      cand
         .join(embeddings.select(col("vec_id").as("neighbor_id"),
           col("embedding").as("n_emb")), "neighbor_id")
+        .join(broadcast(pr), "probe_id")
         .select(col("probe_id"), col("neighbor_id"),
           TextOps.trunc6(CosineSimilarity(col("p_emb"), col("n_emb"))).as("cosine")),
       k)

@@ -61,15 +61,23 @@ object TextOps {
   def trunc6(c: Column): Column = floor(c * 1000000) / 1000000
 
   /** Per-document statistics + composite quality score.
-    * Output: doc_id, n_tokens, n_distinct_tokens, n_chars, avg_token_len,
-    * punct_ratio, stopword_ratio, quality_score.
+    * Output: doc_id[, carry…], n_tokens, n_distinct_tokens, n_chars,
+    * avg_token_len, punct_ratio, stopword_ratio, quality_score.
+    *
+    * `carry` names input columns to pass through beside doc_id — the
+    * zero-join way for a grouped consumer (quality_by_source's
+    * per-source histogram) to keep its group key: re-uniting stats
+    * with the corpus by a doc_id join costs a corpus-wide exchange of
+    * BOTH sides at any scale where neither broadcasts, for a column
+    * the scan already had in hand.
     */
-  def textStats(docs: DataFrame): DataFrame = {
+  def textStats(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val en = inList(langProfiles.head._2)
     docs
-      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(Seq(col("doc_id"), col("text"), tokens(col("text")).as("toks")) ++
+        carry.map(col): _*)
       .select(
-        col("doc_id"),
+        Seq(col("doc_id")) ++ carry.map(col) ++ Seq(
         size(col("toks")).as("n_tokens"),
         size(array_distinct(col("toks"))).as("n_distinct_tokens"),
         length(col("text")).as("n_chars"),
@@ -81,7 +89,7 @@ object TextOps {
           length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", ""))) /
           greatest(length(col("text")), lit(1)).cast("double")).as("punct_ratio"),
         trunc4(expr(s"size(filter(toks, t -> t IN $en))") /
-          size(col("toks")).cast("double")).as("stopword_ratio"))
+          size(col("toks")).cast("double")).as("stopword_ratio")): _*)
       .withColumn("quality_score", trunc4(
         lit(0.4) * least(lit(1.0), col("n_tokens") / lit(50.0)) +
           lit(0.3) * (lit(1.0) - col("punct_ratio")) +
