@@ -329,13 +329,15 @@ object Dedup {
     */
   def containmentNearDupStratified(docs: DataFrame, threshold: Double = 0.8,
       ratioCut: Double = 2.0, minSigMatches: Int = 2,
-      broadcastCandidates: Boolean = false, strata: Int = 2): DataFrame =
+      broadcastCandidates: Boolean = false, strata: Int = 2,
+      maxSigOccupancy: Int = 0): DataFrame =
     // hr feeds three consumers (bands, sig rows, verification sets):
     // checkpoint so tokenize+shingle runs once, the corpusManifest
     // precedent.
     containmentNearDupStratifiedFromHashes(
       hashedShingleRows(docs).localCheckpoint(), threshold, ratioCut,
-      minSigMatches, broadcastCandidates, strata)
+      minSigMatches, broadcastCandidates, strata,
+      maxSigOccupancy = maxSigOccupancy)
 
   /** [[containmentNearDupStratified]] over a precomputed — and already
     * MATERIALIZED (checkpointed/persisted store) — [[hashedShingleRows]]
@@ -345,17 +347,22 @@ object Dedup {
   def containmentNearDupStratifiedFromHashes(hr: DataFrame,
       threshold: Double = 0.8, ratioCut: Double = 2.0,
       minSigMatches: Int = 2, broadcastCandidates: Boolean = false,
-      strata: Int = 2, bands: Option[DataFrame] = None): DataFrame = {
+      strata: Int = 2, bands: Option[DataFrame] = None,
+      maxSigOccupancy: Int = 0): DataFrame = {
     require(strata == 2 || strata == 3, s"strata must be 2 or 3, got $strata")
     // Sig rows carry the set size from their own aggregate — no second
     // size aggregate, no doc_id reunite join.
     val sized = minhashSigRows(hr)
     val skew =
-      if (strata == 2) skewCandidates(sized, ratioCut, minSigMatches)
+      if (strata == 2)
+        skewCandidates(sized, ratioCut, minSigMatches,
+          maxSigOccupancy = maxSigOccupancy)
       else
         skewCandidates(sized, ratioCut, minSigMatches,
-          hiRatio = Some(ratioCut * ratioCut))
-          .union(skewCandidates(sized, ratioCut * ratioCut, 1))
+          hiRatio = Some(ratioCut * ratioCut),
+          maxSigOccupancy = maxSigOccupancy)
+          .union(skewCandidates(sized, ratioCut * ratioCut, 1,
+            maxSigOccupancy = maxSigOccupancy))
     scoredPairs(hr,
       bandedCandidates(bands.getOrElse(minhashBands(hr))).union(skew),
       broadcastCandidates)
@@ -375,12 +382,34 @@ object Dedup {
     * volume sub-quadratic on boilerplate-heavy corpora (see the
     * caller's scaladoc for the firing-rate arithmetic).
     */
+  /** @param maxSigOccupancy opt-in hot-bucket bound (> 0 enables): skip
+    *   (sig_idx, sig_val) buckets holding more than this many documents
+    *   — the [[nearDupLookup]] hot-band cap applied to the permissive
+    *   1-row-band channel, whose posting lists are the family's most
+    *   saturation-sensitive (a popular min-shingle's bucket grows with
+    *   every document that carries it; the r13 sf10 full-set run
+    *   measured the stratified query at 21.6×/decade from exactly this
+    *   class of growth). Recall trade as documented at the call sites:
+    *   a skewed pair is lost only if ALL its ≥ minSigMatches collision
+    *   buckets are saturated. Default 0 = unbounded (the declared
+    *   query's contract).
+    */
   private[ext] def skewCandidates(sized: DataFrame, ratioCut: Double,
-      minSigMatches: Int, hiRatio: Option[Double] = None): DataFrame = {
+      minSigMatches: Int, hiRatio: Option[Double] = None,
+      maxSigOccupancy: Int = 0): DataFrame = {
+    val base =
+      if (maxSigOccupancy <= 0) sized
+      else {
+        val hot = sized.groupBy("sig_idx", "sig_val")
+          .agg(count(lit(1)).as("__occ"))
+          .where(col("__occ") > maxSigOccupancy)
+          .select("sig_idx", "sig_val")
+        sized.join(hot, Seq("sig_idx", "sig_val"), "left_anti")
+      }
     val big = greatest(col("a.n"), col("b.n"))
     val small = least(col("a.n"), col("b.n"))
-    sized.as("a")
-      .join(sized.as("b"),
+    base.as("a")
+      .join(base.as("b"),
         col("a.sig_idx") === col("b.sig_idx") &&
           col("a.sig_val") === col("b.sig_val") &&
           col("a.doc_id") < col("b.doc_id") &&

@@ -369,6 +369,19 @@ class DedupPropertySpec extends AnyFunSuite {
       assert(out.contains((i.toLong, 200L + j, 1.0)),
         s"planted contained pair ($i, ${200 + j}) must survive the bounded channel")
     }
+    // Opt-in sig-bucket occupancy cap (the probe_near_dups hot-band
+    // trade applied to this channel): the boilerplate min-shingle
+    // buckets — exactly the saturated ones — are skipped, cutting
+    // candidates further, while the planted pairs' rare buckets keep
+    // them candidates (recall preserved on this fixture).
+    val capped = Dedup.skewCandidates(sized, 2.0, 2, maxSigOccupancy = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.size <= bounded,
+      s"occupancy cap must not add candidates (capped=${capped.size} bounded=$bounded)")
+    plantedOf.zipWithIndex.foreach { case (i, j) =>
+      assert(capped.contains((i.toLong, 200L + j)),
+        s"planted pair ($i, ${200 + j}) must survive the occupancy cap")
+    }
   }
 
   test("3-stratum mode recovers extreme-ratio contained docs the 2-stratum gate forfeits") {
