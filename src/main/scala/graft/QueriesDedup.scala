@@ -68,10 +68,15 @@ private[graft] object QueriesDedup {
         .orderBy("doc_a", "doc_b")),
 
     // X4 — size-stratified containment: the banded channel plus a
-    // 1-row-band channel gated to skewed-size pairs (LSH-Ensemble lite).
+    // 1-row-band channel gated to skewed-size pairs (LSH-Ensemble
+    // lite). The skew channel runs under the sig-bucket occupancy cap
+    // (≤ 64 docs per (sig_idx, sig_val) bucket — the probe_near_dups
+    // hot-band trade; oracle mirrors it): saturated min-shingle
+    // buckets are pure noise candidates on a dense corpus, measured
+    // 225.8 → 74.1 s at sf10 with IDENTICAL output (CapKnob, r13).
     "containment_stratified" -> ((s, dir) =>
       Dedup.containmentNearDupStratifiedFromHashes(minhashStore(s, dir),
-        bands = Some(minhashBandsStore(s, dir)))
+        bands = Some(minhashBandsStore(s, dir)), maxSigOccupancy = 64)
         .orderBy("doc_a", "doc_b")),
 
     // X1/X4 — duplicate groups: connected components over the verified
@@ -198,8 +203,11 @@ private[graft] object QueriesDedup {
       val sigList = (0 until Dedup.SigCount).map(i => s"sig$i").mkString("[", ", ", "]")
       s"""WITH ${minhashBaseCtes()},
          |sz AS (SELECT doc_id, len(hs) AS n FROM hh),
-         |sb AS (SELECT doc_id, unnest(range(0, ${Dedup.SigCount})) AS si,
+         |sb0 AS (SELECT doc_id, unnest(range(0, ${Dedup.SigCount})) AS si,
          |              unnest($sigList) AS sv FROM sg),
+         |sb AS (SELECT sb0.* FROM sb0
+         |       JOIN (SELECT si, sv FROM sb0 GROUP BY 1, 2
+         |             HAVING count(*) <= 64) occ USING (si, sv)),
          |cb AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |       FROM bd a JOIN bd b
          |         ON a.band_idx = b.band_idx AND a.band_val = b.band_val
