@@ -104,7 +104,8 @@ object ExtQueries {
   private[graft] def dupGroupsStore(s: SparkSession, dir: String): DataFrame =
     store(s, dir, "dup_group_labels")(
       Dedup.dupGroupsFromHashes(minhashStore(s, dir),
-        bands = Some(minhashBandsStore(s, dir))))
+        bands = Some(minhashBandsStore(s, dir)),
+        maxBandOccupancy = BandCap))
 
   /** The MANIFEST-scoped group-label store: near-dup labels over the
     * manifest's KEEPER set (quality survivors of the doc_id % 20 != 0
@@ -123,7 +124,8 @@ object ExtQueries {
         .where(col("reasons") === "").select("doc_id")
       Dedup.dupGroupsFromHashes(
         minhashStore(s, dir).join(keepIds, "doc_id"),
-        bands = Some(minhashBandsStore(s, dir).join(keepIds, "doc_id")))
+        bands = Some(minhashBandsStore(s, dir).join(keepIds, "doc_id")),
+        maxBandOccupancy = BandCap)
     }
 
   /** The DISTINCT (doc_id, h) 8-token-shingle store — the k-shingle
@@ -371,15 +373,43 @@ object ExtQueries {
        |JOIN hh sb ON sb.doc_id = $bId
        |WHERE jaccard >= 0.5)""".stripMargin
 
+  /** The declared pair family's band-bucket occupancy cap (r14): every
+    * declared query riding the 2-row-band candidate channel passes this
+    * to [[Dedup.bandedCandidates]]-backed APIs, and the oracle twins
+    * mirror it through [[cappedBandCte]]. 64 = the probe_near_dups /
+    * containment_stratified precedent (r13: 225.8 → 74.1 s at sf10 with
+    * identical output); the CapKnob adjudication for the pair channel
+    * itself is recorded in BASELINE.md r14.
+    */
+  private[graft] val BandCap = 64
+
+  /** Occupancy-capped band table `bdc` — the oracle twin of
+    * [[Dedup.bandedCandidates]]'s hot-bucket census: buckets holding
+    * more than `cap` documents are skipped; `cap ≤ 0` passes `bd`
+    * through unchanged.
+    */
+  private[graft] def cappedBandCte(cap: Int): String =
+    if (cap <= 0) "bdc AS (SELECT * FROM bd)"
+    else
+      s"""bdc AS (SELECT bd.* FROM bd
+         |        JOIN (SELECT band_idx, band_val FROM bd
+         |              GROUP BY 1, 2 HAVING count(*) <= $cap) occ
+         |          USING (band_idx, band_val))""".stripMargin
+
   /** Full-corpus verified MinHash pair chain ending in
     * `vp(doc_a, doc_b, jaccard)` — `near_dup_minhash` selects from it
     * directly; `dup_groups` appends the recursive connected-components
-    * CTEs on top.
+    * CTEs on top. Candidates come from the occupancy-capped band table
+    * (`maxBandOccupancy`, default [[BandCap]] — every declared consumer
+    * of the pair family runs the capped channel; pass 0 for the
+    * unbounded form).
     */
-  private[graft] def minhashCtes(src: String = "documents"): String =
+  private[graft] def minhashCtes(src: String = "documents",
+      maxBandOccupancy: Int = BandCap): String =
     s"""${minhashBaseCtes(src)},
+       |${cappedBandCte(maxBandOccupancy)},
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |         FROM bd a JOIN bd b
+       |         FROM bdc a JOIN bdc b
        |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        |          AND a.doc_id < b.doc_id),
        |${verifiedPairsCte("vp", "doc_a", "doc_b")}""".stripMargin

@@ -73,7 +73,10 @@ object GramDiag {
       // True candidate volume (distinct pairs after the size-ratio
       // residual) and verification wall — only when the analytic bound
       // says it is feasible.
-      val bound = prof.agg(sum(col("p") * col("p"))).head.getLong(0)
+      // coalesce: sum over zero rows is null (an empty corpus dir must
+      // report bound 0, not abort the multi-dir sweep).
+      val bound = prof.agg(coalesce(sum(col("p") * col("p")), lit(0L)))
+        .head.getLong(0)
       if (bound <= 2e9) {
         val cand = timed("cand_distinct")(
           pfx.as("a").join(pfx.as("b"),

@@ -32,9 +32,17 @@ private[graft] object QueriesDedup {
     // every later bench pass) measure band-join + verification, the
     // steady-state cost of the store-backed plan. Same discipline as
     // the ANN/KMV stores above; results are store-warmth invariant.
+    // The candidate channel runs under the band-bucket occupancy cap
+    // (≤ BandCap docs per (band_idx, band_val) bucket; oracle mirrors
+    // it): saturated buckets are shared-background collisions on a
+    // dense corpus — pure noise candidates whose Σocc² cost measured
+    // 14×/decade uncapped at sf10 (r13) — while a true pair at J ≥ 0.5
+    // collides in ~4 independent bands, so it is lost only if ALL of
+    // them saturate. Recall delta adjudicated in BASELINE.md r14.
     "near_dup_minhash" -> ((s, dir) =>
       Dedup.nearDupMinhashFromHashes(minhashStore(s, dir),
-        bands = Some(minhashBandsStore(s, dir)))
+        bands = Some(minhashBandsStore(s, dir)),
+        maxBandOccupancy = BandCap)
         .orderBy("doc_a", "doc_b")),
 
     // X4 — SimHash banded near-dup, Hamming ≤ 3; probes the simhash
@@ -62,9 +70,12 @@ private[graft] object QueriesDedup {
 
     // X4 — containment near-dup: |A∩B| / min(|A|,|B|) ≥ 0.8 over the
     // same banded candidates (partial-copy detection).
+    // Runs under the same band-occupancy cap as near_dup_minhash (the
+    // two queries share the candidate channel).
     "containment_near_dup" -> ((s, dir) =>
       Dedup.containmentNearDupFromHashes(minhashStore(s, dir),
-        bands = Some(minhashBandsStore(s, dir)))
+        bands = Some(minhashBandsStore(s, dir)),
+        maxBandOccupancy = BandCap)
         .orderBy("doc_a", "doc_b")),
 
     // X4 — size-stratified containment: the banded channel plus a
@@ -76,7 +87,8 @@ private[graft] object QueriesDedup {
     // 225.8 → 74.1 s at sf10 with IDENTICAL output (CapKnob, r13).
     "containment_stratified" -> ((s, dir) =>
       Dedup.containmentNearDupStratifiedFromHashes(minhashStore(s, dir),
-        bands = Some(minhashBandsStore(s, dir)), maxSigOccupancy = 64)
+        bands = Some(minhashBandsStore(s, dir)), maxSigOccupancy = 64,
+        maxBandOccupancy = BandCap)
         .orderBy("doc_a", "doc_b")),
 
     // X1/X4 — duplicate groups: connected components over the verified
@@ -95,7 +107,8 @@ private[graft] object QueriesDedup {
     "source_overlap" -> ((s, dir) =>
       Dedup.sourceOverlapFromHashes(
         Tables.documents(s, dir), minhashStore(s, dir),
-        bands = Some(minhashBandsStore(s, dir)))
+        bands = Some(minhashBandsStore(s, dir)),
+        maxBandOccupancy = BandCap)
         .orderBy("source_a", "source_b")),
 
     // Corpus — repeated-span detection (word-8-gram approximation of
@@ -117,10 +130,14 @@ private[graft] object QueriesDedup {
       // at-scale contract of nearDupAgainstStore.
       val hrE = minhashStore(s, dir)
         .where(pmod(col("doc_id"), lit(10)) < 8)
+      // Band-occupancy cap over the unioned (store + batch) band table
+      // — the family-wide r14 trade; census ≡ full-corpus bd, mirrored
+      // by the oracle's bdc gate.
       Dedup.nearDupAgainstStore(
         minhashBandsStore(s, dir).where(pmod(col("doc_id"), lit(10)) < 8),
         Dedup.shingleSets(hrE),
-        docs.where(pmod(col("doc_id"), lit(10)) >= 8))
+        docs.where(pmod(col("doc_id"), lit(10)) >= 8),
+        maxBandOccupancy = BandCap)
         .orderBy("doc_new", "doc_match")
     }),
 
@@ -157,7 +174,7 @@ private[graft] object QueriesDedup {
     // exactly by the oracle's occupancy gate.
     "probe_near_dups" -> ((s, dir) =>
       Dedup.nearDupLookup(minhashBandsStore(s, dir), minhashStore(s, dir),
-          pmod(col("doc_id"), lit(3)) === 0)
+          pmod(col("doc_id"), lit(3)) === 0, maxBandOccupancy = BandCap)
         .orderBy("probe_id", "match_id")),
 
     // Corpus — RefinedWeb-style boilerplate line removal.
@@ -179,11 +196,13 @@ private[graft] object QueriesDedup {
          |SELECT doc_a, doc_b, jaccard FROM vp
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    // Same banded candidates as near_dup_minhash, containment-verified.
+    // Same banded candidates as near_dup_minhash (occupancy-capped),
+    // containment-verified.
     "containment_near_dup" ->
       s"""WITH ${minhashBaseCtes()},
+         |${cappedBandCte(BandCap)},
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM bd a JOIN bd b
+         |         FROM bdc a JOIN bdc b
          |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
          |          AND a.doc_id < b.doc_id),
          |vc AS (SELECT doc_a, doc_b,
@@ -208,8 +227,9 @@ private[graft] object QueriesDedup {
          |sb AS (SELECT sb0.* FROM sb0
          |       JOIN (SELECT si, sv FROM sb0 GROUP BY 1, 2
          |             HAVING count(*) <= 64) occ USING (si, sv)),
+         |${cappedBandCte(BandCap)},
          |cb AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |       FROM bd a JOIN bd b
+         |       FROM bdc a JOIN bdc b
          |         ON a.band_idx = b.band_idx AND a.band_val = b.band_val
          |        AND a.doc_id < b.doc_id),
          |c1 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -289,8 +309,9 @@ private[graft] object QueriesDedup {
     // existing pairs never form, mirroring Dedup.nearDupIncremental.
     "dedup_incremental" ->
       s"""WITH ${minhashBaseCtes()},
+         |${cappedBandCte(BandCap)},
          |cand AS (SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_match
-         |         FROM bd a JOIN bd b
+         |         FROM bdc a JOIN bdc b
          |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
          |          AND a.doc_id % 10 >= 8 AND a.doc_id != b.doc_id
          |          AND (b.doc_id % 10 < 8 OR b.doc_id < a.doc_id)),
@@ -408,10 +429,7 @@ private[graft] object QueriesDedup {
     // from the a-side probe filter alone.
     "probe_near_dups" ->
       s"""WITH ${minhashBaseCtes()},
-         |bdc AS (SELECT bd.* FROM bd
-         |        JOIN (SELECT band_idx, band_val FROM bd
-         |              GROUP BY 1, 2 HAVING count(*) <= 64) occ
-         |          USING (band_idx, band_val)),
+         |${cappedBandCte(BandCap)},
          |cand AS (SELECT DISTINCT a.doc_id AS probe_id, b.doc_id AS match_id
          |         FROM bdc a JOIN bdc b
          |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val

@@ -203,8 +203,10 @@ object Dedup {
     if (pin) broadcast(df) else df
 
   def nearDupMinhash(docs: DataFrame, threshold: Double = 0.5,
-      broadcastCandidates: Boolean = false): DataFrame =
-    nearDupMinhashFromHashes(hashedShingleRows(docs), threshold, broadcastCandidates)
+      broadcastCandidates: Boolean = false,
+      maxBandOccupancy: Int = 0): DataFrame =
+    nearDupMinhashFromHashes(hashedShingleRows(docs), threshold,
+      broadcastCandidates, maxBandOccupancy = maxBandOccupancy)
 
   /** [[nearDupMinhash]] over a precomputed [[hashedShingleRows]] frame.
     * The hr subtree is consumed SEVERAL times below (both sides of the
@@ -214,10 +216,11 @@ object Dedup {
     */
   def nearDupMinhashFromHashes(hr: DataFrame, threshold: Double = 0.5,
       broadcastCandidates: Boolean = false,
-      bands: Option[DataFrame] = None): DataFrame =
+      bands: Option[DataFrame] = None,
+      maxBandOccupancy: Int = 0): DataFrame =
     // |A ∪ B| = |A| + |B| − |A ∩ B| for distinct inputs: one codegen'd
     // two-pointer merge yields exact Jaccard per candidate.
-    bandedScoredPairs(hr, broadcastCandidates, bands)
+    bandedScoredPairs(hr, broadcastCandidates, bands, maxBandOccupancy)
       .withColumn("jaccard", TextOps.trunc6(col("inter") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double")))
       .where(col("jaccard") >= threshold)
@@ -242,9 +245,10 @@ object Dedup {
     * already containment-exact for every candidate surfaced.
     */
   def containmentNearDup(docs: DataFrame, threshold: Double = 0.8,
-      broadcastCandidates: Boolean = false): DataFrame =
+      broadcastCandidates: Boolean = false,
+      maxBandOccupancy: Int = 0): DataFrame =
     containmentNearDupFromHashes(hashedShingleRows(docs), threshold,
-      broadcastCandidates)
+      broadcastCandidates, maxBandOccupancy = maxBandOccupancy)
 
   /** [[containmentNearDup]] over a precomputed [[hashedShingleRows]]
     * frame — the signature-store probe form (see
@@ -252,8 +256,9 @@ object Dedup {
     */
   def containmentNearDupFromHashes(hr: DataFrame, threshold: Double = 0.8,
       broadcastCandidates: Boolean = false,
-      bands: Option[DataFrame] = None): DataFrame =
-    bandedScoredPairs(hr, broadcastCandidates, bands)
+      bands: Option[DataFrame] = None,
+      maxBandOccupancy: Int = 0): DataFrame =
+    bandedScoredPairs(hr, broadcastCandidates, bands, maxBandOccupancy)
       .withColumn("containment", TextOps.trunc6(col("inter") /
         least(size(col("sh_a")), size(col("sh_b"))).cast("double")))
       .where(col("containment") >= threshold)
@@ -330,14 +335,14 @@ object Dedup {
   def containmentNearDupStratified(docs: DataFrame, threshold: Double = 0.8,
       ratioCut: Double = 2.0, minSigMatches: Int = 2,
       broadcastCandidates: Boolean = false, strata: Int = 2,
-      maxSigOccupancy: Int = 0): DataFrame =
+      maxSigOccupancy: Int = 0, maxBandOccupancy: Int = 0): DataFrame =
     // hr feeds three consumers (bands, sig rows, verification sets):
     // checkpoint so tokenize+shingle runs once, the corpusManifest
     // precedent.
     containmentNearDupStratifiedFromHashes(
       hashedShingleRows(docs).localCheckpoint(), threshold, ratioCut,
       minSigMatches, broadcastCandidates, strata,
-      maxSigOccupancy = maxSigOccupancy)
+      maxSigOccupancy = maxSigOccupancy, maxBandOccupancy = maxBandOccupancy)
 
   /** [[containmentNearDupStratified]] over a precomputed — and already
     * MATERIALIZED (checkpointed/persisted store) — [[hashedShingleRows]]
@@ -348,7 +353,7 @@ object Dedup {
       threshold: Double = 0.8, ratioCut: Double = 2.0,
       minSigMatches: Int = 2, broadcastCandidates: Boolean = false,
       strata: Int = 2, bands: Option[DataFrame] = None,
-      maxSigOccupancy: Int = 0): DataFrame = {
+      maxSigOccupancy: Int = 0, maxBandOccupancy: Int = 0): DataFrame = {
     require(strata == 2 || strata == 3, s"strata must be 2 or 3, got $strata")
     // Sig rows carry the set size from their own aggregate — no second
     // size aggregate, no doc_id reunite join.
@@ -364,7 +369,8 @@ object Dedup {
           .union(skewCandidates(sized, ratioCut * ratioCut, 1,
             maxSigOccupancy = maxSigOccupancy))
     scoredPairs(hr,
-      bandedCandidates(bands.getOrElse(minhashBands(hr))).union(skew),
+      bandedCandidates(bands.getOrElse(minhashBands(hr)), maxBandOccupancy)
+        .union(skew),
       broadcastCandidates)
       .withColumn("containment", TextOps.trunc6(col("inter") /
         least(size(col("sh_a")), size(col("sh_b"))).cast("double")))
@@ -428,18 +434,51 @@ object Dedup {
     */
   private def bandedScoredPairs(hr: DataFrame,
       broadcastCandidates: Boolean,
-      bands: Option[DataFrame] = None): DataFrame =
-    scoredPairs(hr, bandedCandidates(bands.getOrElse(minhashBands(hr))),
+      bands: Option[DataFrame] = None,
+      maxBandOccupancy: Int = 0): DataFrame =
+    scoredPairs(hr,
+      bandedCandidates(bands.getOrElse(minhashBands(hr)), maxBandOccupancy),
       broadcastCandidates)
 
   /** The standard 2-row-band candidate channel: pairs sharing any packed
     * band key (doc_a < doc_b). Takes the BAND TABLE (the signature
     * store's at-rest half, [[minhashBands]]) directly, so a persisted
     * store skips the 16-permutation min-aggregate entirely.
+    *
+    * @param maxBandOccupancy opt-in hot-bucket bound (> 0 enables):
+    *   band buckets holding more than this many documents are skipped —
+    *   the [[nearDupLookup]] hot-band cap applied to the family's pair
+    *   channel. Without it, candidate volume is bounded only by
+    *   Σ occupancy² over the posting buckets, and saturated buckets DO
+    *   occur at scale: a healthy banded store runs occupancy ~1–2, but
+    *   shared-background band values grow with every document that
+    *   carries them (the r13 sf10 full-set run measured the uncapped
+    *   channel at 14×/decade from exactly this class of growth). With
+    *   the cap, candidate volume is ≤ Σ min(occ, cap)² — linear in the
+    *   corpus once buckets saturate. Recall trade, documented at the
+    *   declared call sites: a true pair is lost only if EVERY band it
+    *   collides in is saturated; a near-dup pair at J ≥ 0.5 collides in
+    *   ≈ J²·16 ≈ 4 independent bands, and duplicate clusters above the
+    *   cap are the case [[exact]] dedup already answers without pair
+    *   enumeration. The census is one aggregate over the band store —
+    *   at rest it is maintained with the store itself. Default 0 =
+    *   unbounded (the API contract; callers opt in per corpus).
     */
-  private def bandedCandidates(banded: DataFrame): DataFrame = {
-    banded.as("a")
-      .join(banded.as("b"),
+  private def bandedCandidates(banded: DataFrame,
+      maxBandOccupancy: Int = 0): DataFrame = {
+    val base =
+      if (maxBandOccupancy <= 0) banded
+      else {
+        // Saturated-bucket list: tiny (only buckets above the cap), so
+        // the anti join broadcasts it via AQE.
+        val hot = banded.groupBy("band_idx", "band_val")
+          .agg(count(lit(1)).as("__occ"))
+          .where(col("__occ") > maxBandOccupancy)
+          .select("band_idx", "band_val")
+        banded.join(hot, Seq("band_idx", "band_val"), "left_anti")
+      }
+    base.as("a")
+      .join(base.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -527,12 +566,25 @@ object Dedup {
     */
   def nearDupAgainstStore(existingBands: DataFrame, existingSets: DataFrame,
       incoming: DataFrame, threshold: Double = 0.5,
-      broadcastCandidates: Boolean = false): DataFrame = {
+      broadcastCandidates: Boolean = false,
+      maxBandOccupancy: Int = 0): DataFrame = {
     val hrI = hashedShingleRows(incoming)
-    val bands = existingBands
+    val bands0 = existingBands
       .select(col("doc_id"), col("band_idx"), col("band_val")) // store col order free
       .withColumn("is_new", lit(false))
       .unionByName(minhashBands(hrI).withColumn("is_new", lit(true)))
+    // Opt-in hot-band cap over the UNIONED band table (store + batch) —
+    // the [[bandedCandidates]] occupancy census applied to the
+    // incremental channel; default 0 = unbounded.
+    val bands =
+      if (maxBandOccupancy <= 0) bands0
+      else {
+        val hot = bands0.groupBy("band_idx", "band_val")
+          .agg(count(lit(1)).as("__occ"))
+          .where(col("__occ") > maxBandOccupancy)
+          .select("band_idx", "band_val")
+        bands0.join(hot, Seq("band_idx", "band_val"), "left_anti")
+      }
     val probe = bands.where(col("is_new"))
     val cand = probe.as("a")
       .join(bands.as("b"),
@@ -596,15 +648,22 @@ object Dedup {
     * the store itself and the skip is a partition-pruned read.
     */
   def nearDupLookup(storeBands: DataFrame, hr: DataFrame, probe: Column,
-      threshold: Double = 0.5, maxBandOccupancy: Int = 64): DataFrame = {
+      threshold: Double = 0.5, maxBandOccupancy: Int = 0): DataFrame = {
     // Saturated-bucket list: tiny (only buckets above the cap), so the
     // anti joins below broadcast it; the aggregate is one scan of the
     // band store (at rest: the store's maintained occupancy census).
-    val hot = storeBands.groupBy("band_idx", "band_val")
-      .agg(count(lit(1)).as("__occ"))
-      .where(col("__occ") > maxBandOccupancy)
-      .select("band_idx", "band_val")
-    val bands = storeBands.join(hot, Seq("band_idx", "band_val"), "left_anti")
+    // Default 0 = unbounded, matching every other occupancy knob in the
+    // family — the recall trade is opt-in at call sites (the declared
+    // probe_near_dups query passes 64).
+    val bands =
+      if (maxBandOccupancy <= 0) storeBands
+      else {
+        val hot = storeBands.groupBy("band_idx", "band_val")
+          .agg(count(lit(1)).as("__occ"))
+          .where(col("__occ") > maxBandOccupancy)
+          .select("band_idx", "band_val")
+        storeBands.join(hot, Seq("band_idx", "band_val"), "left_anti")
+      }
     val probeBands = bands.where(probe)
     val cand = probeBands.as("a")
       .join(bands.as("b"),
@@ -653,16 +712,19 @@ object Dedup {
     * leaves the cluster.
     */
   def dupGroups(docs: DataFrame, threshold: Double = 0.5,
-      maxIters: Int = 25): DataFrame =
-    dupGroupsFromHashes(hashedShingleRows(docs), threshold, maxIters)
+      maxIters: Int = 25, maxBandOccupancy: Int = 0): DataFrame =
+    dupGroupsFromHashes(hashedShingleRows(docs), threshold, maxIters,
+      maxBandOccupancy = maxBandOccupancy)
 
   /** [[dupGroups]] over a precomputed [[hashedShingleRows]] frame — see
     * [[nearDupMinhashFromHashes]] for why callers pass hr.
     */
   def dupGroupsFromHashes(hr: DataFrame, threshold: Double = 0.5,
-      maxIters: Int = 25, bands: Option[DataFrame] = None): DataFrame =
+      maxIters: Int = 25, bands: Option[DataFrame] = None,
+      maxBandOccupancy: Int = 0): DataFrame =
     connectedComponents(
-      nearDupMinhashFromHashes(hr, threshold, bands = bands)
+      nearDupMinhashFromHashes(hr, threshold, bands = bands,
+        maxBandOccupancy = maxBandOccupancy)
         .select("doc_a", "doc_b"),
       "doc_a", "doc_b", maxIters)
       .select(col("node").as("doc_id"), col("label").as("group_id"))
@@ -724,16 +786,20 @@ object Dedup {
     * broadcast when the pair side measures small. The rollup output is
     * |sources|², a constant-sized audit table at any corpus size.
     */
-  def sourceOverlap(docs: DataFrame, threshold: Double = 0.5): DataFrame =
-    sourceOverlapFromHashes(docs, hashedShingleRows(docs), threshold)
+  def sourceOverlap(docs: DataFrame, threshold: Double = 0.5,
+      maxBandOccupancy: Int = 0): DataFrame =
+    sourceOverlapFromHashes(docs, hashedShingleRows(docs), threshold,
+      maxBandOccupancy = maxBandOccupancy)
 
   /** [[sourceOverlap]] probing a precomputed [[hashedShingleRows]]
     * signature store; `docs` still supplies the (doc_id, source) map.
     */
   def sourceOverlapFromHashes(docs: DataFrame, hr: DataFrame,
-      threshold: Double = 0.5, bands: Option[DataFrame] = None): DataFrame = {
+      threshold: Double = 0.5, bands: Option[DataFrame] = None,
+      maxBandOccupancy: Int = 0): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
-    val pairs = nearDupMinhashFromHashes(hr, threshold, bands = bands)
+    val pairs = nearDupMinhashFromHashes(hr, threshold, bands = bands,
+      maxBandOccupancy = maxBandOccupancy)
       .withColumn("j_micro", round(col("jaccard") * 1000000).cast("long"))
     pairs
       .join(src.withColumnRenamed("doc_id", "doc_a")

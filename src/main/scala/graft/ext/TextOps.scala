@@ -72,6 +72,15 @@ object TextOps {
     * the scan already had in hand.
     */
   def textStats(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    // Carry columns pass through the two projections below unrenamed, so
+    // a collision with the working columns (doc_id/text/toks) or a stat
+    // output would produce ambiguous or silently-shadowed columns.
+    val reserved = Set("doc_id", "text", "toks", "n_tokens",
+      "n_distinct_tokens", "n_chars", "avg_token_len", "punct_ratio",
+      "stopword_ratio", "quality_score")
+    require(!carry.exists(reserved),
+      s"textStats carry columns ${carry.filter(reserved).mkString(", ")} " +
+        "collide with reserved input/output column names")
     val en = inList(langProfiles.head._2)
     docs
       .select(Seq(col("doc_id"), col("text"), tokens(col("text")).as("toks")) ++

@@ -231,11 +231,39 @@ class WarehouseOpsSpec extends SparkSpec {
     val capped = Dedup.nearDupLookup(bands, hr, lit(true), maxBandOccupancy = 5)
       .select("probe_id", "match_id").as[(Long, Long)].collect().toSet
     assert(capped === Set((1L, 2L), (2L, 1L)))
-    // Default cap 64 > 10: nothing saturated, clone pairs all present.
+    // Default 0 = unbounded: nothing skipped, clone pairs all present.
     val full = Dedup.nearDupLookup(bands, hr, lit(true))
       .select("probe_id", "match_id").as[(Long, Long)].collect().toSet
     val clonePairs = (for { a <- 10L to 19L; b <- 10L to 19L if a != b }
       yield (a, b)).toSet
     assert(full === clonePairs + ((1L, 2L)) + ((2L, 1L)))
+  }
+
+  test("pair-channel band cap skips saturated buckets, keeps rare-band pairs") {
+    // Same fixture as the lookup cap test, through the PAIR channel:
+    // nearDupMinhash/containmentNearDup/dupGroups share
+    // bandedCandidates' occupancy census.
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val clones = (10L to 19L).map(i =>
+      (i, "many copies of this exact boilerplate sentence repeat verbatim", "en"))
+    val docs = (Seq(
+      (1L, base, "en"),
+      (2L, base.replace("today", "tomorrow"), "en")) ++ clones)
+      .toDF("doc_id", "text", "lang")
+    val hr = Dedup.hashedShingleRows(docs)
+    val capped = Dedup.nearDupMinhashFromHashes(hr, maxBandOccupancy = 5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped === Set((1L, 2L)))
+    // Default 0 = unbounded: the clone cluster's pairs are all present.
+    val full = Dedup.nearDupMinhashFromHashes(hr)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val clonePairs = (for { a <- 10L to 19L; b <- 10L to 19L if a < b }
+      yield (a, b)).toSet
+    assert(full === clonePairs + ((1L, 2L)))
+    // Containment + groups ride the same census: capped groups keep the
+    // rare-band component only.
+    val groups = Dedup.dupGroupsFromHashes(hr, maxBandOccupancy = 5)
+      .select("doc_id", "group_id").as[(Long, Long)].collect().toSet
+    assert(groups === Set((1L, 1L), (2L, 1L)))
   }
 }
