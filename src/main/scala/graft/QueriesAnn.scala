@@ -134,6 +134,20 @@ private[graft] object QueriesAnn {
         .orderBy("probe_id", "rank")
     }),
 
+    // X3 — hard-negative mining over the OCCUPANCY-SCALED cells (the
+    // knn_join_scaled twin): the pinned 10-cell fixture above is
+    // Σ|cell|² = n²/10 (skipped at sf10); with cells = max(n/200, 1)
+    // the different-label pair join stays linear per corpus decade.
+    // THIS is the production miner; the fixture twin stays declared as
+    // the small-corpus form. Shares the ivf_cells_scaled store.
+    "hard_negatives_scaled" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val asg = store(s, dir, "ivf_cells_scaled")(
+        Similarity.kmeansCellsByOccupancy(emb))
+      castLongs(Similarity.hardNegatives(emb, assignments = Some(asg)), "rank")
+        .orderBy("probe_id", "rank")
+    }),
+
     // X1/X4 × corpus — LEAKAGE-SAFE dataset split: the hash split keyed
     // by each document's near-dup COMPONENT label instead of its own id,
     // so near-duplicates always land in the same split (doc-id hashing
@@ -221,9 +235,20 @@ private[graft] object QueriesAnn {
         .orderBy("probe_id", "rank")
     }),
 
-    // X3 — embedding-cosine near-dup pairs, cell-blocked candidates.
-    "embedding_near_dup" -> ((s, dir) =>
-      Similarity.nearDupCosine(Tables.embeddings(s, dir)).orderBy("vec_a", "vec_b")),
+    // X3 — embedding-cosine near-dup pairs, blocked on the OCCUPANCY-
+    // SCALED trained cells (r14 re-base: the former 10-fixed-label
+    // blocking was Σ|block|² = n²/10 — quadratic per decade, skipped at
+    // sf10; scaled cells pin occupancy so the pair join is linear per
+    // decade, the knn_join_scaled design point). Shares the
+    // ivf_cells_scaled store; the label-blocked triangle join remains
+    // the small-corpus API (Similarity.nearDupCosine, spec-covered).
+    "embedding_near_dup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val asg = store(s, dir, "ivf_cells_scaled")(
+        Similarity.kmeansCellsByOccupancy(emb))
+      Similarity.nearDupCosineCells(emb, assignments = Some(asg))
+        .orderBy("vec_a", "vec_b")
+    }),
 
     // X3 — int8 quantized embedding store (digested for the scalar-only
     // oracle compare; the operator itself returns the raw qvec array).
@@ -464,6 +489,20 @@ private[graft] object QueriesAnn {
          |SELECT probe_id, rank, neighbor_id, cosine FROM r
          |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
 
+    // Same different-label pair join over the occupancy-seeded k-means
+    // chain (the knn_join_scaled oracle pattern).
+    "hard_negatives_scaled" ->
+      s"""WITH ${kmeansCtes(Similarity.IvfTrainRounds, scaledSeedSql(200))},
+         |e2 AS (SELECT e.vec_id, e.embedding, e.label, a.cell
+         |  FROM embeddings e JOIN a${Similarity.IvfTrainRounds} a USING (vec_id)),
+         |pairs AS (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cosine
+         |  FROM e2 a JOIN e2 b ON a.cell = b.cell AND a.label != b.label),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
+         |SELECT probe_id, rank, neighbor_id, cosine FROM r
+         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
     "leakage_safe_split" ->
       s"""WITH RECURSIVE ${minhashCtes()},
          |$dupGroupCtes,
@@ -650,10 +689,15 @@ private[graft] object QueriesAnn {
          |SELECT vec_id, n_hits, cos AS max_cos, bench_id AS nearest_bench
          |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
+    // Within-cell pair join over the occupancy-seeded k-means chain
+    // (r14 re-base from the fixed-label blocking — see the entry note).
     "embedding_near_dup" ->
-      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cosSql AS cosine
-         |FROM embeddings a JOIN embeddings b
-         |  ON a.label = b.label AND a.vec_id < b.vec_id
+      s"""WITH ${kmeansCtes(Similarity.IvfTrainRounds, scaledSeedSql(200))},
+         |e2 AS (SELECT e.vec_id, e.embedding, a.cell
+         |  FROM embeddings e JOIN a${Similarity.IvfTrainRounds} a USING (vec_id))
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cosSql AS cosine
+         |FROM e2 a JOIN e2 b
+         |  ON a.cell = b.cell AND a.vec_id < b.vec_id
          |WHERE cosine >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
 

@@ -903,4 +903,33 @@ object Similarity {
         cos6.as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** [[nearDupCosine]] blocked on TRAINED OCCUPANCY-SCALED CELLS instead
+    * of the stored label — the production form at corpus scale. Label
+    * blocking partitions the pair space into a FIXED number of blocks,
+    * so Σ|block|² grows n²/|labels| (quadratic per decade — the r13
+    * sf10 run had to skip the label-blocked query at 4×10⁹ candidate
+    * pairs); [[kmeansCellsByOccupancy]]'s cell count grows with the
+    * corpus (cells = max(n/occupancy, 1)), pinning per-cell occupancy —
+    * and therefore Σ|cell|² ≈ n·occupancy — linear per decade, the same
+    * design point as [[knnJoin]]/[[semDedup]]. Recall is cell-scoped
+    * like every IVF consumer: a pair split across a cell border is
+    * missed (multi-probe assignment is the standard rescue). Candidates
+    * here are one cell-keyed shuffle join — nothing broadcast, no
+    * sub-block salting needed because occupancy bounds every join
+    * group. Output: vec_a, vec_b, cosine (truncated 6dp).
+    */
+  def nearDupCosineCells(embeddings: DataFrame, threshold: Double = 0.4,
+      occupancy: Int = 200,
+      assignments: Option[DataFrame] = None): DataFrame = {
+    val asg = assignments.getOrElse(kmeansCellsByOccupancy(embeddings, occupancy))
+    val e = embeddings.join(asg.select(col("vec_id"), col("cell")), "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cos6.as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
 }

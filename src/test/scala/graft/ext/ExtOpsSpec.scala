@@ -164,6 +164,26 @@ class ExtOpsSpec extends SparkSpec {
     assert(tri === naive) // no lost pairs at block boundaries, no duplicates
   }
 
+  test("cell-blocked near-dup equals the naive pair set over the same assignment") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val asg = Similarity.kmeansCellsByOccupancy(e, occupancy = 20)
+      .localCheckpoint()
+    val got = Similarity.nearDupCosineCells(e, threshold = 0.3,
+        assignments = Some(asg))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val e2 = e.join(asg, "vec_id")
+    val naive = e2.as("a")
+      .join(e2.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        TextOps.trunc6(CosineSimilarity(col("a.embedding"), col("b.embedding")))
+          .as("cosine"))
+      .where(col("cosine") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(naive.nonEmpty)
+    assert(got === naive)
+  }
+
   test("multimodal: mapPartitions decode agrees exactly with the expression variant") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
     val viaPartitions = Multimodal.featurizePartitions(Multimodal.withPayload(d))
