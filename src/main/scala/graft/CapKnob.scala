@@ -1,16 +1,18 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 import graft.ext.Dedup
 
-/** Measures the stratified skew channel's sig-bucket occupancy cap
-  * (CellKnob pattern): containment_stratified's plan with
-  * maxSigOccupancy ∈ {0 (declared, unbounded), 64} on one dataset —
-  * noop-sink materialization over a pre-materialized signature store,
-  * so the delta isolates the candidate channel. Output lines:
-  *   CAPKNOB <dir> cap=<c> <sec> rows=<n>
+/** Measures the banded channel's occupancy caps (CellKnob pattern),
+  * r14 edition: the three declared pair queries' plans with
+  * maxBandOccupancy ∈ {0 (unbounded), 64 (declared)} on each dataset —
+  * count() materialization over a pre-materialized signature store, so
+  * the delta isolates the candidate channel, and the row counts ARE the
+  * recall adjudication (rows(64) / rows(0) on identical verification).
+  * Stratified runs its declared sig-cap 64 in both arms so the band-cap
+  * delta is isolated there too. Output lines:
+  *   CAPKNOB <dir> <query> cap=<c> <sec> s rows=<n>
   */
 object CapKnob {
   def main(args: Array[String]): Unit = {
@@ -26,12 +28,21 @@ object CapKnob {
     for (dir <- dirs) {
       val hr = Dedup.hashedShingleRows(Tables.documents(spark, dir)).localCheckpoint()
       val bands = Dedup.minhashBands(hr).localCheckpoint()
-      for (cap <- Seq(0, 64)) {
+      def run(query: String, cap: Int)(mk: => org.apache.spark.sql.DataFrame): Unit = {
         val t0 = System.nanoTime()
-        val out = Dedup.containmentNearDupStratifiedFromHashes(
-          hr, bands = Some(bands), maxSigOccupancy = cap)
-        val n = out.count()
-        println(f"CAPKNOB $dir cap=$cap ${(System.nanoTime() - t0) / 1e9}%.1f s rows=$n")
+        val n = mk.count()
+        println(f"CAPKNOB $dir $query cap=$cap ${(System.nanoTime() - t0) / 1e9}%.1f s rows=$n")
+      }
+      for (cap <- Seq(0, 64)) {
+        run("near_dup_minhash", cap)(
+          Dedup.nearDupMinhashFromHashes(hr, bands = Some(bands),
+            maxBandOccupancy = cap))
+        run("containment_near_dup", cap)(
+          Dedup.containmentNearDupFromHashes(hr, bands = Some(bands),
+            maxBandOccupancy = cap))
+        run("containment_stratified", cap)(
+          Dedup.containmentNearDupStratifiedFromHashes(hr, bands = Some(bands),
+            maxSigOccupancy = 64, maxBandOccupancy = cap))
       }
     }
     spark.stop()

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampType
 
@@ -40,6 +41,52 @@ object TpchShapes {
     "CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"
 
   private def ts(d: String) = lit(d).cast(TimestampType)
+
+  /** DERIVED PARTSUPP — the driver testdata ships no partsupp table
+    * (FIXTURES.md), so the Q2/Q11/Q16/Q20 shapes run over a
+    * deterministic partsupp derived from `part` × the supplier count:
+    * 4 suppliers per part (the TPC-H fan-out), ps_suppkey spread by
+    * pure integer arithmetic over the contiguous 0-based key space,
+    * availqty/supplycost as integer hashes of the pair. Both engines
+    * derive the SAME rows from the same parquet inputs (the supplier
+    * count unrolls as a 1-row broadcast here and a scalar subquery in
+    * the oracle — the scaledSeedSql precedent), so the join/agg
+    * compositions those queries exist for are exercised end-to-end.
+    * The i·7 stride is collision-free per part whenever the supplier
+    * count is not a multiple of 7 (testdata: powers of 10).
+    *
+    * Scale: |partsupp| = 4·|part| rows, derived in-plan from the part
+    * scan — one projection + a 4-way explode, no shuffle; at 100 TB
+    * this is the table the ingest job would materialize once.
+    */
+  private def partsupp(s: SparkSession, dir: String): DataFrame = {
+    val sCnt = Tables.supplier(s, dir).agg(count(lit(1)).as("__s"))
+    Tables.part(s, dir).select("p_partkey")
+      .crossJoin(broadcast(sCnt))
+      .select(col("p_partkey"), explode(expr("sequence(0, 3)")).as("i"),
+        col("__s"))
+      .withColumn("ps_suppkey",
+        (col("p_partkey") * 13 + col("i") * 7 + 1) % col("__s"))
+      .select(col("p_partkey").as("ps_partkey"), col("ps_suppkey"),
+        ((col("p_partkey") * 7 + col("ps_suppkey") * 11) % 9999 + 1)
+          .cast("long").as("ps_availqty"),
+        ((col("p_partkey") * 31 + col("ps_suppkey") * 17) % 90001 + 10000)
+          .cast("long").as("ps_supplycost_c"))
+  }
+
+  /** Oracle twin of [[partsupp]]: CTEs ending in
+    * `ps(ps_partkey, ps_suppkey, ps_availqty, ps_supplycost_c)`.
+    */
+  private val partsuppSql: String =
+    """ps0 AS (SELECT p_partkey,
+      |          (p_partkey * 13 + u.i * 7 + 1) %
+      |            (SELECT count(*) FROM supplier) AS ps_suppkey
+      |        FROM part, unnest(range(0, 4)) AS u(i)),
+      |ps AS (SELECT p_partkey AS ps_partkey, ps_suppkey,
+      |         (p_partkey * 7 + ps_suppkey * 11) % 9999 + 1 AS ps_availqty,
+      |         (p_partkey * 31 + ps_suppkey * 17) % 90001 + 10000
+      |           AS ps_supplycost_c
+      |       FROM ps0)""".stripMargin
 
   def queries: Map[String, Q] = Map[String, Q](
 
@@ -392,6 +439,154 @@ object TpchShapes {
             col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
             .as("low_line_count"))
         .orderBy("ship_mode")
+    }),
+
+    // Q2 (adapted filters: p_type = LARGE, p_size ≤ 10; the testdata
+    // has no mfgr/comment) — minimum-cost supplier per part within one
+    // region, over the derived partsupp. The correlated MIN subquery
+    // becomes a per-part row_number window (deterministic s_suppkey
+    // tie-break) over the region-restricted join — the window sees ≤ 4
+    // rows per part, so it is a bounded-width WindowGroupLimit, never
+    // a second pass over partsupp. nation⋈region broadcast; part
+    // filter pushed to the scan; partsupp⋈part and ⋈supplier are key
+    // equi-joins (SMJ at scale, AQE broadcast at toy scale).
+    "q2_min_cost_supp" -> ((s, dir) => {
+      val eur = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)
+          .where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(eur), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val p = Tables.part(s, dir)
+        .where(col("p_type") === "LARGE" && col("p_size") <= 10)
+        .select("p_partkey", "p_name")
+      val w = Window.partitionBy("ps_partkey")
+        .orderBy(col("ps_supplycost_c"), col("ps_suppkey"))
+      partsupp(s, dir)
+        .join(p, col("ps_partkey") === col("p_partkey"))
+        .join(sup, col("ps_suppkey") === col("s_suppkey"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+          expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("s_acctbal_cents"),
+          col("ps_supplycost_c").as("min_cost_cents"))
+        .orderBy("p_partkey")
+    }),
+
+    // Q11 (adapted threshold: parts holding > 2× the MEAN stock value
+    // instead of TPC-H's 0.0001/SF fraction — the fixed fraction
+    // empties at large SF while the mean-multiple stays scale-free) —
+    // important stock held by one nation's suppliers. Value runs on
+    // the exact cents grid; the global total and group count are a
+    // 1-row broadcast, and the threshold is the integer
+    // cross-multiply value·n_parts > 2·total — no division, exact on
+    // both engines (the Q22 discipline).
+    "q11_important_stock" -> ((s, dir) => {
+      val n7 = Tables.nation(s, dir).where(col("n_name") === "NATION_7")
+        .select("n_nationkey")
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(n7), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val v = partsupp(s, dir)
+        .join(sup, col("ps_suppkey") === col("s_suppkey"), "left_semi")
+        .select(col("ps_partkey"),
+          (col("ps_supplycost_c") * col("ps_availqty")).as("value_c"))
+      val byPart = v.groupBy("ps_partkey")
+        .agg(sum("value_c").as("stock_value_cents"))
+      val tot = byPart.agg(sum("stock_value_cents").as("total_c"),
+        count(lit(1)).as("n_parts"))
+      byPart.crossJoin(broadcast(tot))
+        .where(col("stock_value_cents") * col("n_parts") >
+          col("total_c") * 2)
+        .select(col("ps_partkey"), col("stock_value_cents"))
+        .orderBy(col("stock_value_cents").desc, col("ps_partkey"))
+    }),
+
+    // Q16 (adapted: "customer complaints" exclusion becomes negative
+    // account balance — no comment column) — how many distinct
+    // suppliers can serve each surviving (brand, type, size) part
+    // class. Part filters pushed to the scan; the supplier exclusion
+    // is a left-anti join against the (tiny) flagged-supplier list;
+    // count_distinct shuffles once on the 3-part group key.
+    "q16_supplier_cnt" -> ((s, dir) => {
+      val badSup = Tables.supplier(s, dir).where(col("s_acctbal") < 0)
+        .select("s_suppkey")
+      val p = Tables.part(s, dir)
+        .where(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      partsupp(s, dir)
+        .join(p, col("ps_partkey") === col("p_partkey"))
+        .join(badSup, col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("ps_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // Q20 (adapted: p_name prefix 'small', 1996 ship year, one
+    // nation) — suppliers holding excess stock of promotion-candidate
+    // parts: ps_availqty > half the quantity they actually shipped.
+    // The correlated sum decorrelates to a per-(part, supplier)
+    // aggregate joined back on the pair key with the half-test as a
+    // join residual; candidate suppliers reach the nation-filtered
+    // supplier scan as a left-semi join. l_quantity values are
+    // integer-valued, so the double sum (and its exact binary halving)
+    // matches DuckDB bit-for-bit — the q1_agg precedent.
+    // Q9 (adapted: p_name prefix 'red' as the product-line filter) —
+    // profit by supplier nation and order year: revenue minus
+    // supplycost·quantity on the exact cents grid. The 5-way chain is
+    // all key equi-joins (part filter pushed and pruning the lineitem
+    // join early; partsupp joined on the (part, supplier) PAIR key;
+    // nation broadcast); l_quantity is integer-valued so the cents
+    // product is exact on both engines.
+    "q9_product_profit" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .where(col("p_name").startsWith("red")).select("p_partkey")
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      Tables.lineitem(s, dir)
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(partsupp(s, dir),
+          col("ps_partkey") === col("l_partkey") &&
+            col("ps_suppkey") === col("l_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("o_year"),
+          (revC - col("ps_supplycost_c") * col("l_quantity").cast("long"))
+            .as("amount_c"))
+        .groupBy("nation", "o_year")
+        .agg(sum("amount_c").as("profit_cents"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    "q20_promotion_suppliers" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .where(col("p_name").startsWith("small")).select("p_partkey")
+      val shipped = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1997-01-01"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum("l_quantity").as("qty"))
+      val cand = partsupp(s, dir)
+        .join(shipped, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey") &&
+          col("ps_availqty") > col("qty") * 0.5)
+        .select("ps_suppkey")
+      Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .where(col("n_name") === "NATION_3").select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(cand, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -566,5 +761,88 @@ object TpchShapes {
          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
          |  AND l_shipdate < TIMESTAMP '1997-01-01'
          |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
-         |GROUP BY 1 ORDER BY ship_mode""".stripMargin)
+         |GROUP BY 1 ORDER BY ship_mode""".stripMargin,
+
+    "q2_min_cost_supp" ->
+      s"""WITH $partsuppSql,
+         |eur AS (SELECT n_nationkey, n_name FROM nation
+         |        JOIN region ON n_regionkey = r_regionkey
+         |        WHERE r_name = 'EUROPE'),
+         |sup AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+         |        FROM supplier JOIN eur ON s_nationkey = n_nationkey),
+         |j AS (SELECT p_partkey, p_name, s_name, n_name, s_acctbal,
+         |        ps_supplycost_c,
+         |        row_number() OVER (PARTITION BY ps_partkey
+         |          ORDER BY ps_supplycost_c, ps_suppkey) AS rn
+         |      FROM ps
+         |      JOIN part ON ps_partkey = p_partkey
+         |      JOIN sup ON ps_suppkey = s_suppkey
+         |      WHERE p_type = 'LARGE' AND p_size <= 10)
+         |SELECT p_partkey, p_name, s_name, n_name,
+         |  CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_cents,
+         |  ps_supplycost_c AS min_cost_cents
+         |FROM j WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
+
+    "q11_important_stock" ->
+      s"""WITH $partsuppSql,
+         |v AS (SELECT ps_partkey,
+         |        ps_supplycost_c * ps_availqty AS value_c
+         |      FROM ps
+         |      WHERE ps_suppkey IN (
+         |        SELECT s_suppkey FROM supplier
+         |        JOIN nation ON s_nationkey = n_nationkey
+         |        WHERE n_name = 'NATION_7')),
+         |bp AS (SELECT ps_partkey,
+         |         CAST(sum(value_c) AS BIGINT) AS stock_value_cents
+         |       FROM v GROUP BY 1),
+         |tot AS (SELECT CAST(sum(stock_value_cents) AS BIGINT) AS total_c,
+         |          count(*) AS n_parts FROM bp)
+         |SELECT ps_partkey, stock_value_cents
+         |FROM bp, tot
+         |WHERE stock_value_cents * n_parts > total_c * 2
+         |ORDER BY stock_value_cents DESC, ps_partkey""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      s"""WITH $partsuppSql
+         |SELECT p_brand, p_type, p_size,
+         |  CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+         |FROM ps JOIN part ON ps_partkey = p_partkey
+         |WHERE p_brand != 'Brand#1' AND p_type != 'PROMO'
+         |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+         |  AND ps_suppkey NOT IN
+         |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         |GROUP BY 1, 2, 3
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q9_product_profit" ->
+      s"""WITH $partsuppSql
+         |SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         |  CAST(sum($revCSql
+         |    - ps_supplycost_c * CAST(l_quantity AS BIGINT)) AS BIGINT)
+         |    AS profit_cents
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE 'red%'
+         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q20_promotion_suppliers" ->
+      s"""WITH $partsuppSql,
+         |shipped AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_name LIKE 'small%'
+         |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  GROUP BY 1, 2)
+         |SELECT s_suppkey, s_name FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE n_name = 'NATION_3'
+         |  AND s_suppkey IN (
+         |    SELECT ps_suppkey FROM ps
+         |    JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         |    WHERE ps_availqty > qty * 0.5)
+         |ORDER BY s_suppkey""".stripMargin)
 }
