@@ -135,17 +135,41 @@ object ScaleUp {
       //     across every copy of a numeric/symbol-heavy doc (this
       //     corpus is letter-word soup — measured negligible); a
       //     digit-heavy seed corpus would need the map extended.
-      //   - ONLY 312 DISTINCT CIPHERS exist (12 coprime slopes × 26
-      //     offsets), so factor > 312 would repeat ciphers AND lose
-      //     token disjointness for the repeats — now a hard require,
-      //     not a comment.
-      require(factor <= 312, s"only 312 distinct ciphers; factor $factor would repeat")
+      //   - ONLY 312 DISTINCT AFFINE CIPHERS exist (12 coprime slopes ×
+      //     26 offsets). r14 (third-decade sf100 check needs factor
+      //     1000): copies ≥ 312 switch to keyed FISHER-YATES letter
+      //     permutations (LCG-seeded, deterministic — 26! distinct
+      //     maps), with a driver-side distinctness require over ALL
+      //     copies' alphabets. Copies < 312 keep the affine form, so
+      //     every existing sf1/sf10 artifact regenerates byte-identical.
+      //     Single-letter tokens still pigeonhole into 26 images at any
+      //     factor — that is the REAL shared-common-token background
+      //     the r13 adjudication kept (BASELINE.md r13), not an
+      //     artifact; full-map collisions (which would plant exact
+      //     cross-copy duplicates) are what the require excludes.
       val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
-      def cipher(n: Int): String = {
-        val a = coprimes((n / 26) % coprimes.size)
-        val b = n % 26
-        (0 until 26).map(x => ('a' + (a * x + b) % 26).toChar).mkString
-      }
+      def cipher(n: Int): String =
+        if (n < 312) {
+          val a = coprimes((n / 26) % coprimes.size)
+          val b = n % 26
+          (0 until 26).map(x => ('a' + (a * x + b) % 26).toChar).mkString
+        } else {
+          // Keyed Fisher-Yates over 'a'..'z': one LCG stream per copy
+          // (splitmix-style constants), pure driver-side arithmetic.
+          val arr = ('a' to 'z').toArray
+          var s = n.toLong * 6364136223846793005L + 1442695040888963407L
+          def next(bound: Int): Int = {
+            s = s * 6364136223846793005L + 1442695040888963407L
+            ((s >>> 33) % bound).toInt
+          }
+          for (k <- 25 to 1 by -1) {
+            val j = next(k + 1)
+            val t = arr(k); arr(k) = arr(j); arr(j) = t
+          }
+          new String(arr)
+        }
+      require((0 until factor).map(cipher).distinct.size == factor,
+        s"cipher collision at factor $factor would plant exact cross-copy duplicates")
       val alpha = "abcdefghijklmnopqrstuvwxyz"
       val text = if (i == 0) col("text")
         else translate(col("text"), alpha + alpha.toUpperCase,
