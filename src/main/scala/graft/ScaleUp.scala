@@ -187,11 +187,19 @@ object ScaleUp {
     }, 8)
   }
 
-  /** factor key-shifted copies of the seed table, unioned by name. */
+  /** factor key-shifted copies of the seed table, unioned by name.
+    * BALANCED pairwise reduction, not a left fold: a left-deep union of
+    * 1000 children (the r14 sf100 factor) is a depth-1000 analyzer
+    * recursion — stack-overflow territory — while the balanced tree is
+    * depth ⌈log2(factor)⌉ with the same left-to-right child order, so
+    * the flattened Union (and every written artifact) is identical. */
   private def replicate(spark: SparkSession, src: String, name: String,
       factor: Int)(remap: (DataFrame, Int) => DataFrame): DataFrame = {
     val seed = Tables(spark, src, name)
-    (0 until factor).map(i => remap(seed, i)).reduce(_.unionByName(_))
+    var layer = (0 until factor).map(i => remap(seed, i)).toVector
+    while (layer.size > 1)
+      layer = layer.grouped(2).map(g => g.reduce(_.unionByName(_))).toVector
+    layer.head
   }
 
   /** `name` → `name-i` for copy i>0; identity on copy 0. */

@@ -5,9 +5,9 @@ query against its v11 median (flagging >1.5x and >2x movers).
 
 Usage: python3 tools/v12_table.py [--md]   (writes markdown to stdout)
 """
-import json, re, statistics, sys
+import glob, json, re, statistics, sys
 
-RUNS = [f"/root/repo/tools/v12_runs/run{i}.json" for i in (1, 2, 3)]
+RUNS = sorted(glob.glob("/root/repo/tools/v12_runs/run*.json"))
 
 def load():
     runs = []
