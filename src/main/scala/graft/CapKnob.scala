@@ -26,8 +26,8 @@ object CapKnob {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (dir <- dirs) {
-      val hr = Dedup.hashedShingleRows(Tables.documents(spark, dir)).localCheckpoint()
-      val bands = Dedup.minhashBands(hr).localCheckpoint()
+      val hr = graft.ext.Ckpt.ser(Dedup.hashedShingleRows(Tables.documents(spark, dir)))
+      val bands = graft.ext.Ckpt.ser(Dedup.minhashBands(hr))
       def run(query: String, cap: Int)(mk: => org.apache.spark.sql.DataFrame): Unit = {
         val t0 = System.nanoTime()
         val n = mk.count()

@@ -49,7 +49,7 @@ object ExtQueries {
     val hit = storeCache.get(key)
     if (hit != null) hit
     else {
-      val built = build.localCheckpoint()
+      val built = graft.ext.Ckpt.ser(build)
       val prior = storeCache.putIfAbsent(key, built)
       if (prior != null) prior else built
     }

@@ -38,14 +38,14 @@ object GramDiag {
     for (dir <- dirs) {
       println(s"GRAMDIAG === $dir ===")
       val g = timed("store_build")(
-        Dedup.charGramSets(Tables.documents(spark, dir)).localCheckpoint())
+        graft.ext.Ckpt.ser(Dedup.charGramSets(Tables.documents(spark, dir))))
       val nDocs = g.count()
       val avgGrams = g.agg(avg(size(col("grams")))).head.getDouble(0)
       println(f"GRAMDIAG docs=$nDocs avg_grams=$avgGrams%.0f")
       val ex = g.select(col("doc_id"), col("lang"),
         size(col("grams")).as("n"), explode(col("grams")).as("gram"))
       val dfreq = timed("dfreq")(
-        ex.groupBy("gram").agg(count(lit(1)).as("df")).localCheckpoint())
+        graft.ext.Ckpt.ser(ex.groupBy("gram").agg(count(lit(1)).as("df"))))
       dfreq.agg(count(lit(1)).as("grams"),
           expr("percentile_approx(df, 0.5)").as("p50"),
           expr("percentile_approx(df, 0.99)").as("p99"), max("df").as("max"))

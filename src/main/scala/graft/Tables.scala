@@ -62,9 +62,35 @@ object Tables {
     * b.config(kv._1, kv._2))`. The `nanosAsLong` flag is harmless when the
     * testdata carries micro-precision timestamps (current generator) and
     * required when it carries TIMESTAMP(NANOS) (older generators).
+    *
+    * The two memory/partition policies came out of the r14 third-decade
+    * (sf100, 50M-doc) campaign, where the dedup family's ingest died
+    * with [AGGREGATE_OUT_OF_MEMORY] in the map-side partial aggregate:
+    *
+    *   - `storageFraction 0.1` (default 0.5): every session-scoped
+    *     ingest store is a `localCheckpoint()` at MEMORY_AND_DISK, so
+    *     its blocks are disk-backed and eviction is cheap — but the
+    *     default protects them from eviction up to HALF the unified
+    *     pool, squeezing 32 concurrent hash-aggregate tasks into
+    *     ~300 MB each once a corpus-scale store is resident. 0.1 keeps
+    *     the pool execution-first; evicted store blocks just read back
+    *     from disk. (Cluster guidance is identical: an engine whose
+    *     at-rest artifacts are disk-backed tables should not reserve
+    *     storage headroom for them.)
+    *   - `initialPartitionNum 512` (default = shuffle.partitions = the
+    *     core count): AQE coalesces DOWN to the advisory size but never
+    *     splits UP, so reduce-side partition counts were pinned at 32
+    *     regardless of data volume — fine through sf10, 150M+ rows per
+    *     sort/agg task at sf100. Starting every AQE shuffle at 512 lets
+    *     byte-sized coalescing pick the real count: small corpora fall
+    *     back to ~core-count partitions (`parallelismFirst` default),
+    *     the third decade keeps hundreds. On a 1000-executor cluster
+    *     this would be thousands; 16×cores is the local[32] analogue.
     */
   val sessionDefaults: Seq[(String, String)] = Seq(
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.memory.storageFraction" -> "0.1",
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "512")
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ext.Ckpt.SerCkptOps
 
 /** Corpus-preparation operators over the `documents` table — the
   * remaining plumbing of an LLM-training-data pipeline around the dedup
@@ -685,7 +686,7 @@ object Corpus {
     // and columnar).
     val q = qualityFilter(corpus)
       .select(col("doc_id"), col("reasons").as("q_reasons"))
-      .localCheckpoint()
+      .serCkpt
     val kept = corpus.join(
       q.where(col("q_reasons") === "").select("doc_id"), "doc_id")
     // ONE shared normalize/shingle pass over the keepers, checkpointed
@@ -699,7 +700,7 @@ object Corpus {
     // ([[Dedup.minhashBands]]' contract), not extra state.
     val keyed = kept.select(col("doc_id"),
       Dedup.contentKey(col("text")).as("content_key"))
-      .localCheckpoint()
+      .serCkpt
     val survivors = Dedup.exactByKey(keyed)
       .select(col("doc_id"), lit(true).as("is_survivor"))
     // Near-dup labels are over the KEEPER set (the filter-then-dedup
@@ -721,7 +722,7 @@ object Corpus {
         val hr = signatureStore
           .map(_.join(kept.select("doc_id"), "doc_id"))
           .getOrElse(Dedup.hashedShingleRows(kept))
-          .localCheckpoint()
+          .serCkpt
         Dedup.dupGroupsFromHashes(hr, threshold)
           .select(col("doc_id"), col("group_id"))
       }

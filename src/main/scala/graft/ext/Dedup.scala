@@ -340,7 +340,7 @@ object Dedup {
     // checkpoint so tokenize+shingle runs once, the corpusManifest
     // precedent.
     containmentNearDupStratifiedFromHashes(
-      hashedShingleRows(docs).localCheckpoint(), threshold, ratioCut,
+      Ckpt.ser(hashedShingleRows(docs)), threshold, ratioCut,
       minSigMatches, broadcastCandidates, strata,
       maxSigOccupancy = maxSigOccupancy, maxBandOccupancy = maxBandOccupancy)
 
@@ -497,7 +497,7 @@ object Dedup {
     // consumed three times below (id filter twice, pair join once);
     // materializing it keeps the candidate-generation subtree from
     // re-executing per consumer.
-    val cand = cand0.distinct().localCheckpoint()
+    val cand = Ckpt.ser(cand0.distinct())
     // Shingle sets ONLY for docs that appear in some candidate pair: the
     // id semi-filter drops non-candidates BEFORE the collect_set, so the
     // heavy aggregate shuffles candidate shingles instead of the whole
@@ -510,8 +510,8 @@ object Dedup {
     // consume it.
     val candIds = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sets = shingleSets(
-      hr.join(maybeBroadcast(candIds, broadcastCandidates), "doc_id")).localCheckpoint()
+    val sets = Ckpt.ser(shingleSets(
+      hr.join(maybeBroadcast(candIds, broadcastCandidates), "doc_id")))
     val withA = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       .join(maybeBroadcast(cand, broadcastCandidates), "doc_a")
     sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ext.Ckpt.SerCkptOps
 
 /** Retail analytics on top of the reconciliation star schema — the
   * queries the reference's warehouse exists to serve (its README pitches
@@ -90,7 +91,7 @@ object Retail {
   def copurchasePairs(lineitem: DataFrame, minCount: Long = 3, k: Int = 25,
       itemsStore: Option[DataFrame] = None,
       pairStore: Option[DataFrame] = None): DataFrame = {
-    val items = itemsStore.getOrElse(copurchaseItems(lineitem).localCheckpoint())
+    val items = itemsStore.getOrElse(copurchaseItems(lineitem).serCkpt)
     val nOrders = items.select("l_orderkey").distinct()
       .agg(count(lit(1)).as("n_total"))
     val perPart = items.groupBy("l_partkey").agg(count(lit(1)).as("n_part"))
@@ -129,8 +130,8 @@ object Retail {
   def copurchaseRank(lineitem: DataFrame, minCount: Long = 3, iters: Int = 3,
       itemsStore: Option[DataFrame] = None,
       pairStore: Option[DataFrame] = None): DataFrame = {
-    val items = itemsStore.getOrElse(copurchaseItems(lineitem).localCheckpoint())
-    val und = pairStore.getOrElse(copurchasePairCounts(items).localCheckpoint())
+    val items = itemsStore.getOrElse(copurchaseItems(lineitem).serCkpt)
+    val und = pairStore.getOrElse(copurchasePairCounts(items).serCkpt)
       .where(col("n_ab") >= minCount)
       .select(col("part_a").as("pa"), col("part_b").as("pb"))
     val edges = und.select(col("pa").as("src"), col("pb").as("dst"))
@@ -359,7 +360,7 @@ object Retail {
   def copurchaseTriangles(lineitem: DataFrame, minCount: Long = 3,
       itemsStore: Option[DataFrame] = None,
       pairStore: Option[DataFrame] = None): DataFrame = {
-    val items = itemsStore.getOrElse(copurchaseItems(lineitem).localCheckpoint())
+    val items = itemsStore.getOrElse(copurchaseItems(lineitem).serCkpt)
     val e = pairStore.getOrElse(copurchasePairCounts(items))
       .where(col("n_ab") >= minCount)
       .select(col("part_a").as("a"), col("part_b").as("b"))
@@ -411,7 +412,7 @@ object Retail {
     // AQE-broadcastable below threshold.
     val base = per.crossJoin(broadcast(anchor))
       .withColumn("recency_days", datediff(col("anchor"), col("last_order")).cast("long"))
-      .localCheckpoint()
+      .serCkpt
     def cut(keyCol: String, order: Seq[Column], as: String): DataFrame =
       Stats.ntileExact(base.select(col("o_custkey"), col(keyCol)), 5, order, "__t")
         .select(col("o_custkey"), col("__t").cast("long").as(as))
@@ -441,7 +442,7 @@ object Retail {
       minConfPpm: Long = 100000, k: Int = 50,
       itemsStore: Option[DataFrame] = None,
       pairStore: Option[DataFrame] = None): DataFrame = {
-    val items = itemsStore.getOrElse(copurchaseItems(lineitem).localCheckpoint())
+    val items = itemsStore.getOrElse(copurchaseItems(lineitem).serCkpt)
     val perPart = items.groupBy(col("l_partkey").as("antecedent"))
       .agg(count(lit(1)).as("n_ante"))
     val pairs = pairStore.getOrElse(copurchasePairCounts(items))

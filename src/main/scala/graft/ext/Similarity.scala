@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ext.Ckpt.SerCkptOps
 
 import graft.functions.{CosineSimilarity, TopKByScore}
 
@@ -452,7 +453,7 @@ object Similarity {
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select(col("vec_id"), col("c_cell").as("cell"))
-        .localCheckpoint()
+        .serCkpt
     }
     assign
   }
@@ -712,7 +713,7 @@ object Similarity {
     */
   def topKQuantized(embeddings: DataFrame, probeEvery: Int = 50, k: Int = 5,
       store: Option[DataFrame] = None): DataFrame = {
-    val st = store.getOrElse(quantizeEmbeddings(embeddings).localCheckpoint())
+    val st = store.getOrElse(quantizeEmbeddings(embeddings).serCkpt)
     val deq = st.select(col("vec_id"),
       transform(col("qvec"),
         q => (q.cast("double") * col("scale")).cast("float")).as("embedding"))
@@ -772,7 +773,7 @@ object Similarity {
       nprobe: Int = 2, rounds: Int = IvfTrainRounds,
       assignments: Option[DataFrame] = None,
       centroids: Option[DataFrame] = None): DataFrame = {
-    val asg = assignments.getOrElse(kmeansCells(embeddings, rounds).localCheckpoint())
+    val asg = assignments.getOrElse(kmeansCells(embeddings, rounds).serCkpt)
     val cent = centroids.getOrElse(trainedCentroids(embeddings, asg))
     val pr = probes(embeddings, probeEvery)
     // Rank cells per probe by centroid cosine (deterministic smaller-cell
@@ -817,7 +818,7 @@ object Similarity {
       rounds: Int = IvfTrainRounds, assignments: Option[DataFrame] = None,
       store: Option[DataFrame] = None): DataFrame = {
     val asg = assignments.getOrElse(kmeansCells(embeddings, rounds))
-    val st = store.getOrElse(quantizeEmbeddings(embeddings).localCheckpoint())
+    val st = store.getOrElse(quantizeEmbeddings(embeddings).serCkpt)
     val deq = st.select(col("vec_id"),
       transform(col("qvec"),
         q => (q.cast("double") * col("scale")).cast("float")).as("embedding"))

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ext.Ckpt.SerCkptOps
 
 /** Order statistics — exact per-group quantiles.
   *
@@ -159,7 +160,7 @@ object Stats {
     // rank-operator input scale (post-aggregate), not fact scale.
     val ranged = df.repartitionByRange(p, order: _*)
       .withColumn("__gr_pid", spark_partition_id())
-      .localCheckpoint()
+      .serCkpt
     val wLocal = Window.partitionBy("__gr_pid").orderBy(order: _*)
     val local = ranged.withColumn("__gr_lrn", row_number().over(wLocal))
     // P-row side frame: per-range counts → exclusive running offsets.
