@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Build the BASELINE v12 per-query med/worst table from the three
+"""Build the BASELINE v12 per-query med/worst table from the five
 spaced fresh-JVM 2-pass Bench runs in tools/v12_runs/, and audit every
 query against its v11 median (flagging >1.5x and >2x movers).
 
@@ -7,7 +7,10 @@ Usage: python3 tools/v12_table.py [--md]   (writes markdown to stdout)
 """
 import glob, json, re, statistics, sys
 
-RUNS = sorted(glob.glob("/root/repo/tools/v12_runs/run*.json"))
+# Recording runs only (run1..run5): run6_newcfg.json is the post-change
+# memory-policy validation run, NOT part of the binding v12 recording —
+# mixing it in would contaminate the documented five-run medians.
+RUNS = sorted(glob.glob("/root/repo/tools/v12_runs/run[0-9].json"))
 
 def load():
     runs = []
