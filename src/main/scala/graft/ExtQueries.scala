@@ -49,7 +49,16 @@ object ExtQueries {
     val hit = storeCache.get(key)
     if (hit != null) hit
     else {
-      val built = graft.ext.Ckpt.ser(build)
+      // Medium switch (graft.ext.DiskStore scaladoc): with a store root
+      // configured, the store is a partitioned parquet table on disk
+      // and the cached frame is its scan — zero heap residency, the
+      // cluster model of an ingest artifact. Default: the session-
+      // scoped serialized checkpoint (small-corpus form).
+      val root = s.conf.get("spark.graft.storeDir",
+        sys.env.getOrElse("SPARK_GRAFT_STORE_DIR", ""))
+      val built =
+        if (root.nonEmpty) graft.ext.DiskStore.atRest(s, root, dir, kind)(build)
+        else graft.ext.Ckpt.ser(build)
       val prior = storeCache.putIfAbsent(key, built)
       if (prior != null) prior else built
     }
@@ -92,6 +101,15 @@ object ExtQueries {
     */
   private[graft] def minhashBandsStore(s: SparkSession, dir: String): DataFrame =
     store(s, dir, "minhash_bands")(Dedup.minhashBands(minhashStore(s, dir)))
+
+  /** The SIGNATURE-ROW half of the store ([[Dedup.minhashSigRows]] —
+    * (doc_id, n, sig_idx, sig_val)): the stratified containment
+    * query's 1-row-band channel probes it directly instead of
+    * re-running the 16-permutation min-aggregate over the shingle
+    * store per query (at 50M docs that re-aggregate IS the pass).
+    */
+  private[graft] def minhashSigRowsStore(s: SparkSession, dir: String): DataFrame =
+    store(s, dir, "minhash_sigrows")(Dedup.minhashSigRows(minhashStore(s, dir)))
 
   /** The GROUP-LABEL store: near-dup component labels
     * ([[Dedup.dupGroupsFromHashes]] over the signature store) are a pure

@@ -87,7 +87,8 @@ private[graft] object QueriesDedup {
     // 225.8 → 74.1 s at sf10 with IDENTICAL output (CapKnob, r13).
     "containment_stratified" -> ((s, dir) =>
       Dedup.containmentNearDupStratifiedFromHashes(minhashStore(s, dir),
-        bands = Some(minhashBandsStore(s, dir)), maxSigOccupancy = 64,
+        bands = Some(minhashBandsStore(s, dir)),
+        sigRows = Some(minhashSigRowsStore(s, dir)), maxSigOccupancy = 64,
         maxBandOccupancy = BandCap)
         .orderBy("doc_a", "doc_b")),
 

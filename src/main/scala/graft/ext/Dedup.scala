@@ -353,11 +353,14 @@ object Dedup {
       threshold: Double = 0.8, ratioCut: Double = 2.0,
       minSigMatches: Int = 2, broadcastCandidates: Boolean = false,
       strata: Int = 2, bands: Option[DataFrame] = None,
+      sigRows: Option[DataFrame] = None,
       maxSigOccupancy: Int = 0, maxBandOccupancy: Int = 0): DataFrame = {
     require(strata == 2 || strata == 3, s"strata must be 2 or 3, got $strata")
     // Sig rows carry the set size from their own aggregate — no second
-    // size aggregate, no doc_id reunite join.
-    val sized = minhashSigRows(hr)
+    // size aggregate, no doc_id reunite join. A caller holding the
+    // persisted sig-row store passes it and skips the 16-permutation
+    // min-aggregate entirely (the band-store precedent).
+    val sized = sigRows.getOrElse(minhashSigRows(hr))
     val skew =
       if (strata == 2)
         skewCandidates(sized, ratioCut, minSigMatches,
