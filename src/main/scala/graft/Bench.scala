@@ -71,6 +71,16 @@ object Bench {
       } catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
+      // UNTIMED disk hygiene between queries: shuffle files of a
+      // finished query are only deleted when ContextCleaner GCs the
+      // dereferenced shuffle dependencies, so a long-lived bench JVM
+      // accumulates tens of GB of dead shuffle data — at sf100 that
+      // leftover plus the next query's own spill filled the disk
+      // (ENOSPC during containment_stratified, r15 campaign). On a
+      // cluster each executor's shuffle dirs get the same treatment
+      // from the periodic-GC cleaner; a bench harness can't wait 30
+      // minutes for it.
+      System.gc()
     }
     // Every pass threw → 0.0 with the errors entry carrying the cause
     // (a crashing query stays distinguishable from a fast one).

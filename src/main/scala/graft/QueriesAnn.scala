@@ -323,6 +323,19 @@ private[graft] object QueriesAnn {
       castLongs(Multimodal.featurizeExpr(Tables.documents(s, dir)), "n_bytes")
         .orderBy("doc_id")),
 
+    // Multimodal — REAL image decode: each doc's text bytes become a
+    // self-describing binary PGM file (dimensions live only inside the
+    // payload), then PgmDecode parses the header back out of the bytes
+    // and aggregates pixel stats in one codegen'd pass. The oracle
+    // recomputes the expected stats from the text by mirroring the
+    // encode arithmetic — agreement proves the parser genuinely
+    // recovered dimensions + raster offset from the binary.
+    "image_stats" -> ((s, dir) =>
+      castLongs(
+        Multimodal.imageStats(Multimodal.encodePgm(Tables.documents(s, dir))),
+        "width", "height", "maxval", "n_pixels", "pixel_min", "pixel_max")
+        .orderBy("doc_id")),
+
     // Multimodal — frame sampling + fit-box resize planning.
     "frame_sample" -> ((s, dir) =>
       castLongs(Multimodal.frameSample(Tables.documents(s, dir)),
@@ -736,6 +749,27 @@ private[graft] object QueriesAnn {
          |  CAST(octet_length(encode(text)) // (1 + ascii(substr(md5(text), 3, 1)) % 8) AS INTEGER)
          |    AS frame_stride
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mirrors encodePgm's construction (width 32, truncate to full
+    // rows) over the text — NOT a byte-level re-parse (DuckDB cannot
+    // iterate BLOB bytes); the corpus is printable ASCII, so char
+    // codepoints equal payload raster bytes exactly.
+    "image_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(32 AS BIGINT) AS width,
+         |  CAST(length(text) // 32 AS BIGINT) AS height,
+         |  CAST(255 AS BIGINT) AS maxval,
+         |  CAST((length(text) // 32) * 32 AS BIGINT) AS n_pixels,
+         |  CAST(list_sum([ord(c) FOR c IN
+         |    string_split(substr(text, 1, (length(text) // 32) * 32), '')])
+         |    AS BIGINT) AS pixel_sum,
+         |  CAST(list_min([ord(c) FOR c IN
+         |    string_split(substr(text, 1, (length(text) // 32) * 32), '')])
+         |    AS BIGINT) AS pixel_min,
+         |  CAST(list_max([ord(c) FOR c IN
+         |    string_split(substr(text, 1, (length(text) // 32) * 32), '')])
+         |    AS BIGINT) AS pixel_max
+         |FROM documents WHERE length(text) >= 32 ORDER BY doc_id""".stripMargin,
 
     "semantic_dedup" -> {
       val r = Similarity.IvfTrainRounds

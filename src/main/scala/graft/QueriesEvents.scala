@@ -83,6 +83,27 @@ private[graft] object QueriesEvents {
         .orderBy("user_id", "session_no")
     }),
 
+    // X7 — bounded ENUMERATING twin of `interval_join`: per session
+    // interval, the 3 LATEST events (any user) inside it — actual
+    // point rows where interval_count is a census, with output
+    // ≤ 3·|sessions| (linear) where interval_join's is
+    // density-quadratic. The row_number ≤ k filter compiles to
+    // WindowGroupLimit with a partial (pre-shuffle) pass, so the pair
+    // volume streams through map tasks and never shuffles — the form
+    // of the non-equi join that CAN run at sf10+ (VERDICT r14 ask #4).
+    "interval_topk" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val sessions = Events.sessionize(ev).select(col("user_id"),
+        col("session_no"), col("session_start"), col("session_end"))
+      castLongs(
+        RangeJoin.pointInIntervalTopK(ev.select(col("ts"), col("event_id")),
+          "ts", sessions, "session_start", "session_end",
+          Seq("user_id", "session_no"), k = 3, tieCols = Seq("event_id"))
+          .select("user_id", "session_no", "rank", "event_id"),
+        "rank")
+        .orderBy("user_id", "session_no", "rank")
+    }),
+
     // X7 — stabbing-COUNT twin of `interval_join`: identical result
     // (per-session all-user concurrency counts), computed by a
     // distributed endpoint-marker prefix sum instead of pair
@@ -402,6 +423,18 @@ private[graft] object QueriesEvents {
          |SELECT iv.user_id, iv.session_no, count(*) AS n_concurrent
          |FROM iv JOIN events e ON e.ts >= iv.st AND e.ts <= iv.en
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "interval_topk" ->
+      s"""WITH $sessionCtes,
+         |iv AS (SELECT user_id, session_no, min(ts) AS st, max(ts) AS en
+         |  FROM s GROUP BY 1, 2),
+         |p AS (SELECT iv.user_id, iv.session_no, e.event_id, e.ts
+         |  FROM iv JOIN events e ON e.ts >= iv.st AND e.ts <= iv.en),
+         |r AS (SELECT user_id, session_no, event_id, row_number() OVER
+         |    (PARTITION BY user_id, session_no ORDER BY ts DESC, event_id)
+         |    AS rank FROM p)
+         |SELECT user_id, session_no, CAST(rank AS BIGINT) AS rank, event_id
+         |FROM r WHERE rank <= 3 ORDER BY user_id, session_no, rank""".stripMargin,
 
     // Same result contract as interval_join — the oracle's inner pair
     // join is safe here because every session interval contains its own

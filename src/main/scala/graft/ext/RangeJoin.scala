@@ -49,6 +49,38 @@ object RangeJoin {
       .drop("__bkt")
   }
 
+  /** Bounded ENUMERATING form of the range join: per interval, the
+    * top-`k` contained points under `(ptCol DESC, tieCols ASC)` — the
+    * "latest k events in each window" shape. This is the scalable
+    * answer when the caller needs actual point rows, not a census
+    * ([[intervalCount]]) and not the full pair set ([[pointInInterval]],
+    * whose OUTPUT is density-quadratic — 163B rows at sf10 for the
+    * declared session×event pairing; BASELINE.md names it output-bound):
+    * output is exactly ≤ k·|intervals|, linear in intervals at any
+    * density.
+    *
+    * Plan shape: the same bucket-blocked equi-join generates candidate
+    * pairs, but the `row_number ≤ k` filter compiles to Spark's
+    * WindowGroupLimit with a PARTIAL pass — every map task truncates to
+    * k rows per interval BEFORE the window exchange, so the full pair
+    * volume is streamed through codegen within tasks and never
+    * shuffled, spilled, or materialized (the TakeOrdered/top-k
+    * discipline applied to the non-equi family). `keyCols` must
+    * identify intervals (they are the window partition key).
+    */
+  def pointInIntervalTopK(points: DataFrame, ptCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      keyCols: Seq[String], k: Int, tieCols: Seq[String] = Nil,
+      bucketSeconds: Long = 3600L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(ptCol).desc +: tieCols.map(col(_).asc): _*)
+    pointInInterval(points, ptCol, intervals, startCol, endCol, bucketSeconds)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Stabbing COUNT — per interval, the NUMBER of points inside
     * `[startCol, endCol]` (inclusive both ends), WITHOUT enumerating the
     * point-interval pairs.

@@ -202,6 +202,47 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("pgm decode: hand-built fixture parses header + pixel stats from bytes") {
+    // 3×2 image, multi-digit-safe dims, a header comment, pixels 10..60.
+    val header = "P5\n# a comment\n3 2\n255\n".getBytes("US-ASCII")
+    val raster = Array[Byte](10, 20, 30, 40, 50, 60)
+    val fixtures = Seq(
+      (1L, header ++ raster),
+      (2L, "P6\n3 2\n255\n".getBytes("US-ASCII") ++ raster), // wrong magic
+      (3L, header ++ raster.take(5)),                        // truncated raster
+      (4L, "P5\n3 2\n65535\n".getBytes("US-ASCII") ++ raster), // 2-byte maxval
+      (5L, "P5\n3 2\n255".getBytes("US-ASCII") ++ raster))   // no ws after maxval
+    val out = fixtures.toDF("doc_id", "payload")
+      .select(col("doc_id"), graft.functions.PgmDecode(col("payload")).as("img"))
+      .orderBy("doc_id").collect()
+    val ok = out(0).getStruct(1)
+    assert((ok.getInt(0), ok.getInt(1), ok.getInt(2), ok.getInt(3)) === ((3, 2, 255, 6)))
+    assert((ok.getLong(4), ok.getInt(5), ok.getInt(6)) === ((210L, 10, 60)))
+    assert(out.drop(1).forall(_.isNullAt(1)), "malformed payloads must decode to null")
+  }
+
+  test("pgm encode → decode round trip recovers text-byte stats exactly") {
+    val d = docs((7L, "abcdefghij" * 5, "en"))  // 50 chars, width 8 → 6 rows
+    val r = Multimodal.imageStats(Multimodal.encodePgm(d, width = 8)).head()
+    val bytes = ("abcdefghij" * 5).getBytes("US-ASCII").take(48)
+    assert((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)) === ((8, 6, 255, 48)))
+    assert(r.getLong(5) === bytes.map(_.toLong).sum)
+    assert(r.getInt(6) === bytes.map(_ & 0xff).min)
+    assert(r.getInt(7) === bytes.map(_ & 0xff).max)
+    // Shorter than one row → filtered at encode.
+    assert(Multimodal.encodePgm(docs((8L, "tiny", "en")), width = 8).count() === 0)
+  }
+
+  test("pgm decode: mapPartitions batch twin agrees exactly with the expression") {
+    val payloads = Multimodal.encodePgm(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(100))
+    val viaExpr = Multimodal.imageStats(payloads).orderBy("doc_id").collect()
+    val viaPartitions = Multimodal.imageStatsPartitions(payloads)
+      .orderBy("doc_id").collect()
+    assert(viaExpr.nonEmpty)
+    assert(viaPartitions.map(_.toSeq).toSeq === viaExpr.map(_.toSeq).toSeq)
+  }
+
   test("sessionize: one session per burst, purchases counted") {
     val ts = java.sql.Timestamp.valueOf(_: String)
     val ev = Seq(

@@ -124,4 +124,43 @@ class RangeJoinSpec extends SparkSpec {
       .groupBy("iid").count().as[(Long, Long)].collect().toMap
     assert(viaPairs === Map(1L -> 2L))
   }
+
+  test("pointInIntervalTopK = naive pair join's per-interval top-k") {
+    val points = (1L to 60L)
+      .map(i => (i, ts(f"2024-01-0${1 + (i % 3)}%d ${(i * 7 % 24)}%02d:${i % 60}%02d:00")))
+      .toDF("pid", "pt")
+    val intervals = (1L to 12L).map { k =>
+      val st = ts(f"2024-01-0${1 + (k % 3)}%d ${(k * 5 % 23)}%02d:00:00")
+      val en = new Timestamp(st.getTime + k * k * 1000L * 60 * 17)
+      (k, st, en)
+    }.toDF("iid", "st", "en")
+    val got = RangeJoin.pointInIntervalTopK(points, "pt", intervals, "st", "en",
+        Seq("iid"), k = 3, tieCols = Seq("pid"))
+      .select("iid", "rank", "pid").as[(Long, Int, Long)].collect().sorted
+    val naive = points.crossJoin(intervals)
+      .where(col("pt") >= col("st") && col("pt") <= col("en"))
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("iid").orderBy(col("pt").desc, col("pid"))))
+      .where(col("rank") <= 3)
+      .select("iid", "rank", "pid").as[(Long, Int, Long)].collect().sorted
+    assert(naive.nonEmpty)
+    assert(got.toSeq === naive.toSeq)
+    // Output bound: no interval may exceed k rows.
+    assert(got.groupBy(_._1).values.forall(_.length <= 3))
+  }
+
+  test("pointInIntervalTopK plan carries the partial WindowGroupLimit") {
+    // The scale contract (VERDICT r14 ask #4): the rank filter must
+    // compile to WindowGroupLimit with a Partial mode pass so each map
+    // task truncates to k rows per interval BEFORE the window
+    // exchange — without it the full density-quadratic pair volume
+    // shuffles and the operator is interval_join in disguise.
+    val points = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("pid", "pt")
+    val intervals = Seq((1L, ts("2024-01-01 09:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("iid", "st", "en")
+    val plan = RangeJoin.pointInIntervalTopK(points, "pt", intervals, "st", "en",
+        Seq("iid"), k = 3).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"missing WindowGroupLimit:\n$plan")
+    assert(plan.contains("Partial"), s"missing partial-mode pass:\n$plan")
+  }
 }
