@@ -339,26 +339,27 @@ object Similarity {
     * label, new_label, cos (similarity to the winning centroid,
     * truncated 6dp), moved.
     *
-    * Ties break on the smaller label (row_number over cos desc, label
-    * asc) — the cosines on both engines are bit-identical (same
+    * Ties break on the smaller label (max_by ordered by (cos, −label))
+    * — the cosines on both engines are bit-identical (same
     * index-order kernel), so the argmax is deterministic. Plan shape:
     * the corpus joins the broadcast |labels|·dims centroid table
     * (|labels| rows per vector, never a corpus shuffle) and the
-    * per-vector argmax is a window over ≤ |labels| rows — at 100 TB
-    * this is one scan plus a bounded-width window, the standard
-    * distributed k-means assignment.
+    * per-vector argmax is a PARTIAL-AGGREGATING max_by — each map task
+    * collapses a vector's candidate rows to one before any exchange
+    * (see [[lloydFromSeed]]: the former window form shuffled the full
+    * n·|labels| cross product) — at 100 TB this is one scan plus one
+    * narrow-row exchange, the standard distributed k-means assignment.
     */
   def kmeansAssign(embeddings: DataFrame): DataFrame = {
     val cent = centroidTable(embeddings, "c_label")
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cos").desc, col("c_label"))
     embeddings.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("label"), col("c_label"),
         TextOps.trunc6(CosineSimilarity(col("embedding"), col("centroid"))).as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("c_label").as("new_label"),
-        col("cos"), (col("c_label") =!= col("label")).as("moved"))
+      .groupBy("vec_id", "label")
+      .agg(max_by(struct(col("c_label").as("nl"), col("cos").as("cs")),
+        struct(col("cos").as("o1"), (-col("c_label")).as("o2"))).as("b"))
+      .select(col("vec_id"), col("label"), col("b.nl").as("new_label"),
+        col("b.cs").as("cos"), (col("b.nl") =!= col("label")).as("moved"))
   }
 
   /** Lloyd iterations run by the trained-IVF query — FIXED (not
@@ -446,13 +447,24 @@ object Similarity {
       val cent = centroidsOf(
         embeddings.join(assign, "vec_id").select(col("cell"), col("embedding")),
         "c_cell")
-      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("c_cell"))
+      // Argmax as a PARTIAL-AGGREGATING max_by, NOT a window: a vector's
+      // |cells| candidate rows live in ONE map partition (scan × broadcast
+      // centroids), so the partial aggregate collapses them to one row
+      // per vector BEFORE the exchange and the shuffle carries n narrow
+      // rows. The former row_number window shuffled + sorted the FULL
+      // n·|cells| cross product — with cells ∝ n (the occupancy-scaled
+      // design point) that is n²/occupancy rows: the r15 sf100 ANN
+      // campaign measured it as a ~480 GB window exchange at 2M vectors
+      // × 10k cells, the round's one found-at-third-decade plan defect.
+      // Tie-break identical to the window form (highest cos, then
+      // smallest cell): the ordering struct has no full ties because the
+      // cell id is unique within a vector's candidate set.
       assign = embeddings.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("c_cell"),
           TextOps.trunc6(CosineSimilarity(col("embedding"), col("centroid"))).as("cos"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("c_cell").as("cell"))
+        .groupBy("vec_id")
+        .agg(max_by(col("c_cell"),
+          struct(col("cos").as("o1"), (-col("c_cell")).as("o2"))).as("cell"))
         .serCkpt
     }
     assign
@@ -655,18 +667,17 @@ object Similarity {
     * argmax assignment step of [[kmeansCells]] run once against a
     * persisted [[trainedCentroids]] table. Smaller-cell tie-break,
     * matching the training loop, so routing is deterministic. One
-    * broadcast join + a bounded-width window per vector; the corpus is
-    * never touched. Output: vec_id, cell.
+    * broadcast join + a partial-aggregating per-vector argmax (the
+    * [[lloydFromSeed]] max_by shape); the corpus is never touched.
+    * Output: vec_id, cell.
     */
-  def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cell"))
+  def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame =
     vectors.crossJoin(broadcast(centroids.select(col("cell"), col("centroid"))))
       .select(col("vec_id"), col("cell"),
         TextOps.trunc6(CosineSimilarity(col("embedding"), col("centroid"))).as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("cell"))
-  }
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"),
+        struct(col("cos").as("o1"), (-col("cell")).as("o2"))).as("cell"))
 
   /** Symmetric int8 QUANTIZATION of the embedding store: per-vector
     * scale = max|x| / 127, each component q = ⌊x/scale + 0.5⌋ ∈
@@ -856,14 +867,17 @@ object Similarity {
       .select(col("a.vec_id").as("vec_id"), col("bench_id"),
         TextOps.trunc6(CosineSimilarity(col("a.embedding"), col("b_emb"))).as("cos"))
       .where(col("cos") >= threshold)
-    val w = Window.partitionBy("vec_id")
+    // One aggregate instead of a count window + rank window over the
+    // hit set: n_hits, max_cos and the argmax bench id come from the
+    // same partial-combining pass (hits are sparse, but the aggregate
+    // form also removes two sorts of the hit set).
     hits
-      .withColumn("n_hits", count(lit(1)).over(w))
-      .withColumn("rn",
-        row_number().over(w.orderBy(col("cos").desc, col("bench_id"))))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("n_hits"), col("cos").as("max_cos"),
-        col("bench_id").as("nearest_bench"))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_hits"), max(col("cos")).as("max_cos"),
+        max_by(col("bench_id"),
+          struct(col("cos").as("o1"), (-col("bench_id")).as("o2")))
+          .as("nearest_bench"))
+      .select(col("vec_id"), col("n_hits"), col("max_cos"), col("nearest_bench"))
   }
 
   /** Embedding-cosine near-dup pairs: all pairs with cosine ≥ threshold,
