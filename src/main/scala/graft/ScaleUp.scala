@@ -63,9 +63,19 @@ object ScaleUp {
     // Optional table subset (comma-separated) — the BHJ→SMJ flip capture
     // only needs the relational star at factor 100, not a 500k-doc corpus.
     val wanted = sys.env.get("SPARK_GRAFT_SCALE_TABLES").map(_.split(",").toSet)
+    // File counts scale with the factor past 10× (unchanged at the sf1
+    // factor, so existing artifacts stay reproducible): a fixed 8-file
+    // artifact at factor 1000 caps every downstream scan at 8-way
+    // parallelism (parquet splits by row group, but a 35 MB file is one
+    // partition) — the r15 sf100 ANN campaign measured the Lloyd
+    // cross-join running on 8 of 32 cores from exactly this. At 100 TB
+    // the analogous knob is writing ingest artifacts with
+    // cluster-proportional file counts.
     def save(name: String, df: => DataFrame, files: Int): Unit =
-      if (wanted.forall(_.contains(name)))
-        df.repartition(files).write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      if (wanted.forall(_.contains(name))) {
+        val scaled = math.min(files * math.max(1, factor / 10), 256)
+        df.repartition(scaled).write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      }
     // Fixed dims: copy through unchanged.
     for (t <- Seq("region", "nation") if wanted.forall(_.contains(t)))
       Tables(spark, src, t).write.mode("overwrite").parquet(s"$dst/$t.parquet")

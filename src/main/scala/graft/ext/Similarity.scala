@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ext.Ckpt.SerCkptOps
@@ -339,12 +339,12 @@ object Similarity {
     * label, new_label, cos (similarity to the winning centroid,
     * truncated 6dp), moved.
     *
-    * Ties break on the smaller label (max_by ordered by (cos, −label))
-    * — the cosines on both engines are bit-identical (same
-    * index-order kernel), so the argmax is deterministic. Plan shape:
-    * the corpus joins the broadcast |labels|·dims centroid table
-    * (|labels| rows per vector, never a corpus shuffle) and the
-    * per-vector argmax is a PARTIAL-AGGREGATING max_by — each map task
+    * Ties break on the smaller label (the [[argmaxKey]] packing) — the
+    * cosines on both engines are bit-identical (same index-order
+    * kernel), so the argmax is deterministic. Plan shape: the corpus
+    * joins the broadcast |labels|·dims centroid table (|labels| rows
+    * per vector, never a corpus shuffle) and the per-vector argmax is
+    * one HASH-aggregated max over the packed key — each map task
     * collapses a vector's candidate rows to one before any exchange
     * (see [[lloydFromSeed]]: the former window form shuffled the full
     * n·|labels| cross product) — at 100 TB this is one scan plus one
@@ -353,13 +353,14 @@ object Similarity {
   def kmeansAssign(embeddings: DataFrame): DataFrame = {
     val cent = centroidTable(embeddings, "c_label")
     embeddings.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("label"), col("c_label"),
-        TextOps.trunc6(CosineSimilarity(col("embedding"), col("centroid"))).as("cos"))
+      .select(col("vec_id"), col("label"),
+        argmaxKey(CosineSimilarity(col("embedding"), col("centroid")),
+          col("c_label")).as("k"))
       .groupBy("vec_id", "label")
-      .agg(max_by(struct(col("c_label").as("nl"), col("cos").as("cs")),
-        struct(col("cos").as("o1"), (-col("c_label")).as("o2"))).as("b"))
-      .select(col("vec_id"), col("label"), col("b.nl").as("new_label"),
-        col("b.cs").as("cos"), (col("b.nl") =!= col("label")).as("moved"))
+      .agg(max(col("k")).as("k"))
+      .select(col("vec_id"), col("label"), keyCell(col("k")).as("new_label"),
+        keyCos(col("k")).as("cos"),
+        (keyCell(col("k")) =!= col("label")).as("moved"))
   }
 
   /** Lloyd iterations run by the trained-IVF query — FIXED (not
@@ -447,28 +448,50 @@ object Similarity {
       val cent = centroidsOf(
         embeddings.join(assign, "vec_id").select(col("cell"), col("embedding")),
         "c_cell")
-      // Argmax as a PARTIAL-AGGREGATING max_by, NOT a window: a vector's
-      // |cells| candidate rows live in ONE map partition (scan × broadcast
-      // centroids), so the partial aggregate collapses them to one row
-      // per vector BEFORE the exchange and the shuffle carries n narrow
-      // rows. The former row_number window shuffled + sorted the FULL
-      // n·|cells| cross product — with cells ∝ n (the occupancy-scaled
-      // design point) that is n²/occupancy rows: the r15 sf100 ANN
-      // campaign measured it as a ~480 GB window exchange at 2M vectors
-      // × 10k cells, the round's one found-at-third-decade plan defect.
-      // Tie-break identical to the window form (highest cos, then
-      // smallest cell): the ordering struct has no full ties because the
-      // cell id is unique within a vector's candidate set.
+      // Argmax as a HASH-AGGREGATING max over the packed key (see
+      // [[argmaxKey]]): a vector's |cells| candidate rows live in ONE
+      // map partition (scan × broadcast centroids), so the partial
+      // aggregate collapses them to one row per vector BEFORE the
+      // exchange and the shuffle carries n narrow rows. The former
+      // row_number window shuffled + sorted the FULL n·|cells| cross
+      // product — with cells ∝ n (the occupancy-scaled design point)
+      // that is n²/occupancy rows: the r15 sf100 ANN campaign measured
+      // it as a ~480 GB window exchange at 2M vectors × 10k cells, the
+      // round's found-at-third-decade plan defect. (max_by is NOT the
+      // fix: its struct buffer forces SortAggregate, which re-sorts the
+      // same cross product — thread-dumped mid-spill on the retry.)
       assign = embeddings.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("c_cell"),
-          TextOps.trunc6(CosineSimilarity(col("embedding"), col("centroid"))).as("cos"))
+        .select(col("vec_id"),
+          argmaxKey(CosineSimilarity(col("embedding"), col("centroid")),
+            col("c_cell")).as("k"))
         .groupBy("vec_id")
-        .agg(max_by(col("c_cell"),
-          struct(col("cos").as("o1"), (-col("c_cell")).as("o2"))).as("cell"))
+        .agg(max(col("k")).as("k"))
+        .select(col("vec_id"), keyCell(col("k")).as("cell"))
         .serCkpt
     }
     assign
   }
+
+  /** Packed argmax key for the nearest-centroid reductions: the trunc6
+    * cosine's integral form in the high 32 bits, `CellBias − cell` in
+    * the low 32 — ONE comparable BIGINT whose `max` is "highest
+    * trunc6(cos), then smallest cell", the family's tie-break, as a
+    * FIXED-WIDTH aggregate buffer. That is what keeps the reduction in
+    * HashAggregate with map-side partial combine: a window sorts the
+    * whole cross product, and max_by's struct buffer silently demotes
+    * to SortAggregate, which sorts it too. Exact by construction:
+    * floor(cos·10⁶) ∈ [−10⁶, 10⁶] is integral, the shifted sum never
+    * overflows, and `(key >> 32) / 10⁶` reproduces trunc6(cos)
+    * bit-identically (same integral numerator, same division).
+    */
+  private val CellBias = 2147483647L
+  private def argmaxKey(cosRaw: Column, cell: Column): Column =
+    floor(cosRaw * 1000000).cast("long") * lit(4294967296L) +
+      (lit(CellBias) - cell.cast("long"))
+  private def keyCell(key: Column): Column =
+    (lit(CellBias) - key.bitwiseAND(lit(4294967295L))).cast("int")
+  private def keyCos(key: Column): Column =
+    shiftright(key, 32).cast("double") / 1000000
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * drop every vector whose cosine to some LOWER-id vector in the SAME
@@ -667,17 +690,18 @@ object Similarity {
     * argmax assignment step of [[kmeansCells]] run once against a
     * persisted [[trainedCentroids]] table. Smaller-cell tie-break,
     * matching the training loop, so routing is deterministic. One
-    * broadcast join + a partial-aggregating per-vector argmax (the
-    * [[lloydFromSeed]] max_by shape); the corpus is never touched.
+    * broadcast join + a hash-aggregated per-vector argmax (the
+    * [[lloydFromSeed]] packed-key shape); the corpus is never touched.
     * Output: vec_id, cell.
     */
   def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame =
     vectors.crossJoin(broadcast(centroids.select(col("cell"), col("centroid"))))
-      .select(col("vec_id"), col("cell"),
-        TextOps.trunc6(CosineSimilarity(col("embedding"), col("centroid"))).as("cos"))
+      .select(col("vec_id"),
+        argmaxKey(CosineSimilarity(col("embedding"), col("centroid")),
+          col("cell")).as("k"))
       .groupBy("vec_id")
-      .agg(max_by(col("cell"),
-        struct(col("cos").as("o1"), (-col("cell")).as("o2"))).as("cell"))
+      .agg(max(col("k")).as("k"))
+      .select(col("vec_id"), keyCell(col("k")).as("cell"))
 
   /** Symmetric int8 QUANTIZATION of the embedding store: per-vector
     * scale = max|x| / 127, each component q = ⌊x/scale + 0.5⌋ ∈

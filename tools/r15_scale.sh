@@ -20,7 +20,10 @@ set -o pipefail
 cd /root/repo
 mkdir -p tools/r15_runs
 
-DELTA="containment_stratified,interval_topk,image_stats,kmv_overlap,join_maintenance,assoc_rules,repeat_affinity"
+# Changed plans: containment_stratified (sig-row store), the whole
+# kmeans-argmax family (max_by rewrite), the two new queries, plus the
+# four v12 noise movers under re-audit.
+DELTA="containment_stratified,interval_topk,image_stats,kmv_overlap,join_maintenance,assoc_rules,repeat_affinity,kmeans_assign,embedding_decontaminate,ann_topk_ivf,ann_topk_ivf_multiprobe,knn_join,knn_join_scaled,semantic_dedup,semantic_dedup_scaled,hard_negatives,hard_negatives_scaled,embedding_near_dup,semdedup_ingest_replay"
 SKIP_SF10="interval_join,knn_join,hard_negatives,semantic_dedup"
 
 echo "== stage 0: sf0.1 r15-delta recording (4 passes) =="
