@@ -189,9 +189,28 @@ object ScaleUp {
     }, 16)
     save("embeddings", replicate(spark, src, "embeddings", factor) { (df, i) =>
       val rot = (i * 7) % 64
-      val emb = if (rot == 0) col("embedding")
+      val rotated = if (rot == 0) col("embedding")
         else concat(slice(col("embedding"), rot + 1, 64 - rot),
           slice(col("embedding"), 1, rot))
+      // Rotation alone has PERIOD 64: at factor > 64 copies i and i+64
+      // carry IDENTICAL vectors, so a factor-1000 corpus holds ~16 exact
+      // copies of every direction — k-means then collapses cells onto the
+      // point-clusters (the r15 sf100 campaign measured 1829 of 10 000
+      // cells surviving at occupancy ~1100 vs the 200 design point,
+      // inflating every Sigma|cell|² consumer ~6×). Copies past the first
+      // rotation period therefore ALSO get a deterministic per-copy SIGN
+      // mask — a diagonal ±1 orthogonal transform: norms and all
+      // WITHIN-copy cosines are exactly preserved (the corpus statistics
+      // being replayed), while cross-copy collisions need rotation AND
+      // mask to agree (2⁶⁴ mask space — effectively never). i < 64 is
+      // untouched, so factor ≤ 64 artifacts (sf1) reproduce bit-for-bit.
+      val emb = if (i < 64) rotated
+        else {
+          val bits = 0x9E3779B97F4A7C15L * (i / 64) ^ 0xBF58476D1CE4E5B9L * (i + 1)
+          val signs = Array.tabulate(64)(j =>
+            if (((bits * (2 * j + 1)) >>> 63) == 1L) -1.0f else 1.0f)
+          zip_with(rotated, lit(signs), (x, s) => x * s)
+        }
       df.withColumn("vec_id", col("vec_id") + lit(i * strides("embeddings")))
         .withColumn("embedding", emb)
     }, 8)
