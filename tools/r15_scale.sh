@@ -24,7 +24,13 @@ mkdir -p tools/r15_runs
 # kmeans-argmax family (max_by rewrite), the two new queries, plus the
 # four v12 noise movers under re-audit.
 DELTA="containment_stratified,interval_topk,image_stats,kmv_overlap,join_maintenance,assoc_rules,repeat_affinity,kmeans_assign,embedding_decontaminate,ann_topk_ivf,ann_topk_ivf_multiprobe,knn_join,knn_join_scaled,semantic_dedup,semantic_dedup_scaled,hard_negatives,hard_negatives_scaled,embedding_near_dup,semdedup_ingest_replay"
-SKIP_SF10="interval_join,knn_join,hard_negatives,semantic_dedup"
+# interval_topk joins interval_join on the sf10 skip list: its OUTPUT is
+# linear (<= k*|sessions|) but its candidate stream is the same
+# density-quadratic bucket join (~135B candidate rows at sf10, hours of
+# streaming); interval_count remains the linear census twin. Named in
+# BASELINE.md r15 with the measured sf1 ladder (window 182s -> heap 113s
+# vs 21s enumeration floor) and the global time-merge design note.
+SKIP_SF10="interval_join,interval_topk,knn_join,hard_negatives,semantic_dedup"
 
 echo "== stage 0: sf0.1 r15-delta recording (4 passes) =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
