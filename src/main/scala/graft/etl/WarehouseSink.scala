@@ -89,6 +89,13 @@ final class ParquetWarehouseSink(root: String) extends WarehouseSink {
 final class JdbcWarehouseSink(url: String,
     props: java.util.Properties = new java.util.Properties) extends WarehouseSink {
 
+  // The writer dialect must agree with ensureTable's DDL BEFORE the first
+  // distributed append: Spark's stock Derby dialect maps StringType→CLOB,
+  // so its setNull(Types.CLOB) dies with Derby ERROR 22005 against the
+  // portable VARCHAR column on the first NULL string — a row shape the
+  // flagship reconcile legitimately produces (SKU absent from the dim).
+  JdbcWarehouseSink.claimUrl(url)
+
   private val connProps: java.util.Properties = {
     val p = new java.util.Properties()
     p.putAll(props)
@@ -102,25 +109,12 @@ final class JdbcWarehouseSink(url: String,
     try f(c) finally c.close()
   }
 
-  /** Reference-DDL-shaped portable column types (VARCHAR over the JDBC
-    * dialect's CLOB mapping for strings — CLOBs cannot be compared or
-    * grouped warehouse-side; DOUBLE PRECISION because bare DOUBLE is
-    * not a PostgreSQL/Redshift type, while every major warehouse and
-    * Derby accept the SQL-standard spelling).
+  /** DDL column type — literally the registered writer dialect's mapping
+    * (see the companion), so the CREATE TABLE and the distributed append
+    * can never disagree on a column's SQL type again.
     */
-  private def sqlType(dt: DataType): String = dt match {
-    case StringType => "VARCHAR(255)"
-    case IntegerType => "INT"
-    case LongType => "BIGINT"
-    case DoubleType => "DOUBLE PRECISION"
-    case FloatType => "REAL"
-    case BooleanType => "BOOLEAN"
-    case DateType => "DATE"
-    case TimestampType => "TIMESTAMP"
-    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
-    case other => throw new IllegalArgumentException(
-      s"no warehouse mapping for column type $other")
-  }
+  private def sqlType(dt: DataType): String =
+    JdbcWarehouseSink.portableType(dt).databaseTypeDefinition
 
   /** Existence via JDBC metadata, not by catching a vendor-specific
     * duplicate-table SQLState (Derby says X0Y32, PostgreSQL/Redshift
@@ -184,4 +178,61 @@ final class JdbcWarehouseSink(url: String,
 
   override def read(spark: SparkSession, table: String): DataFrame =
     spark.read.jdbc(url, table, connProps)
+}
+
+/** Registers the writer-side dialect that keeps `df.write.jdbc` aligned
+  * with [[JdbcWarehouseSink]]'s portable DDL. Scoped strictly to URLs a
+  * sink instance has claimed — other JDBC traffic in the session keeps
+  * its stock dialect. Because [[org.apache.spark.sql.jdbc.JdbcDialects]]
+  * PREPENDS registrations and aggregates multiple matches with
+  * first-`Some`-wins `getJDBCType`, this overrides ONLY the mappings
+  * below (StringType→VARCHAR over Derby's CLOB default — CLOBs cannot be
+  * compared, grouped, or `setNull`'d into a VARCHAR column) while every
+  * other dialect behavior (quoting, truncate SQL, error classification)
+  * still comes from the backend's own dialect.
+  */
+object JdbcWarehouseSink {
+  import org.apache.spark.sql.jdbc.{JdbcDialect, JdbcDialects, JdbcType}
+
+  /** Reference-DDL-shaped portable column types
+    * (sql/create_redshift_tables.sql:4-38's typed columns; DOUBLE
+    * PRECISION because bare DOUBLE is not a PostgreSQL/Redshift type,
+    * while every major warehouse and Derby accept the SQL-standard
+    * spelling). Single source of truth for BOTH the CREATE TABLE DDL and
+    * the writer's parameter binding.
+    */
+  private[etl] def portableType(dt: DataType): JdbcType = dt match {
+    case StringType => JdbcType("VARCHAR(255)", java.sql.Types.VARCHAR)
+    case IntegerType => JdbcType("INT", java.sql.Types.INTEGER)
+    case LongType => JdbcType("BIGINT", java.sql.Types.BIGINT)
+    case DoubleType => JdbcType("DOUBLE PRECISION", java.sql.Types.DOUBLE)
+    case FloatType => JdbcType("REAL", java.sql.Types.FLOAT)
+    case BooleanType => JdbcType("BOOLEAN", java.sql.Types.BOOLEAN)
+    case DateType => JdbcType("DATE", java.sql.Types.DATE)
+    case TimestampType => JdbcType("TIMESTAMP", java.sql.Types.TIMESTAMP)
+    case d: DecimalType =>
+      JdbcType(s"DECIMAL(${d.precision},${d.scale})", java.sql.Types.DECIMAL)
+    case other => throw new IllegalArgumentException(
+      s"no warehouse mapping for column type $other")
+  }
+
+  private val claimedUrls =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Not an `object`: plain Scala objects lack `readResolve`, and the
+    * resolved dialect instance is serialized into the executor-side
+    * write tasks.
+    */
+  private final class PortableDialect extends JdbcDialect {
+    override def canHandle(url: String): Boolean = claimedUrls.contains(url)
+    override def getJDBCType(dt: DataType): Option[JdbcType] = dt match {
+      case StringType => Some(portableType(StringType))
+      case _ => None // defer to the backend dialect / common mapping
+    }
+  }
+
+  // Registered once per JVM, before any sink write can resolve a dialect.
+  JdbcDialects.registerDialect(new PortableDialect)
+
+  private[etl] def claimUrl(url: String): Unit = claimedUrls.add(url)
 }

@@ -93,6 +93,26 @@ class PipelineSpec extends SparkSpec {
     assert(sink.read(spark, "dim_products").count() === 1)
   }
 
+  test("JDBC sink survives NULL strings (sku absent from the dim)") {
+    // Regression pin for the r15 VARCHAR/CLOB crash: a sku that was in
+    // stock yesterday but vanished from today's snapshot (sold out /
+    // delisted) survives the full-outer join with a NULL product_name —
+    // the dim is built from the CLOSING snapshot, which no longer has
+    // it. Spark's stock Derby dialect setNull'd that string as CLOB
+    // against the portable VARCHAR column (Derby ERROR 22005). The
+    // fixture-scale JDBC test above never produced such a row, so the
+    // bug shipped green for ten rounds; this case keeps one in.
+    val dbDir = Files.createTempDirectory("graft-derby-null").toString
+    val sink = new JdbcWarehouseSink(s"jdbc:derby:$dbDir/wh;create=true")
+    val openPlusDelisted = invOpen.union(
+      Seq(("zz9", 7, "zombie", "x")).toDF("sku", "stock_on_hand", "product_name", "category"))
+    Pipeline.run(spark, sales, openPlusDelisted, invClose, d1, sink)
+    val recon = sink.read(spark, "fact_inventory_reconciliation")
+    val orphan = recon.where(col("sku") === "ZZ9").collect()
+    assert(orphan.length === 1)
+    assert(orphan.head.isNullAt(orphan.head.fieldIndex("product_name")))
+  }
+
   test("JDBC sink maps double columns portably (DOUBLE PRECISION DDL)") {
     val dbDir = Files.createTempDirectory("graft-derby-dbl").toString
     val sink = new JdbcWarehouseSink(s"jdbc:derby:$dbDir/wh;create=true")
