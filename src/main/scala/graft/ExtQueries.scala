@@ -35,7 +35,7 @@ object ExtQueries {
     * output whether or not a store was already warm.
     */
   private[graft] val storeCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String, String), DataFrame]
   // NOT computeIfAbsent: store builders call OTHER stores (bands →
   // signatures, labels → both), and a nested computeIfAbsent on the same
   // ConcurrentHashMap throws "Recursive update" whenever the two keys
@@ -45,17 +45,20 @@ object ExtQueries {
   // putIfAbsent keeps exactly one.
   private[graft] def store(s: SparkSession, dir: String, kind: String)(
       build: => DataFrame): DataFrame = {
-    val key = (s, dir, kind)
+    // Medium switch (graft.ext.DiskStore scaladoc): with a store root
+    // configured, the store is a partitioned parquet table on disk
+    // and the cached frame is its scan — zero heap residency, the
+    // cluster model of an ingest artifact. Default: the session-
+    // scoped serialized checkpoint (small-corpus form). The resolved
+    // root is part of the cache KEY (ADVICE r15): changing
+    // spark.graft.storeDir mid-session switches medium on the next
+    // probe instead of being silently ignored for warm kinds.
+    val root = s.conf.get("spark.graft.storeDir",
+      sys.env.getOrElse("SPARK_GRAFT_STORE_DIR", ""))
+    val key = (s, dir, kind, root)
     val hit = storeCache.get(key)
     if (hit != null) hit
     else {
-      // Medium switch (graft.ext.DiskStore scaladoc): with a store root
-      // configured, the store is a partitioned parquet table on disk
-      // and the cached frame is its scan — zero heap residency, the
-      // cluster model of an ingest artifact. Default: the session-
-      // scoped serialized checkpoint (small-corpus form).
-      val root = s.conf.get("spark.graft.storeDir",
-        sys.env.getOrElse("SPARK_GRAFT_STORE_DIR", ""))
       val built =
         if (root.nonEmpty) graft.ext.DiskStore.atRest(s, root, dir, kind)(build)
         else graft.ext.Ckpt.ser(build)

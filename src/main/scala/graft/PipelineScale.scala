@@ -113,6 +113,14 @@ object PipelineScale {
         val jok = jdbc.read(spark, "fact_inventory_reconciliation").count() == jr
         println(f"PIPESCALE $dir jdbc day=$mid $jt%.2f replay=$jrt%.2f " +
           s"recon_rows=$jr idempotent=$jok")
+        // Derby holds db.lck + open handles until engine shutdown —
+        // over a multi-dir run the temp databases would leak disk and
+        // file descriptors (ADVICE r15). Shut the database down (Derby
+        // signals success via SQLState 08006) and delete the directory.
+        try java.sql.DriverManager.getConnection(
+          s"jdbc:derby:$dbDir/wh;shutdown=true")
+        catch { case e: java.sql.SQLException if e.getSQLState == "08006" => }
+        org.apache.commons.io.FileUtils.deleteDirectory(dbDir.toFile)
       }
     }
     spark.stop()

@@ -329,10 +329,16 @@ private[graft] object QueriesAnn {
     // and aggregates pixel stats in one codegen'd pass. The oracle
     // recomputes the expected stats from the text by mirroring the
     // encode arithmetic — agreement proves the parser genuinely
-    // recovered dimensions + raster offset from the binary.
+    // recovered dimensions + raster offset from the binary. Both
+    // engines gate on printable ASCII (ADVICE r15): the Spark side
+    // rasters UTF-8 BYTES while the oracle sums per-CHARACTER
+    // codepoints, which agree only on single-byte text — the filter
+    // makes a future non-ASCII corpus shrink the result identically on
+    // both sides instead of surfacing as an opaque hash mismatch.
     "image_stats" -> ((s, dir) =>
       castLongs(
-        Multimodal.imageStats(Multimodal.encodePgm(Tables.documents(s, dir))),
+        Multimodal.imageStats(Multimodal.encodePgm(
+          Tables.documents(s, dir).where(col("text").rlike("^[ -~]*$")))),
         "width", "height", "maxval", "n_pixels", "pixel_min", "pixel_max")
         .orderBy("doc_id")),
 
@@ -752,8 +758,10 @@ private[graft] object QueriesAnn {
 
     // Mirrors encodePgm's construction (width 32, truncate to full
     // rows) over the text — NOT a byte-level re-parse (DuckDB cannot
-    // iterate BLOB bytes); the corpus is printable ASCII, so char
-    // codepoints equal payload raster bytes exactly.
+    // iterate BLOB bytes); the printable-ASCII gate (shared with the
+    // Spark side) is what makes char codepoints equal payload raster
+    // bytes exactly, and makes a non-ASCII corpus drop the same rows
+    // on both engines instead of diverging.
     "image_stats" ->
       s"""SELECT doc_id,
          |  CAST(32 AS BIGINT) AS width,
@@ -769,7 +777,9 @@ private[graft] object QueriesAnn {
          |  CAST(list_max([ord(c) FOR c IN
          |    string_split(substr(text, 1, (length(text) // 32) * 32), '')])
          |    AS BIGINT) AS pixel_max
-         |FROM documents WHERE length(text) >= 32 ORDER BY doc_id""".stripMargin,
+         |FROM documents
+         |WHERE length(text) >= 32 AND regexp_full_match(text, '[ -~]*')
+         |ORDER BY doc_id""".stripMargin,
 
     "semantic_dedup" -> {
       val r = Similarity.IvfTrainRounds

@@ -87,18 +87,20 @@ private[graft] object QueriesEvents {
     // interval, the 3 LATEST events (any user) inside it — actual
     // point rows where interval_count is a census, with output
     // ≤ 3·|sessions| (linear) where interval_join's is
-    // density-quadratic. Ranking is the bounded-heap TopKByScore
-    // aggregate (size-3 heap per interval per map task, pair stream
-    // never sorted or shuffled) — the form of the non-equi join that
-    // CAN run at sf10+ (VERDICT r14 ask #4; the row_number form's
-    // WindowGroupLimit partial pass still sorts every task's pair set,
-    // measured 8.5× interval_join's full enumeration at sf1).
+    // density-quadratic. Runs the global TIME-MERGE form (VERDICT r15
+    // ask #3): time order makes the answer the k latest events at the
+    // interval END truncated at its start, so each session is one
+    // PROBE on an ordered scan of the time axis and no candidate pair
+    // ever forms — density-INDEPENDENT where even the bounded-heap
+    // join form's candidate stream stayed quadratic (its plan ladder:
+    // row_number 182 s / heap join 113 s at sf1; the merge form has
+    // no pair stage at all). See RangeJoin.pointInIntervalTopKMerge.
     "interval_topk" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val sessions = Events.sessionize(ev).select(col("user_id"),
         col("session_no"), col("session_start"), col("session_end"))
       castLongs(
-        RangeJoin.pointInIntervalTopK(ev.select(col("ts"), col("event_id")),
+        RangeJoin.pointInIntervalTopKMerge(ev.select(col("ts"), col("event_id")),
           "ts", "event_id", sessions, "session_start", "session_end",
           Seq("user_id", "session_no"), k = 3)
           .select("user_id", "session_no", "rank", "event_id"),

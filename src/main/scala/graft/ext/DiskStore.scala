@@ -52,14 +52,46 @@ import org.apache.spark.sql.functions.col
   */
 object DiskStore {
 
-  /** Materialize `build` at `$root/<corpus-tag>/<kind>` (first caller
-    * wins; `_SUCCESS` marks a complete store) and return the parquet
-    * read — the frame every probe consumes.
+  /** Bump when the CONTENT of any store kind changes (new minhash
+    * params, different band constants, schema change, …): the version
+    * rides the on-disk directory name, so an old `_SUCCESS`-marked
+    * store from a previous code revision can never be silently reused
+    * against new reader expectations (ADVICE r15).
     */
+  val FormatVersion = 1
+
+  /** Materialize `build` at `$root/<corpus-tag>/v<ver>-<kind>` (first
+    * COMPLETED writer wins; `_SUCCESS` marks a complete store) and
+    * return the parquet read — the frame every probe consumes.
+    *
+    * The corpus tag is the sanitized dir name PLUS an md5 fragment of
+    * the raw path: sanitization alone is non-injective (`/a/b` and
+    * `/a_b` both fold to `_a_b`), and a store built for one corpus must
+    * never answer for another (ADVICE r15).
+    *
+    * Concurrency: the store is written to a writer-unique temp dir and
+    * RENAMED into place — two JVMs sharing a root can both pass the
+    * `_SUCCESS` check, and concurrent `mode(overwrite)` writes into ONE
+    * directory would delete each other's in-flight files or leave a
+    * mixed store carrying `_SUCCESS` (ADVICE r15). With the rename,
+    * first-complete-wins: the loser's rename fails on the existing
+    * target, its temp dir is discarded, and it reads the winner's
+    * store (stores are pure per-corpus functions, so either copy is
+    * correct). On an object store without atomic rename this becomes
+    * a lock object / conditional-put — same first-wins contract.
+    */
+  /** On-disk location of a (corpus, kind) store under `root`. */
+  def storePath(root: String, corpusDir: String, kind: String): String = {
+    val tag = corpusDir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(corpusDir.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+    s"$root/$tag/v$FormatVersion-$kind"
+  }
+
   def atRest(s: SparkSession, root: String, corpusDir: String, kind: String)(
       build: => DataFrame): DataFrame = {
-    val tag = corpusDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = s"$root/$tag/$kind"
+    val path = storePath(root, corpusDir, kind)
     if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
       val df = build
       val shards = s.conf.get("spark.graft.storeShards", "32").toInt
@@ -76,7 +108,20 @@ object DiskStore {
           df.repartition(shards, col("doc_id"))
             .sortWithinPartitions("doc_id")
         else df
-      laid.write.mode("overwrite").parquet(path)
+      val tmp = s"$path.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+      laid.write.mode("overwrite").parquet(tmp)
+      try {
+        Files.createDirectories(Paths.get(path).getParent)
+        Files.move(Paths.get(tmp), Paths.get(path),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.FileSystemException
+            if Files.exists(Paths.get(path, "_SUCCESS")) =>
+          // Lost the race to a completed writer: discard ours, read theirs.
+          org.apache.commons.io.FileUtils.deleteDirectory(
+            Paths.get(tmp).toFile)
+      }
     }
     s.read.parquet(path)
   }

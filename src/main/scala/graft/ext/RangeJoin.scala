@@ -96,6 +96,123 @@ object RangeJoin {
         timestamp_micros(col("nb.score").cast("long")).as(ptCol)): _*)
   }
 
+  /** Global TIME-MERGE form of [[pointInIntervalTopK]] — identical
+    * result contract (per interval, the top-`k` contained points under
+    * `(ptCol DESC, idCol ASC)`), with NO candidate-pair stage anywhere.
+    *
+    * Why it exists: the bucket-blocked join's candidate stream is
+    * density-QUADRATIC under any bucket constant — sub-bucket intervals
+    * × co-bucket points meet pairwise, so 10× denser data costs 100×
+    * regardless of `bucketSeconds` (measured at sf1/sf10, BASELINE.md).
+    * This form never enumerates a candidate: because the top-k order is
+    * time-descending, the k best points in `[s, e]` are exactly the k
+    * LATEST points at-or-before `e`, truncated at the first one older
+    * than `s` — so each interval needs one PROBE at its end time, not a
+    * join against its contents, and all probes ride a single ordered
+    * scan of the time axis (the as-of union+scan machinery generalized
+    * from 1 match to k).
+    *
+    * Plan shape (every stage linear or bucket-scale):
+    *   1. Union point rows with one probe row per interval (at `e`;
+    *      `__tie` sorts a probe AFTER equal-time points — inclusive
+    *      end). Bucket the time axis as in [[pointInInterval]].
+    *   2. Per bucket, an EXPANDING-frame window (unboundedPreceding →
+    *      currentRow, ordered by time) running the bounded-heap
+    *      [[graft.functions.TopKByScore]]: each probe row reads the
+    *      top-k of its OWN bucket's points up to `e` from a prefix scan
+    *      — O(n·log n) sort + O(n·k) heap updates, never n·p pairs.
+    *   3. Carry-in across buckets: per-bucket point top-k (hash
+    *      aggregate, map-side partial) prefix-merged by one
+    *      bucket-scale single-partition window — the same
+    *      nation/region-class table trick as [[intervalCount]]'s
+    *      offsets — gives each bucket the top-k of ALL earlier buckets.
+    *   4. Per probe, merge the two ≤k arrays (own-bucket prefix ∪
+    *      carry-in), re-sort, truncate to k, drop elements older than
+    *      `s`. Points before `s` rank strictly after every in-range
+    *      point (time-descending order), so the surviving ranks are a
+    *      consecutive 1..m prefix — identical to ranking inside
+    *      `[s, e]` directly.
+    *
+    * Skew note: step 2 partitions by time bucket, so one bucket's
+    * points sort in one task — `bucketSeconds` bounds per-task volume
+    * (finer buckets shrink tasks and only grow the bucket-scale carry
+    * table, k rows per bucket). Degenerate intervals (null bounds,
+    * start > end) emit nothing, matching the join form's predicate.
+    */
+  def pointInIntervalTopKMerge(points: DataFrame, ptCol: String, idCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      keyCols: Seq[String], k: Int,
+      bucketSeconds: Long = 3600L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    val bw = bucketSeconds * 1000000L
+    val tkType = "array<struct<score:double,id:bigint>>"
+    val keyTypes = keyCols.map(kc => kc -> intervals.schema(kc).dataType)
+    val pts = points.where(col(ptCol).isNotNull && col(idCol).isNotNull)
+      .select(keyTypes.map { case (kc, t) => lit(null).cast(t).as(kc) } ++ Seq(
+        unix_micros(col(ptCol)).as("__t"), lit(0).as("__tie"),
+        unix_micros(col(ptCol)).cast("double").as("__score"),
+        col(idCol).cast("long").as("__id"),
+        lit(null).cast("long").as("__st")): _*)
+    val probes = intervals.where(col(startCol).isNotNull &&
+        col(endCol).isNotNull && col(startCol) <= col(endCol))
+      .select(keyCols.map(col) ++ Seq(
+        unix_micros(col(endCol)).as("__t"), lit(1).as("__tie"),
+        lit(null).cast("double").as("__score"),
+        lit(null).cast("long").as("__id"),
+        unix_micros(col(startCol)).as("__st")): _*)
+    val u = pts.unionByName(probes).withColumn("__bkt", floor(col("__t") / bw))
+
+    // 2. Own-bucket prefix top-k. Null-scored probe rows never enter the
+    // heap, so a probe reads exactly the POINTS at-or-before it.
+    val wIn = Window.partitionBy("__bkt").orderBy(col("__t"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = u.withColumn("__local",
+      graft.functions.TopKByScore(col("__score"), col("__id"), k).over(wIn))
+      .where(col("__tie") === 1)
+
+    // 3. Bucket-scale carry-in: a marker per bucket sorts BEFORE its own
+    // bucket's exploded top-k rows, so its prefix heap holds exactly the
+    // earlier buckets' points. (k+1)·|buckets| rows through one
+    // single-partition window — nation/region-class at any data scale.
+    val perBkt = u.where(col("__tie") === 0)
+      .groupBy("__bkt")
+      .agg(graft.functions.TopKByScore(col("__score"), col("__id"), k).as("__tk"))
+      .select(col("__bkt"), lit(0).as("__mtie"), explode(col("__tk")).as("__e"))
+      .select(col("__bkt"), col("__mtie"),
+        col("__e.score").as("__score"), col("__e.id").as("__id"))
+    val markers = u.select("__bkt").distinct()
+      .select(col("__bkt"), lit(-1).as("__mtie"),
+        lit(null).cast("double").as("__score"), lit(null).cast("long").as("__id"))
+    val wCarry = Window.orderBy(col("__bkt"), col("__mtie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = perBkt.unionByName(markers)
+      .withColumn("__carry",
+        graft.functions.TopKByScore(col("__score"), col("__id"), k).over(wCarry))
+      .where(col("__mtie") === -1)
+      .select(col("__bkt"), col("__carry"))
+
+    // 4. Merge, truncate, filter to [s, e]. Both inputs are best-first
+    // sorted; the comparator re-sorts the 2k concat under the same
+    // (score DESC, id ASC) total order.
+    val cmp = (l: Column, r: Column) =>
+      when(l("score") > r("score"), -1)
+        .when(l("score") < r("score"), 1)
+        .when(l("id") < r("id"), -1)
+        .when(l("id") > r("id"), 1)
+        .otherwise(0)
+    local.join(broadcast(carry), Seq("__bkt"), "left")
+      .withColumn("__all", slice(array_sort(concat(
+        coalesce(col("__local"), array().cast(tkType)),
+        coalesce(col("__carry"), array().cast(tkType))), cmp), 1, k))
+      .select(keyCols.map(col) :+ col("__st") :+
+        posexplode(col("__all")).as(Seq("r", "nb")): _*)
+      .where(col("nb.score") >= col("__st").cast("double"))
+      .select(keyCols.map(col) ++ Seq((col("r") + 1).as("rank"),
+        col("nb.id").as(idCol),
+        timestamp_micros(col("nb.score").cast("long")).as(ptCol)): _*)
+  }
+
   /** Stabbing COUNT — per interval, the NUMBER of points inside
     * `[startCol, endCol]` (inclusive both ends), WITHOUT enumerating the
     * point-interval pairs.

@@ -45,16 +45,16 @@ class DiskStoreSpec extends SparkSpec {
   test("disk stores land as complete partitioned parquet tables") {
     // Trigger at least one family query so the store chain builds.
     SparkEntry.queries("containment_stratified")(diskSession, sfDir).collect()
-    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     for (kind <- Seq("minhash_hr", "minhash_bands", "minhash_sigrows"))
-      assert(Files.exists(Paths.get(s"$storeRoot/$tag/$kind", "_SUCCESS")),
+      assert(Files.exists(
+        Paths.get(DiskStore.storePath(storeRoot, sfDir, kind), "_SUCCESS")),
         s"store $kind missing or incomplete")
   }
 
   test("a complete store directory is reused, not rebuilt") {
     SparkEntry.queries("near_dup_minhash")(diskSession, sfDir).collect()
-    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val marker = Paths.get(s"$storeRoot/$tag/minhash_bands", "_SUCCESS")
+    val marker = Paths.get(
+      DiskStore.storePath(storeRoot, sfDir, "minhash_bands"), "_SUCCESS")
     val mtime = Files.getLastModifiedTime(marker)
     // A FRESH session (empty in-JVM cache) pointed at the same root
     // must probe the existing table instead of rewriting it — the

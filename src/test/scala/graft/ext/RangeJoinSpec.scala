@@ -149,6 +149,82 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.groupBy(_._1).values.forall(_.length <= 3))
   }
 
+  test("pointInIntervalTopKMerge = join form = naive, on the spread fixture") {
+    val points = (1L to 60L)
+      .map(i => (i, ts(f"2024-01-0${1 + (i % 3)}%d ${(i * 7 % 24)}%02d:${i % 60}%02d:00")))
+      .toDF("pid", "pt")
+    val intervals = (1L to 12L).map { k =>
+      val st = ts(f"2024-01-0${1 + (k % 3)}%d ${(k * 5 % 23)}%02d:00:00")
+      val en = new Timestamp(st.getTime + k * k * 1000L * 60 * 17)
+      (k, st, en)
+    }.toDF("iid", "st", "en")
+    val got = RangeJoin.pointInIntervalTopKMerge(points, "pt", "pid", intervals,
+        "st", "en", Seq("iid"), k = 3)
+      .select("iid", "rank", "pid").as[(Long, Int, Long)].collect().sorted
+    val viaJoin = RangeJoin.pointInIntervalTopK(points, "pt", "pid", intervals,
+        "st", "en", Seq("iid"), k = 3)
+      .select("iid", "rank", "pid").as[(Long, Int, Long)].collect().sorted
+    assert(viaJoin.nonEmpty)
+    assert(got.toSeq === viaJoin.toSeq)
+  }
+
+  test("merge form: ties, inclusive bounds, cross-bucket carry-in") {
+    val points = Seq(
+      (10L, ts("2024-01-01 03:15:00")), // many buckets before the probes
+      (11L, ts("2024-01-01 03:15:00")), // tie: smaller id must rank first
+      (12L, ts("2024-01-01 09:59:59")), // just before interval 7's start
+      (13L, ts("2024-01-01 10:00:00")), // exactly start
+      (14L, ts("2024-01-01 12:00:00")), // exactly end, bucket edge
+      (15L, ts("2024-01-01 12:00:01"))) // past the end
+      .toDF("pid", "pt")
+    val intervals = Seq(
+      // Two in-range points (13, 14): top-3 truncates at start.
+      (7L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")),
+      // Spans every point bucket: answer is carried across buckets and
+      // must order (15, 14, 13) with the 03:15 tie pair pushed out.
+      (8L, ts("2024-01-01 00:00:00"), ts("2024-01-01 23:00:00")),
+      // Ends inside the tie pair's bucket: tie-break id ASC at rank 1/2.
+      (9L, ts("2024-01-01 03:00:00"), ts("2024-01-01 04:00:00")),
+      // Empty interval: no output row at all.
+      (1L, ts("2024-01-01 05:00:00"), ts("2024-01-01 06:00:00")))
+      .toDF("iid", "st", "en")
+    val got = RangeJoin.pointInIntervalTopKMerge(points, "pt", "pid", intervals,
+        "st", "en", Seq("iid"), k = 3)
+      .select("iid", "rank", "pid").as[(Long, Int, Long)].collect().sorted
+    assert(got.toSeq === Seq(
+      (7L, 1, 14L), (7L, 2, 13L),
+      (8L, 1, 15L), (8L, 2, 14L), (8L, 3, 13L),
+      (9L, 1, 10L), (9L, 2, 11L)))
+  }
+
+  test("merge form drops degenerate intervals exactly like the join form") {
+    val points = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("pid", "pt")
+    val intervals = Seq(
+      (1L, Some(ts("2024-01-01 09:00:00")), Some(ts("2024-01-01 11:00:00"))),
+      (2L, None, Some(ts("2024-01-01 12:00:00")))                             ,
+      (3L, Some(ts("2024-01-01 10:00:00")), None),
+      (4L, Some(ts("2024-01-01 12:00:00")), Some(ts("2024-01-01 10:00:00"))))
+      .toDF("iid", "st", "en")
+    val got = RangeJoin.pointInIntervalTopKMerge(points, "pt", "pid", intervals,
+        "st", "en", Seq("iid"), k = 3)
+      .select("iid", "rank", "pid").as[(Long, Int, Long)].collect().sorted
+    assert(got.toSeq === Seq((1L, 1, 1L)))
+  }
+
+  test("merge form plan has no point-interval join stage") {
+    // The scale contract (VERDICT r15 ask #3): the only join may be the
+    // bucket-scale carry-in broadcast — candidate pairs must never form,
+    // so no sort-merge join and no nested-loop join can appear.
+    val points = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("pid", "pt")
+    val intervals = Seq((1L, ts("2024-01-01 09:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("iid", "st", "en")
+    val plan = RangeJoin.pointInIntervalTopKMerge(points, "pt", "pid", intervals,
+        "st", "en", Seq("iid"), k = 3).queryExecution.executedPlan.toString
+    assert(plan.contains("top_k_by_score"), s"missing TopKByScore:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("NestedLoop"),
+      s"no data-scale join may appear:\n$plan")
+  }
+
   test("pointInIntervalTopK plan is heap-aggregated — no sort, no window") {
     // The scale contract (VERDICT r14 ask #4): ranking must be the
     // bounded-heap TopKByScore aggregate with a partial pass — the

@@ -85,6 +85,44 @@ class SimilarityCentroidSpec extends SparkSpec {
     assert(recall(untrained) == 0.0, s"untrained recall ${recall(untrained)}")
   }
 
+  test("coarse-routed two-level build: bit-identical to flat at full width; valid at p=1") {
+    // Same planted-cluster fixture as the kmeansCells test: three
+    // orthogonal-axis clusters of 8, tiny perturbations.
+    def vec(axis: Int, i: Int): Array[Float] = {
+      val a = Array.fill(4)(0.0f)
+      a(axis) = 1.0f
+      a(3) = 0.01f * (i % 8)
+      a
+    }
+    val rows = for (c <- 0 until 3; i <- 0 until 8)
+      yield ((c * 8 + i).toLong, vec(c, i), c)
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val flat = asMap(Similarity.kmeansCellsByOccupancy(emb, occupancy = 8))
+    // Full width (coarseProbes ≥ g): every fine cell is a candidate in
+    // the fine argmax again, so the two-level loop must reproduce the
+    // flat loop EXACTLY, round by round — the VERDICT r15 ask #4 pin.
+    val full = asMap(Similarity.kmeansCellsByOccupancyCoarse(
+      emb, occupancy = 8, coarseProbes = 1000))
+    assert(full === flat)
+    // p=1 (the scale-campaign setting) is the IVF training
+    // approximation: still a total assignment into the same cell id
+    // space, one cell per vector.
+    val routed = asMap(Similarity.kmeansCellsByOccupancyCoarse(
+      emb, occupancy = 8, coarseProbes = 1))
+    assert(routed.keySet === flat.keySet)
+    assert(routed.values.toSet.subsetOf((0 until 3).toSet),
+      s"cells out of the n/occupancy id space: ${routed.values.toSet}")
+    // On well-separated planted clusters even p=1 routing keeps each
+    // cluster together (coarse groups split along the same axes).
+    for (c <- 0 until 3) {
+      val ids = (c * 8 until c * 8 + 8).map(_.toLong)
+      assert(ids.map(routed).distinct.size == 1,
+        s"cluster $c split across cells: ${ids.map(routed)}")
+    }
+  }
+
   test("topKLsh against a parquet-round-tripped signature store ≡ inline buckets") {
     val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft-lshstore").toString
