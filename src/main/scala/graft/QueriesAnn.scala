@@ -205,6 +205,38 @@ private[graft] object QueriesAnn {
         .orderBy("probe_id", "rank")
     }),
 
+    // X3 — ANN STORE ingest replay (VERDICT r15 ask #8): the at-rest
+    // medium pinned for the ANN store KINDS the way DiskStoreSpec pins
+    // the pair family. Probes all three trained-IVF stores end-to-end —
+    // the scaled assignment, its centroid table, and the int8 quantized
+    // corpus — by replaying the ingest ROUTING step corpus-wide:
+    // every vector re-routes via assignCells against the frozen
+    // centroid store (exactly what each arriving batch does), and the
+    // per-cell audit counts how many vectors the next Lloyd step would
+    // move (boundary mass) plus the exact 6dp-floored sum of the
+    // quantized store's scales (pins the store's content, not just its
+    // row count). Output is |cells| rows; every stage is one scan ×
+    // broadcast or a narrow vec_id join — nothing corpus².
+    "ann_store_replay" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val asg = store(s, dir, "ivf_cells_scaled")(
+        Similarity.kmeansCellsByOccupancy(emb))
+      val cent = store(s, dir, "ivf_centroids_scaled")(
+        Similarity.trainedCentroids(emb, asg))
+      val qst = store(s, dir, "quant_store")(Similarity.quantizeEmbeddings(emb))
+      val routed = Similarity.assignCells(emb, cent)
+        .withColumnRenamed("cell", "routed_cell")
+      asg.select(col("vec_id"), col("cell"))
+        .join(routed, "vec_id")
+        .join(qst.select(col("vec_id"), col("scale")), "vec_id")
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("routed_cell") =!= col("cell"), 1L).otherwise(0L))
+            .as("n_moved"),
+          sum(floor(col("scale") * 1000000).cast("long")).as("scale_sum_6dp"))
+        .orderBy("cell")
+    }),
+
     // X3 — embedding-space decontamination: corpus vectors (vec_id % 20
     // != 0) too cosine-similar to the benchmark slice (% 20 == 0,
     // BOUNDED to the first 256 such ids) — the shingle-decontaminate
@@ -480,6 +512,28 @@ private[graft] object QueriesAnn {
          |SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
          |FROM a$r a LEFT JOIN d ON a.vec_id = d.vec_id
          |ORDER BY a.vec_id""".stripMargin
+    },
+
+    // Stored assignment = a_r; the re-route against the frozen centroid
+    // store IS one more unrolled Lloyd step (cent_{r+1} is exactly
+    // trainedCentroids of a_r, and a_{r+1} is exactly assignCells
+    // against it — same floored cosine, same smaller-cell tie-break).
+    // The quantized store's scale is max|x|/127, one IEEE division.
+    "ann_store_replay" -> {
+      val r = Similarity.IvfTrainRounds
+      s"""WITH ${kmeansCtes(r + 1, scaledSeedSql(200))},
+         |q AS (SELECT vec_id,
+         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+         |      AS scale
+         |  FROM embeddings)
+         |SELECT s.cell,
+         |  CAST(count(*) AS BIGINT) AS n_vectors,
+         |  CAST(sum(CASE WHEN m.cell != s.cell THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_moved,
+         |  CAST(sum(CAST(floor(scale * 1000000) AS BIGINT)) AS BIGINT)
+         |    AS scale_sum_6dp
+         |FROM a$r s JOIN a${r + 1} m USING (vec_id) JOIN q USING (vec_id)
+         |GROUP BY s.cell ORDER BY s.cell""".stripMargin
     },
 
     // The trained-cell pair join with NO probe filter: every vector is

@@ -107,6 +107,12 @@ object DiskStore {
         else if (cols("doc_id"))
           df.repartition(shards, col("doc_id"))
             .sortWithinPartitions("doc_id")
+        else if (cols("bkt"))
+          df.repartition(shards, col("bkt"))
+            .sortWithinPartitions("bkt")
+        else if (cols("vec_id"))
+          df.repartition(shards, col("vec_id"))
+            .sortWithinPartitions("vec_id")
         else df
       val tmp = s"$path.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
       laid.write.mode("overwrite").parquet(tmp)

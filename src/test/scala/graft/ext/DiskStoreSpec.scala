@@ -35,7 +35,15 @@ class DiskStoreSpec extends SparkSpec {
     "containment_stratified", "probe_near_dups", "dup_groups",
     "source_overlap")
 
-  for (q <- pairFamily)
+  // The ANN store kinds (trained assignment, centroid table, quantized
+  // corpus, LSH signatures) pinned the same way — VERDICT r15 ask #8:
+  // the r15 sf100 ANN campaign RAN on disk stores, but no declared
+  // query was medium-equality-checked for them until ann_store_replay.
+  private val annFamily = Seq("ann_store_replay", "ann_topk_ivf_trained",
+    "ann_topk_ivf_quantized", "ann_topk_lsh", "knn_join_scaled",
+    "semdedup_ingest_replay")
+
+  for (q <- pairFamily ++ annFamily)
     test(s"$q: disk-store medium ≡ session-store medium") {
       val mem = SparkEntry.queries(q)(memSession, sfDir).collect().toSeq
       val disk = SparkEntry.queries(q)(diskSession, sfDir).collect().toSeq
