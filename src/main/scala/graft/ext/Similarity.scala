@@ -757,10 +757,14 @@ object Similarity {
     * are exactly the pairs a contrastive loss learns most from (random
     * negatives are trivially separable); mining them corpus-wide is a
     * batch retrieval job, not a per-row lookup. Same scale shape as
-    * knnJoin: candidate volume is Σ|cell|² within trained cells, the
-    * label-differs condition rides the cell equi-join as a residual,
-    * and the per-anchor top-k is a WindowGroupLimit — nothing
-    * broadcast, nothing corpus².
+    * knnJoin — IDENTICAL plan skeleton, in fact: candidate volume is
+    * Σ|cell|² within trained cells (minus same-label pairs, which the
+    * label-differs residual drops before the aggregate), and the
+    * per-anchor top-k is the same bounded-heap [[topK]] partial
+    * aggregate — nothing broadcast, nothing corpus². Any measured
+    * divergence from knnJoin on the same stores is therefore
+    * environment, not plan (the r16 4-pass sf100 recording
+    * adjudicates the r15 2-pass spread).
     */
   def hardNegatives(embeddings: DataFrame, k: Int = 3,
       rounds: Int = IvfTrainRounds,
