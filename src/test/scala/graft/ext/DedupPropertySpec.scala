@@ -253,9 +253,13 @@ class DedupPropertySpec extends AnyFunSuite {
       }
       // Demand recall only when the shared-band candidate generation is
       // near-certain: the planted pair's symmetric J must be high enough
-      // for the 8×2 banding (J ≥ 0.7 → miss p ≤ 3e-3).
+      // for the 8×2 banding. At J ≥ 0.8 the miss probability is
+      // (1 − J²)^8 ≤ 2.8e-4 — the former 0.7 cut (p ≈ 4.6e-3 per
+      // trial, 10 trials per run) measurably flaked about one suite
+      // run in twenty, which reads as a red build for a probabilistic
+      // miss the operator's contract explicitly allows.
       val plantedJ = jaccard(sets.head, sets.last)
-      val recalled = plantedJ < 0.7 ||
+      val recalled = plantedJ < 0.8 ||
         out.exists { case (a, b, _) => a == 0L && b == (docs.length - 1).toLong }
       sound && recalled
     }
@@ -382,6 +386,53 @@ class DedupPropertySpec extends AnyFunSuite {
       assert(capped.contains((i.toLong, 200L + j)),
         s"planted pair ($i, ${200 + j}) must survive the occupancy cap")
     }
+  }
+
+  test("ratio-incapable bucket skip is exact: skew channel ≡ naive co-bucket census") {
+    // Same boilerplate-heavy fixture as above: size-uniform buckets
+    // (large×large, small×small collisions) are ratio-incapable and
+    // skipped; mixed boilerplate buckets and the planted prefix-slice
+    // buckets stay. The skip may change NOTHING about the output —
+    // that is its whole contract (zero recall trade, no oracle mirror).
+    import org.apache.spark.sql.functions.{col, count => cnt, greatest, least, lit => l}
+    val boiler = Seq("all", "rights", "reserved")
+    val larges = (0 until 20).map { i =>
+      (i.toLong, ((1 to 90).map(w => s"u${i}x$w") ++ boiler).mkString(" "), "en")
+    }
+    val smalls = (0 until 20).map { i =>
+      (100L + i, ((1 to 15).map(w => s"s${i}x$w") ++ boiler).mkString(" "), "en")
+    }
+    val contained = Seq(1, 2, 4).zipWithIndex.map { case (i, j) =>
+      (200L + j, (1 to 20).map(w => s"u${i}x$w").mkString(" "), "en")
+    }
+    val df = (larges ++ smalls ++ contained).toDF("doc_id", "text", "lang")
+    val sized = Dedup.minhashSigRows(
+      Dedup.hashedShingleRows(df).localCheckpoint()).localCheckpoint()
+    for (minMatches <- Seq(1, 2)) {
+      val got = Dedup.skewCandidates(sized, 2.0, minMatches)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = sized.as("a").join(sized.as("b"),
+          col("a.sig_idx") === col("b.sig_idx") &&
+            col("a.sig_val") === col("b.sig_val") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            greatest(col("a.n"), col("b.n")) > least(col("a.n"), col("b.n")) * 2.0)
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(cnt(l(1)).as("m"))
+        .where(col("m") >= minMatches)
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(naive.nonEmpty, "fixture must produce skewed candidates")
+      assert(got === naive, s"minSigMatches=$minMatches")
+    }
+    // A size-UNIFORM corpus is all ratio-incapable buckets: the skew
+    // channel must emit nothing (and, with the skip, never forms the
+    // occ² pair mass to find that out).
+    val uniform = (0 until 30)
+      .map(i => (i.toLong, (1 to 40).map(w => s"w${i}y$w").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val uSized = Dedup.minhashSigRows(
+      Dedup.hashedShingleRows(uniform).localCheckpoint()).localCheckpoint()
+    assert(Dedup.skewCandidates(uSized, 2.0, 1).count() === 0L)
   }
 
   test("3-stratum mode recovers extreme-ratio contained docs the 2-stratum gate forfeits") {
