@@ -67,6 +67,31 @@ object ExtQueries {
     }
   }
 
+  /** The occupancy-SCALED trained-IVF assignment store (cells = n/200)
+    * shared by the whole scaled ANN family (knn_join_scaled,
+    * semantic_dedup_scaled, hard_negatives_scaled, embedding_near_dup,
+    * ann_store_replay, semdedup_ingest_replay). Built with the
+    * TWO-LEVEL coarse-routed Lloyd loop
+    * ([[Similarity.kmeansCellsByOccupancyCoarse]], VERDICT r16 ask #1)
+    * — the n^1.5-per-decade ingest (sf100: 53.3 s/assignment pass vs
+    * the flat form's 666.8 s) — at the coarseProbes = 1 scale setting;
+    * the DuckDB oracle unrolls the same deterministic steps
+    * ([[kmeansCoarseCtes]]), so every consumer stays hash-checked.
+    */
+  private[graft] def scaledCellsStore(s: SparkSession, dir: String,
+      emb: DataFrame): DataFrame =
+    store(s, dir, "ivf_cells_scaled")(
+      Similarity.kmeansCellsByOccupancyCoarse(emb))
+
+  /** The centroid table OF [[scaledCellsStore]] — written beside the
+    * assignment at training time (Similarity.trainedCentroids), probed
+    * by batch routing and the store audit.
+    */
+  private[graft] def scaledCentroidsStore(s: SparkSession, dir: String,
+      emb: DataFrame): DataFrame =
+    store(s, dir, "ivf_centroids_scaled")(
+      Similarity.trainedCentroids(emb, scaledCellsStore(s, dir, emb)))
+
   /** The co-purchase family's shared stages: the distinct per-order item
     * set and the un-gated pair counts (the Σ|basket|² stage), computed
     * once per (session, corpus) — the retail twin of the signature-store
@@ -320,6 +345,106 @@ object ExtQueries {
     */
   private[graft] def scaledSeedSql(occupancy: Int): String =
     s"CAST(vec_id % (SELECT greatest(count(*) // $occupancy, 1) FROM embeddings) AS INTEGER)"
+
+  /** Floored-6dp cosine between two DuckDB list columns `a` and `b` —
+    * the [[cosSql]]/[[cosCenSql]] kernel generalized to arbitrary
+    * column references (float→double per element, sequential fold).
+    */
+  private[graft] def cosListsSql(a: String, b: String): String =
+    s"""floor(
+       |  list_sum(list_transform(range(1, len($a) + 1),
+       |    i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
+       |  (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+       |    i -> $a[i]::DOUBLE * $a[i]::DOUBLE))) *
+       |   sqrt(list_sum(list_transform(range(1, len($a) + 1),
+       |    i -> $b[i]::DOUBLE * $b[i]::DOUBLE))))
+       |  * 1000000) / 1000000""".stripMargin
+
+  /** Per-cell exact-decimal centroid CTE block over an assignment CTE
+    * `$asg(vec_id, cell)`: emits `cx$i`, `cs$i`, `cent$i(c_cell, cen)` —
+    * one [[kmeansCtes]] centroid step, factored out so the coarse chain
+    * and the store-replay oracle can derive centroids from ANY round's
+    * assignment.
+    */
+  private def centroidStepCtes(i: Int, asg: String): String =
+    s"""cx$i AS (SELECT a.cell, i - 1 AS dim, e.embedding[i]::DOUBLE AS x
+       |  FROM embeddings e JOIN $asg a USING (vec_id),
+       |       unnest(range(1, len(e.embedding) + 1)) AS u(i)),
+       |cs$i AS (SELECT cell, dim, sum(x::DECIMAL(30,10)) AS sx, count(*) AS n_vecs
+       |  FROM cx$i GROUP BY 1, 2),
+       |cent$i AS (SELECT cell AS c_cell,
+       |    list((floor(sx::DOUBLE / n_vecs * 1000000) / 1000000)::FLOAT ORDER BY dim)
+       |      AS cen
+       |  FROM cs$i GROUP BY cell)""".stripMargin
+
+  /** Unrolled TWO-LEVEL (coarse-routed) k-means CTE chain — the oracle
+    * twin of Similarity.kmeansCellsByOccupancyCoarse at the declared
+    * build setting (coarseProbes = 1, coarseRounds = 1), step for step:
+    * per round, centroids of the current assignment (cent$r — the
+    * [[kmeansCtes]] step); g = ceil(sqrt(|cent$r|)) coarse groups seeded
+    * `c_cell mod g`; ONE centroid-scale mini-Lloyd round regroups the
+    * fine centroids (floored cosine argmax, smaller-group tie-break);
+    * every vector routes to its top-`coarseProbes` coarse groups by the
+    * same floored-cosine ordering; the fine argmax then ranks ONLY the
+    * routed groups' cells. Ends in `a$rounds(vec_id, cell)`.
+    *
+    * With `finalCentroids` the chain additionally emits
+    * `cent${rounds + 1}` — the centroid table OF the final assignment,
+    * i.e. Similarity.trainedCentroids(emb, a$rounds), which the
+    * store-replay oracle probes.
+    */
+  private[graft] def kmeansCoarseCtes(rounds: Int, seedSql: String = "label",
+      coarseProbes: Int = 1, finalCentroids: Boolean = false): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""${centroidStepCtes(r, s"a${r - 1}")},
+         |gs$r AS (SELECT c_cell, cen,
+         |    CAST(c_cell % (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+         |                   FROM cent$r) AS INTEGER) AS gcell
+         |  FROM cent$r),
+         |gx$r AS (SELECT gcell, i - 1 AS dim, cen[i]::DOUBLE AS x
+         |  FROM gs$r, unnest(range(1, len(cen) + 1)) AS u(i)),
+         |gc$r AS (SELECT gcell, dim, sum(x::DECIMAL(30,10)) AS sx, count(*) AS n_vecs
+         |  FROM gx$r GROUP BY 1, 2),
+         |gcent$r AS (SELECT gcell AS g_cell,
+         |    list((floor(sx::DOUBLE / n_vecs * 1000000) / 1000000)::FLOAT ORDER BY dim)
+         |      AS gcen
+         |  FROM gc$r GROUP BY gcell),
+         |grp$r AS (SELECT c_cell, g_cell FROM (
+         |    SELECT c.c_cell, g.g_cell,
+         |      row_number() OVER (PARTITION BY c.c_cell
+         |        ORDER BY ${cosListsSql("c.cen", "g.gcen")} DESC, g.g_cell) AS rn
+         |    FROM cent$r c CROSS JOIN gcent$r g) WHERE rn = 1),
+         |fx$r AS (SELECT g.g_cell, i - 1 AS dim, c.cen[i]::DOUBLE AS x
+         |  FROM cent$r c JOIN grp$r g USING (c_cell),
+         |       unnest(range(1, len(c.cen) + 1)) AS u(i)),
+         |fc$r AS (SELECT g_cell, dim, sum(x::DECIMAL(30,10)) AS sx, count(*) AS n_vecs
+         |  FROM fx$r GROUP BY 1, 2),
+         |fcent$r AS (SELECT g_cell,
+         |    list((floor(sx::DOUBLE / n_vecs * 1000000) / 1000000)::FLOAT ORDER BY dim)
+         |      AS gcen
+         |  FROM fc$r GROUP BY g_cell),
+         |rt$r AS (SELECT vec_id, g_cell FROM (
+         |    SELECT e.vec_id, f.g_cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosListsSql("e.embedding", "f.gcen")} DESC, f.g_cell) AS rn
+         |    FROM embeddings e CROSS JOIN fcent$r f) WHERE rn <= $coarseProbes),
+         |p$r AS (SELECT e.vec_id, c.c_cell,
+         |    ${cosListsSql("e.embedding", "c.cen")} AS cos
+         |  FROM embeddings e
+         |  JOIN rt$r t USING (vec_id)
+         |  JOIN grp$r g ON g.g_cell = t.g_cell
+         |  JOIN cent$r c ON c.c_cell = g.c_cell),
+         |a$r AS (SELECT vec_id, c_cell AS cell FROM (
+         |    SELECT vec_id, c_cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_cell) AS rn
+         |    FROM p$r) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val tail =
+      if (finalCentroids) s",\n${centroidStepCtes(rounds + 1, s"a$rounds")}"
+      else ""
+    s"""a0 AS (SELECT vec_id, $seedSql AS cell FROM embeddings),
+       |$steps$tail""".stripMargin
+  }
 
   /** Unrolled k-means CTE chain — the oracle twin of
     * Similarity.kmeansCells: assignment a0 is `seedSql` (default: the

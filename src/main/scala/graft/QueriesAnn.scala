@@ -106,8 +106,7 @@ private[graft] object QueriesAnn {
     // fixture twin stays declared as the small-corpus form.
     "knn_join_scaled" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val asg = store(s, dir, "ivf_cells_scaled")(
-        Similarity.kmeansCellsByOccupancy(emb))
+      val asg = scaledCellsStore(s, dir, emb)
       castLongs(Similarity.knnJoin(emb, assignments = Some(asg)), "rank")
         .orderBy("probe_id", "rank")
     }),
@@ -117,8 +116,7 @@ private[graft] object QueriesAnn {
     // per decade; semdedup_ingest_replay folds against the SAME stores.
     "semantic_dedup_scaled" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val asg = store(s, dir, "ivf_cells_scaled")(
-        Similarity.kmeansCellsByOccupancy(emb))
+      val asg = scaledCellsStore(s, dir, emb)
       Similarity.semDedup(emb, threshold = 0.3, assignments = Some(asg))
         .orderBy("vec_id")
     }),
@@ -142,8 +140,7 @@ private[graft] object QueriesAnn {
     // the small-corpus form. Shares the ivf_cells_scaled store.
     "hard_negatives_scaled" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val asg = store(s, dir, "ivf_cells_scaled")(
-        Similarity.kmeansCellsByOccupancy(emb))
+      val asg = scaledCellsStore(s, dir, emb)
       castLongs(Similarity.hardNegatives(emb, assignments = Some(asg)), "rank")
         .orderBy("probe_id", "rank")
     }),
@@ -205,35 +202,45 @@ private[graft] object QueriesAnn {
         .orderBy("probe_id", "rank")
     }),
 
-    // X3 — ANN STORE ingest replay (VERDICT r15 ask #8): the at-rest
-    // medium pinned for the ANN store KINDS the way DiskStoreSpec pins
-    // the pair family. Probes all three trained-IVF stores end-to-end —
-    // the scaled assignment, its centroid table, and the int8 quantized
-    // corpus — by replaying the ingest ROUTING step corpus-wide:
-    // every vector re-routes via assignCells against the frozen
-    // centroid store (exactly what each arriving batch does), and the
-    // per-cell audit counts how many vectors the next Lloyd step would
-    // move (boundary mass) plus the exact 6dp-floored sum of the
-    // quantized store's scales (pins the store's content, not just its
-    // row count). Output is |cells| rows; every stage is one scan ×
-    // broadcast or a narrow vec_id join — nothing corpus².
+    // X3 — ANN STORE ingest replay (VERDICT r15 ask #8; RE-SCOPED r17
+    // per VERDICT r16 ask #2): the at-rest medium pinned for the ANN
+    // store KINDS the way DiskStoreSpec pins the pair family. Probes
+    // all three trained-IVF stores end-to-end — the scaled assignment,
+    // its centroid table, and the int8 quantized corpus — in two
+    // halves with different scopes:
+    //   (a) LINEAR, corpus-wide: per-cell member count plus the exact
+    //       6dp-floored sum of the quantized store's scales (pins the
+    //       stores' content, not just row counts) — narrow vec_id
+    //       joins and one aggregate, no cosines, O(n) per decade.
+    //   (b) BOUNDED routing replay: the family's standard probe set
+    //       (vec_id % 50 == 0, first MaxProbes) re-routes via
+    //       assignCells against the frozen centroid store — exactly
+    //       what an arriving batch does — and the audit counts the
+    //       probes whose next-step cell differs (boundary mass).
+    //       |probes|·|cells| cosines: linear in cells per decade, vs
+    //       the r16 form's corpus-wide re-route (n·|cells| — quadratic
+    //       at cells ∝ n, 314.6 s at sf100; see BASELINE.md's
+    //       "ann_store_replay re-scope" note).
+    // Output is |cells| rows: n_vectors, scale_sum_6dp, n_probed,
+    // n_moved (cells without probes report 0/0).
     "ann_store_replay" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val asg = store(s, dir, "ivf_cells_scaled")(
-        Similarity.kmeansCellsByOccupancy(emb))
-      val cent = store(s, dir, "ivf_centroids_scaled")(
-        Similarity.trainedCentroids(emb, asg))
+      val asg = scaledCellsStore(s, dir, emb)
+      val cent = scaledCentroidsStore(s, dir, emb)
       val qst = store(s, dir, "quant_store")(Similarity.quantizeEmbeddings(emb))
-      val routed = Similarity.assignCells(emb, cent)
+      val probeRouted = Similarity.assignCells(Similarity.probes(emb, 50), cent)
         .withColumnRenamed("cell", "routed_cell")
       asg.select(col("vec_id"), col("cell"))
-        .join(routed, "vec_id")
         .join(qst.select(col("vec_id"), col("scale")), "vec_id")
+        .join(probeRouted, Seq("vec_id"), "left")
         .groupBy("cell")
         .agg(count(lit(1)).as("n_vectors"),
-          sum(when(col("routed_cell") =!= col("cell"), 1L).otherwise(0L))
-            .as("n_moved"),
-          sum(floor(col("scale") * 1000000).cast("long")).as("scale_sum_6dp"))
+          sum(floor(col("scale") * 1000000).cast("long")).as("scale_sum_6dp"),
+          sum(when(col("routed_cell").isNotNull, 1L).otherwise(0L))
+            .as("n_probed"),
+          sum(when(col("routed_cell").isNotNull &&
+              col("routed_cell") =!= col("cell"), 1L).otherwise(0L))
+            .as("n_moved"))
         .orderBy("cell")
     }),
 
@@ -276,8 +283,7 @@ private[graft] object QueriesAnn {
     // the small-corpus API (Similarity.nearDupCosine, spec-covered).
     "embedding_near_dup" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val asg = store(s, dir, "ivf_cells_scaled")(
-        Similarity.kmeansCellsByOccupancy(emb))
+      val asg = scaledCellsStore(s, dir, emb)
       Similarity.nearDupCosineCells(emb, assignments = Some(asg))
         .orderBy("vec_a", "vec_b")
     }),
@@ -367,10 +373,13 @@ private[graft] object QueriesAnn {
     // codepoints, which agree only on single-byte text — the filter
     // makes a future non-ASCII corpus shrink the result identically on
     // both sides instead of surfacing as an opaque hash mismatch.
+    // Anchors are the terminator-proof \A..\z (ADVICE r16): Java's $
+    // also matches before a final line terminator, so text ending in
+    // \n would pass rlike("^...$") but fail DuckDB's full match.
     "image_stats" -> ((s, dir) =>
       castLongs(
         Multimodal.imageStats(Multimodal.encodePgm(
-          Tables.documents(s, dir).where(col("text").rlike("^[ -~]*$")))),
+          Tables.documents(s, dir).where(col("text").rlike("\\A[ -~]*\\z")))),
         "width", "height", "maxval", "n_pixels", "pixel_min", "pixel_max")
         .orderBy("doc_id")),
 
@@ -486,11 +495,12 @@ private[graft] object QueriesAnn {
          |SELECT probe_id, rank, neighbor_id, cosine FROM r
          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
-    // Scaled-cells twins: the same pair-join SQL over the
-    // occupancy-seeded k-means chain (cells = max(n/200, 1), unrolled
-    // as a scalar subquery — deterministic on both engines).
+    // Scaled-cells twins: the same pair-join SQL over the COARSE-ROUTED
+    // occupancy-seeded k-means chain (cells = max(n/200, 1) as a scalar
+    // subquery; the two-level build of kmeansCellsByOccupancyCoarse
+    // unrolled step for step — deterministic on both engines).
     "knn_join_scaled" ->
-      s"""WITH ${kmeansCtes(Similarity.IvfTrainRounds, scaledSeedSql(200))},
+      s"""WITH ${kmeansCoarseCtes(Similarity.IvfTrainRounds, scaledSeedSql(200))},
          |e2 AS (SELECT e.vec_id, e.embedding, a.cell
          |  FROM embeddings e JOIN a${Similarity.IvfTrainRounds} a USING (vec_id)),
          |pairs AS (
@@ -503,7 +513,7 @@ private[graft] object QueriesAnn {
 
     "semantic_dedup_scaled" -> {
       val r = Similarity.IvfTrainRounds
-      s"""WITH ${kmeansCtes(r, scaledSeedSql(200))},
+      s"""WITH ${kmeansCoarseCtes(r, scaledSeedSql(200))},
          |e2 AS (SELECT e.vec_id, e.embedding, a.cell
          |  FROM embeddings e JOIN a$r a USING (vec_id)),
          |d AS (SELECT DISTINCT b.vec_id FROM e2 a JOIN e2 b
@@ -514,25 +524,37 @@ private[graft] object QueriesAnn {
          |ORDER BY a.vec_id""".stripMargin
     },
 
-    // Stored assignment = a_r; the re-route against the frozen centroid
-    // store IS one more unrolled Lloyd step (cent_{r+1} is exactly
-    // trainedCentroids of a_r, and a_{r+1} is exactly assignCells
-    // against it — same floored cosine, same smaller-cell tie-break).
-    // The quantized store's scale is max|x|/127, one IEEE division.
+    // Stored assignment = a_r of the coarse chain; `finalCentroids`
+    // emits cent_{r+1} — exactly trainedCentroids of a_r, the frozen
+    // centroid store — and the bounded probe re-route is one FULL-WIDTH
+    // argmax of the probe set against it (assignCells: same floored
+    // cosine, same smaller-cell tie-break). The quantized store's scale
+    // is max|x|/127, one IEEE division.
     "ann_store_replay" -> {
       val r = Similarity.IvfTrainRounds
-      s"""WITH ${kmeansCtes(r + 1, scaledSeedSql(200))},
+      s"""WITH ${kmeansCoarseCtes(r, scaledSeedSql(200), finalCentroids = true)},
          |q AS (SELECT vec_id,
          |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
          |      AS scale
-         |  FROM embeddings)
+         |  FROM embeddings),
+         |pr AS (SELECT vec_id, c_cell AS routed_cell FROM (
+         |    SELECT e.vec_id, c.c_cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosListsSql("e.embedding", "c.cen")} DESC, c.c_cell)
+         |        AS rn
+         |    FROM embeddings e CROSS JOIN cent${r + 1} c
+         |    WHERE e.vec_id % 50 = 0
+         |      AND e.vec_id < ${50L * Similarity.MaxProbes}) WHERE rn = 1)
          |SELECT s.cell,
          |  CAST(count(*) AS BIGINT) AS n_vectors,
-         |  CAST(sum(CASE WHEN m.cell != s.cell THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_moved,
          |  CAST(sum(CAST(floor(scale * 1000000) AS BIGINT)) AS BIGINT)
-         |    AS scale_sum_6dp
-         |FROM a$r s JOIN a${r + 1} m USING (vec_id) JOIN q USING (vec_id)
+         |    AS scale_sum_6dp,
+         |  CAST(sum(CASE WHEN pr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_probed,
+         |  CAST(sum(CASE WHEN pr.routed_cell IS NOT NULL
+         |      AND pr.routed_cell != s.cell THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_moved
+         |FROM a$r s JOIN q USING (vec_id) LEFT JOIN pr USING (vec_id)
          |GROUP BY s.cell ORDER BY s.cell""".stripMargin
     },
 
@@ -562,10 +584,11 @@ private[graft] object QueriesAnn {
          |SELECT probe_id, rank, neighbor_id, cosine FROM r
          |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
 
-    // Same different-label pair join over the occupancy-seeded k-means
-    // chain (the knn_join_scaled oracle pattern).
+    // Same different-label pair join over the coarse-routed
+    // occupancy-seeded k-means chain (the knn_join_scaled oracle
+    // pattern).
     "hard_negatives_scaled" ->
-      s"""WITH ${kmeansCtes(Similarity.IvfTrainRounds, scaledSeedSql(200))},
+      s"""WITH ${kmeansCoarseCtes(Similarity.IvfTrainRounds, scaledSeedSql(200))},
          |e2 AS (SELECT e.vec_id, e.embedding, e.label, a.cell
          |  FROM embeddings e JOIN a${Similarity.IvfTrainRounds} a USING (vec_id)),
          |pairs AS (
@@ -762,10 +785,11 @@ private[graft] object QueriesAnn {
          |SELECT vec_id, n_hits, cos AS max_cos, bench_id AS nearest_bench
          |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
-    // Within-cell pair join over the occupancy-seeded k-means chain
-    // (r14 re-base from the fixed-label blocking — see the entry note).
+    // Within-cell pair join over the coarse-routed occupancy-seeded
+    // k-means chain (r14 re-base from the fixed-label blocking — see
+    // the entry note; r17 re-base onto the coarse build).
     "embedding_near_dup" ->
-      s"""WITH ${kmeansCtes(Similarity.IvfTrainRounds, scaledSeedSql(200))},
+      s"""WITH ${kmeansCoarseCtes(Similarity.IvfTrainRounds, scaledSeedSql(200))},
          |e2 AS (SELECT e.vec_id, e.embedding, a.cell
          |  FROM embeddings e JOIN a${Similarity.IvfTrainRounds} a USING (vec_id))
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cosSql AS cosine

@@ -246,10 +246,8 @@ private[graft] object QueriesSketches {
     // one-shot oracle is semantic_dedup_scaled's.
     "semdedup_ingest_replay" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val asg = store(s, dir, "ivf_cells_scaled")(
-        Similarity.kmeansCellsByOccupancy(emb))
-      val cent = store(s, dir, "ivf_centroids_scaled")(
-        Similarity.trainedCentroids(emb, asg))
+      val asg = scaledCellsStore(s, dir, emb)
+      val cent = scaledCentroidsStore(s, dir, emb)
       val routed = emb.join(asg.select("vec_id", "cell"), "vec_id")
         .select("vec_id", "embedding", "cell")
       val empty = routed.where(lit(false)).localCheckpoint()

@@ -185,11 +185,18 @@ final class JdbcWarehouseSink(url: String,
   * sink instance has claimed — other JDBC traffic in the session keeps
   * its stock dialect. Because [[org.apache.spark.sql.jdbc.JdbcDialects]]
   * PREPENDS registrations and aggregates multiple matches with
-  * first-`Some`-wins `getJDBCType`, this overrides ONLY the mappings
+  * first-`Some`-wins `getJDBCType`, this overrides ONLY the type mapping
   * below (StringType→VARCHAR over Derby's CLOB default — CLOBs cannot be
-  * compared, grouped, or `setNull`'d into a VARCHAR column) while every
-  * other dialect behavior (quoting, truncate SQL, error classification)
-  * still comes from the backend's own dialect.
+  * compared, grouped, or `setNull`'d into a VARCHAR column). Caveat
+  * (ADVICE r16): Spark's AggregatedDialect composes just
+  * getCatalystType/getJDBCType — on a claimed URL, NON-type dialect
+  * behaviors (identifier quoting, truncate SQL, error classification)
+  * fall back to the `JdbcDialect` BASE defaults, not the backend
+  * dialect's overrides. Harmless for this sink (it issues its own
+  * DDL/DELETE/TRUNCATE and quotes its own identifiers, and the base
+  * defaults are the portable forms); a deployment that needs a
+  * backend's custom truncate/quoting on the SAME url should load via an
+  * unclaimed url or extend PortableDialect to delegate those methods.
   */
 object JdbcWarehouseSink {
   import org.apache.spark.sql.jdbc.{JdbcDialect, JdbcDialects, JdbcType}

@@ -60,14 +60,24 @@ object DiskStore {
     */
   val FormatVersion = 1
 
-  /** Materialize `build` at `$root/<corpus-tag>/v<ver>-<kind>` (first
-    * COMPLETED writer wins; `_SUCCESS` marks a complete store) and
-    * return the parquet read — the frame every probe consumes.
+  /** On-disk location of a (corpus, kind) store under `root`.
     *
     * The corpus tag is the sanitized dir name PLUS an md5 fragment of
     * the raw path: sanitization alone is non-injective (`/a/b` and
     * `/a_b` both fold to `_a_b`), and a store built for one corpus must
     * never answer for another (ADVICE r15).
+    */
+  def storePath(root: String, corpusDir: String, kind: String): String = {
+    val tag = corpusDir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(corpusDir.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+    s"$root/$tag/v$FormatVersion-$kind"
+  }
+
+  /** Materialize `build` at [[storePath]] (first COMPLETED writer wins;
+    * `_SUCCESS` marks a complete store) and return the parquet read —
+    * the frame every probe consumes.
     *
     * Concurrency: the store is written to a writer-unique temp dir and
     * RENAMED into place — two JVMs sharing a root can both pass the
@@ -79,16 +89,11 @@ object DiskStore {
     * store (stores are pure per-corpus functions, so either copy is
     * correct). On an object store without atomic rename this becomes
     * a lock object / conditional-put — same first-wins contract.
+    * A writer that fails (or a JVM that died) mid-write deletes its own
+    * temp dir on the failure path, and any stale `*.tmp-*` siblings a
+    * crash left behind are swept by the next writer once a complete
+    * store exists (ADVICE r16).
     */
-  /** On-disk location of a (corpus, kind) store under `root`. */
-  def storePath(root: String, corpusDir: String, kind: String): String = {
-    val tag = corpusDir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(corpusDir.getBytes("UTF-8"))
-        .take(4).map(b => f"$b%02x").mkString
-    s"$root/$tag/v$FormatVersion-$kind"
-  }
-
   def atRest(s: SparkSession, root: String, corpusDir: String, kind: String)(
       build: => DataFrame): DataFrame = {
     val path = storePath(root, corpusDir, kind)
@@ -115,20 +120,45 @@ object DiskStore {
             .sortWithinPartitions("vec_id")
         else df
       val tmp = s"$path.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
-      laid.write.mode("overwrite").parquet(tmp)
       try {
+        laid.write.mode("overwrite").parquet(tmp)
         Files.createDirectories(Paths.get(path).getParent)
         Files.move(Paths.get(tmp), Paths.get(path),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       } catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.FileSystemException
+        case _: java.nio.file.FileSystemException
             if Files.exists(Paths.get(path, "_SUCCESS")) =>
           // Lost the race to a completed writer: discard ours, read theirs.
           org.apache.commons.io.FileUtils.deleteDirectory(
             Paths.get(tmp).toFile)
+        case e: Throwable =>
+          // Failed write/rename with no winner: don't leak the temp dir.
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            Paths.get(tmp).toFile)
+          throw e
       }
+      sweepStaleTmp(path)
     }
     s.read.parquet(path)
   }
+
+  /** Delete `*.tmp-*` siblings a crashed writer left beside a now-
+    * complete store: only runs when `$path/_SUCCESS` exists, so an
+    * in-flight CONCURRENT writer's temp dir (same prefix) being swept
+    * is harmless — its rename would have lost the race anyway and it
+    * reads the completed store (the documented first-wins contract).
+    */
+  private def sweepStaleTmp(path: String): Unit =
+    if (Files.exists(Paths.get(path, "_SUCCESS"))) {
+      val p = Paths.get(path)
+      val parent = p.getParent
+      val prefix = p.getFileName.toString + ".tmp-"
+      if (parent != null && Files.isDirectory(parent)) {
+        val st = Files.list(parent)
+        try st.filter(c => c.getFileName.toString.startsWith(prefix))
+          .forEach(c =>
+            org.apache.commons.io.FileUtils.deleteQuietly(c.toFile))
+        finally st.close()
+      }
+    }
 }

@@ -475,9 +475,13 @@ object Similarity {
     * The only corpus-sized exchanges are the vec_id re-join of the
     * routing table and the final per-vector max — both narrow.
     *
-    * Build job, not a declared query: the centroid-table count (a
-    * |cells|-row action) sizes g driver-side, which the in-plan
-    * discipline of [[kmeansCellsByOccupancy]] avoids for QUERY paths.
+    * A BUILD job (r17: the ingest path of every `ivf_cells_scaled`
+    * store — ExtQueries.scaledCellsStore): the centroid-table count (a
+    * |cells|-row action) sizes g driver-side. That is fine for store
+    * INGEST, which already materializes checkpoints per round; pure
+    * query paths keep [[kmeansCellsByOccupancy]]'s in-plan sizing
+    * discipline. The DuckDB oracle twin is
+    * ExtQueries.kmeansCoarseCtes, unrolled step for step.
     */
   def kmeansCellsByOccupancyCoarse(embeddings: DataFrame, occupancy: Int = 200,
       rounds: Int = IvfTrainRounds, coarseProbes: Int = 1,
@@ -519,9 +523,17 @@ object Similarity {
           embeddings.select(col("vec_id"))
             .crossJoin(broadcast(grouping.select(col("cell").as("g_cell")).distinct()))
         else
+          // Routing score is the FLOORED 6dp cosine (r17): the raw
+          // double would make the top-p order hinge on sub-ulp engine
+          // agreement; the floored form plus TopKByScore's smaller-id
+          // tie-break is the same portable (trunc6 desc, cell asc)
+          // ordering every other argmax in the family uses — which is
+          // what lets the DuckDB oracle unroll this build verbatim
+          // (ExtQueries.kmeansCoarseCtes).
           embeddings.crossJoin(broadcast(coarseCent))
             .select(col("vec_id"),
-              CosineSimilarity(col("embedding"), col("g_centroid")).as("gcos"),
+              floor(CosineSimilarity(col("embedding"), col("g_centroid")) * 1000000)
+                .cast("double").as("gcos"),
               col("g_cell"))
             .groupBy("vec_id")
             .agg(graft.functions.TopKByScore(
