@@ -105,14 +105,21 @@ object PipelineScale {
         val jt0 = System.nanoTime()
         Pipeline.run(spark, js, jo, jc, mid, jdbc)
         val jt = (System.nanoTime() - jt0) / 1e9
+        val (del1, app1) = jdbc.factPhaseTotals
         val jr = jdbc.read(spark, "fact_inventory_reconciliation").count()
         val (js2, jo2, jc2) = perDate(mid)
         val jt1 = System.nanoTime()
         Pipeline.run(spark, js2, jo2, jc2, mid, jdbc)
         val jrt = (System.nanoTime() - jt1) / 1e9
+        val (del2, app2) = jdbc.factPhaseTotals
         val jok = jdbc.read(spark, "fact_inventory_reconciliation").count() == jr
         println(f"PIPESCALE $dir jdbc day=$mid $jt%.2f replay=$jrt%.2f " +
           s"recon_rows=$jr idempotent=$jok")
+        // Phase split (VERDICT r16 ask #5): where the replay's extra
+        // cost lives — the DELETE of the prior rows vs the re-INSERT.
+        println(f"PIPESCALE $dir jdbc phases load delete=$del1%.2f " +
+          f"append=$app1%.2f replay delete=${del2 - del1}%.2f " +
+          f"append=${app2 - app1}%.2f")
         // Derby holds db.lck + open handles until engine shutdown —
         // over a multi-dir run the temp databases would leak disk and
         // file descriptors (ADVICE r15). Shut the database down (Derby

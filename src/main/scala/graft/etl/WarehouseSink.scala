@@ -157,14 +157,28 @@ final class JdbcWarehouseSink(url: String,
   /** DELETE-by-date + COPY (dags/retail_pipeline_dag.py:20,35):
     * re-running a date replaces exactly that date's rows.
     */
+  /** Cumulative [[loadFact]] phase seconds (delete, append) across the
+    * sink's lifetime — diagnostic surface for the scale recordings
+    * (PipelineScale snapshots it around each run; VERDICT r16 ask #5
+    * adjudicates where an idempotent replay's extra cost lives).
+    */
+  @volatile private[graft] var factPhaseTotals: (Double, Double) = (0.0, 0.0)
+
   override def loadFact(df: DataFrame, table: String, date: LocalDate): Unit = {
     ensureTable(df, table)
+    val t0 = System.nanoTime()
     withConn { c =>
       val del = c.prepareStatement(s"""DELETE FROM $table WHERE "date_key" = ?""")
       del.setDate(1, java.sql.Date.valueOf(date))
       del.executeUpdate()
     }
+    val t1 = System.nanoTime()
     df.write.mode(SaveMode.Append).jdbc(url, table, connProps)
+    val t2 = System.nanoTime()
+    synchronized {
+      factPhaseTotals = (factPhaseTotals._1 + (t1 - t0) / 1e9,
+        factPhaseTotals._2 + (t2 - t1) / 1e9)
+    }
   }
 
   /** TRUNCATE + COPY (dags/retail_pipeline_dag.py:28-33): the table

@@ -57,8 +57,13 @@ object DiskStore {
     * rides the on-disk directory name, so an old `_SUCCESS`-marked
     * store from a previous code revision can never be silently reused
     * against new reader expectations (ADVICE r15).
+    *
+    * v2 (r17): `ivf_cells_scaled` / `ivf_centroids_scaled` content
+    * changed — the scaled ANN stores now build with the coarse-routed
+    * two-level Lloyd loop (coarseProbes = 1), whose assignment differs
+    * from the flat form a v1 store holds.
     */
-  val FormatVersion = 1
+  val FormatVersion = 2
 
   /** On-disk location of a (corpus, kind) store under `root`.
     *
