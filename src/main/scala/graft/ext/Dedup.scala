@@ -403,7 +403,7 @@ object Dedup {
     *   buckets are saturated. Default 0 = unbounded (the declared
     *   query's contract).
     */
-  private[ext] def skewCandidates(sized: DataFrame, ratioCut: Double,
+  private[graft] def skewCandidates(sized: DataFrame, ratioCut: Double,
       minSigMatches: Int, hiRatio: Option[Double] = None,
       maxSigOccupancy: Int = 0): DataFrame = {
     // RATIO-INCAPABLE bucket skip (VERDICT r15 #6 — the residual behind
@@ -480,7 +480,7 @@ object Dedup {
     *   at rest it is maintained with the store itself. Default 0 =
     *   unbounded (the API contract; callers opt in per corpus).
     */
-  private def bandedCandidates(banded: DataFrame,
+  private[graft] def bandedCandidates(banded: DataFrame,
       maxBandOccupancy: Int = 0): DataFrame = {
     val base =
       if (maxBandOccupancy <= 0) banded
