@@ -244,6 +244,28 @@ private[graft] object QueriesAnn {
         .orderBy("cell")
     }),
 
+    // X3 DQ (r17) — IVF store BALANCE audit: the occupancy census of
+    // the scaled assignment store — cell count, corpus coverage,
+    // min/max occupancy, and Σ occ² (the pair-volume driver every
+    // Σ|cell|²-scoped consumer pays). THE post-retrain gate a real ANN
+    // operator runs before swapping a store in: this round's campaign
+    // ran exactly this census by hand (DuckDB, BASELINE.md r17 stage 2
+    // — Σ occ² 429M vs the 400M ideal) to adjudicate whether a probe
+    // regression was cell skew; now it is a declared, oracle-checked
+    // query over the same store every probe rides. One narrow
+    // aggregate over the (vec_id, cell) store — no embeddings touched.
+    "ivf_balance_audit" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val asg = scaledCellsStore(s, dir, emb)
+      asg.groupBy("cell").agg(count(lit(1)).as("occ"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("occ")).as("n_vectors"),
+          min(col("occ")).as("min_occ"),
+          max(col("occ")).as("max_occ"),
+          sum(col("occ") * col("occ")).as("sum_occ2"))
+        .orderBy("n_cells")
+    }),
+
     // X3 — embedding-space decontamination: corpus vectors (vec_id % 20
     // != 0) too cosine-similar to the benchmark slice (% 20 == 0,
     // BOUNDED to the first 256 such ids) — the shingle-decontaminate
@@ -583,6 +605,19 @@ private[graft] object QueriesAnn {
          |        ORDER BY cosine DESC, neighbor_id) AS rank FROM pairs)
          |SELECT probe_id, rank, neighbor_id, cosine FROM r
          |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    // Occupancy census over the coarse chain's final assignment.
+    "ivf_balance_audit" -> {
+      val r = Similarity.IvfTrainRounds
+      s"""WITH ${kmeansCoarseCtes(r, scaledSeedSql(200))},
+         |occ AS (SELECT cell, count(*) AS occ FROM a$r GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(occ) AS BIGINT) AS n_vectors,
+         |  CAST(min(occ) AS BIGINT) AS min_occ,
+         |  CAST(max(occ) AS BIGINT) AS max_occ,
+         |  CAST(sum(occ * occ) AS BIGINT) AS sum_occ2
+         |FROM occ ORDER BY n_cells""".stripMargin
+    },
 
     // Same different-label pair join over the coarse-routed
     // occupancy-seeded k-means chain (the knn_join_scaled oracle

@@ -92,6 +92,36 @@ private[graft] object QueriesDedup {
         maxBandOccupancy = BandCap)
         .orderBy("doc_a", "doc_b")),
 
+    // X4 DQ (r17) — dedup BUCKET census: the signature-bucket space of
+    // the skewed-containment channel classified into the three classes
+    // the r17 pruning story runs on — `saturated` (occ > 64: skipped
+    // by the hot-bucket cap, the documented recall trade), and of the
+    // rest `ratio_incapable` (max n ≤ min n · ratioCut: EXACT skip,
+    // zero recall trade — VERDICT r15 #6) vs `live` (pays occ² pairs).
+    // Per class: bucket count, row mass, Σ occ² (the candidate-volume
+    // driver) and max occupancy. THE capacity-planning read before a
+    // dedup run at a new corpus scale: r17's StratProfile computed
+    // exactly this census ad hoc to attribute the sf100 residual
+    // (1.36M live buckets, Σ occ² 667M); now it is declared and
+    // oracle-checked. One aggregate over the sig-row store — the
+    // same single exchange the skew channel itself shuffles on.
+    "dedup_bucket_census" -> ((s, dir) => {
+      val sized = minhashSigRowsStore(s, dir)
+      sized.groupBy("sig_idx", "sig_val")
+        .agg(count(lit(1)).as("occ"),
+          min(col("n")).as("nlo"), max(col("n")).as("nhi"))
+        .withColumn("bucket_class",
+          when(col("occ") > 64, "saturated")
+            .when(col("nhi") <= col("nlo") * 2.0, "ratio_incapable")
+            .otherwise("live"))
+        .groupBy("bucket_class")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("occ")).as("n_rows"),
+          sum(col("occ") * col("occ")).as("sum_occ2"),
+          max(col("occ")).as("max_occ"))
+        .orderBy("bucket_class")
+    }),
+
     // X1/X4 — duplicate groups: connected components over the verified
     // MinHash pair graph (iterative min-label propagation).
     "dup_groups" -> ((s, dir) =>
@@ -251,6 +281,26 @@ private[graft] object QueriesDedup {
          |WHERE containment >= 0.8)
          |SELECT doc_a, doc_b, containment FROM vc
          |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    // Signature-bucket census over the same sig/size base as the
+    // stratified channel; class predicates literal-for-literal.
+    "dedup_bucket_census" -> {
+      val sigList = (0 until Dedup.SigCount).map(i => s"sig$i").mkString("[", ", ", "]")
+      s"""WITH ${minhashBaseCtes()},
+         |sb0 AS (SELECT doc_id, len(hs) AS n,
+         |              unnest(range(0, ${Dedup.SigCount})) AS si,
+         |              unnest($sigList) AS sv FROM sg),
+         |oc AS (SELECT si, sv, count(*) AS occ, min(n) AS nlo, max(n) AS nhi
+         |       FROM sb0 GROUP BY 1, 2),
+         |cl AS (SELECT CASE WHEN occ > 64 THEN 'saturated'
+         |              WHEN nhi <= nlo * 2.0 THEN 'ratio_incapable'
+         |              ELSE 'live' END AS bucket_class, occ FROM oc)
+         |SELECT bucket_class, CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(sum(occ) AS BIGINT) AS n_rows,
+         |  CAST(sum(occ * occ) AS BIGINT) AS sum_occ2,
+         |  CAST(max(occ) AS BIGINT) AS max_occ
+         |FROM cl GROUP BY 1 ORDER BY bucket_class""".stripMargin
     },
 
     // Connected components over the vp pair graph ([[dupGroupCtes]]).

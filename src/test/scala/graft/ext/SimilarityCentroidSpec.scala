@@ -362,4 +362,36 @@ class SimilarityCentroidSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(a === b)
   }
+
+  test("coarse p=1 build is deterministic across invocations (sf0.001)") {
+    val d = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // The DECLARED ingest (r17): two independent builds must agree cell
+    // for cell — the floored routing score and the packed-key argmax
+    // leave no RNG or order sensitivity anywhere in the loop, which is
+    // exactly what lets the DuckDB oracle unroll it (kmeansCoarseCtes).
+    val a = m(Similarity.kmeansCellsByOccupancyCoarse(d))
+    val b = m(Similarity.kmeansCellsByOccupancyCoarse(d))
+    assert(a === b)
+    assert(a.size === d.count())
+  }
+
+  test("re-scoped ann_store_replay invariants (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, dir)
+    val out = graft.ExtQueries.queries("ann_store_replay")(spark, dir)
+      .collect()
+    val nVec = out.map(_.getLong(1)).sum
+    val nProbed = out.map(_.getLong(3)).sum
+    // Linear half covers the whole corpus exactly once; the bounded
+    // routing half covers exactly the probe set (vec_id % 50 == 0,
+    // first MaxProbes), never more.
+    assert(nVec === emb.count())
+    assert(nProbed === Similarity.probes(emb, 50).count())
+    out.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3),
+        s"n_moved > n_probed in cell ${r.get(0)}")
+    }
+  }
 }
