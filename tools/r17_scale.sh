@@ -35,8 +35,9 @@ SPARK_GRAFT_BENCH_PASSES=4 \
 SPARK_GRAFT_BENCH_ONLY="knn_join_scaled,hard_negatives_scaled,semantic_dedup_scaled,embedding_near_dup,ann_store_replay" \
 SPARK_GRAFT_STORE_DIR=/root/repo/scale-data/stores_sf100 \
 SPARK_GRAFT_BENCH_FULL=/root/repo/tools/r17_runs/sf100_ann.json \
-  sbt -batch "runMain graft.Bench" 2> >(grep "bench pass" \
-    > /root/repo/tools/r17_runs/sf100_ann_passes.txt) | tail -2
+  sbt -batch "runMain graft.Bench" 2>&1 \
+  | tee >(grep "bench pass" > /root/repo/tools/r17_runs/sf100_ann_passes.txt) \
+  | tail -2
 
 echo "== stage 3: sf100 pair family on the disk store (2 passes) =="
 SPARK_GRAFT_SF_DIR=/root/repo/scale-data/sf100 \
@@ -44,8 +45,9 @@ SPARK_GRAFT_BENCH_PASSES=2 \
 SPARK_GRAFT_BENCH_ONLY="near_dup_minhash,containment_near_dup,containment_stratified,probe_near_dups,ngram_jaccard" \
 SPARK_GRAFT_STORE_DIR=/root/repo/scale-data/stores_sf100 \
 SPARK_GRAFT_BENCH_FULL=/root/repo/tools/r17_runs/sf100_disk.json \
-  sbt -batch "runMain graft.Bench" 2> >(grep "bench pass" \
-    > /root/repo/tools/r17_runs/sf100_disk_passes.txt) | tail -2
+  sbt -batch "runMain graft.Bench" 2>&1 \
+  | tee >(grep "bench pass" > /root/repo/tools/r17_runs/sf100_disk_passes.txt) \
+  | tail -2
 
 echo "== stage 4: StratProfile sf100 (warm stores) =="
 SPARK_GRAFT_STORE_DIR=/root/repo/scale-data/stores_sf100 \
