@@ -139,6 +139,32 @@ object ExtQueries {
   private[graft] def minhashSigRowsStore(s: SparkSession, dir: String): DataFrame =
     store(s, dir, "minhash_sigrows")(Dedup.minhashSigRows(minhashStore(s, dir)))
 
+  /** The SHINGLE-SET half of the signature store ([[Dedup.shingleSets]]
+    * — `(doc_id, sh)`, "sets by doc_id" in the at-rest layout the
+    * [[Dedup.nearDupIncremental]] scaladoc pins): verification joins
+    * become point reads against the stored sorted sets by candidate id,
+    * so no family query re-runs the corpus-wide collect_set aggregate
+    * at probe time (r17 optimization round — guide §2.4, the
+    * band-store precedent applied to the store's other half).
+    */
+  private[graft] def shingleSetsStore(s: SparkSession, dir: String): DataFrame =
+    store(s, dir, "shingle_sets")(Dedup.shingleSets(minhashStore(s, dir)))
+
+  /** The char-gram SET store probed by the gram-Jaccard family. */
+  private[graft] def chargramSetsStore(s: SparkSession, dir: String): DataFrame =
+    store(s, dir, "chargram_sets")(
+      Dedup.charGramSets(Tables.documents(s, dir)))
+
+  /** The char-gram minhash BAND store ([[Dedup.gramMinhashBands]] —
+    * "computable at probe time or persisted beside it"): persisting it
+    * removes the 96-permutation min-aggregate from BOTH sides of the
+    * banded candidate self-join at probe time (r17 optimization round;
+    * the [[minhashBandsStore]] discipline applied to the gram channel).
+    */
+  private[graft] def chargramBandsStore(s: SparkSession, dir: String): DataFrame =
+    store(s, dir, "chargram_bands")(
+      Dedup.gramMinhashBands(chargramSetsStore(s, dir)))
+
   /** The GROUP-LABEL store: near-dup component labels
     * ([[Dedup.dupGroupsFromHashes]] over the signature store) are a pure
     * per-corpus function and the dedup job's PRIMARY at-rest artifact —
@@ -151,6 +177,7 @@ object ExtQueries {
     store(s, dir, "dup_group_labels")(
       Dedup.dupGroupsFromHashes(minhashStore(s, dir),
         bands = Some(minhashBandsStore(s, dir)),
+        sets = Some(shingleSetsStore(s, dir)),
         maxBandOccupancy = BandCap))
 
   /** The MANIFEST-scoped group-label store: near-dup labels over the
@@ -171,6 +198,10 @@ object ExtQueries {
       Dedup.dupGroupsFromHashes(
         minhashStore(s, dir).join(keepIds, "doc_id"),
         bands = Some(minhashBandsStore(s, dir).join(keepIds, "doc_id")),
+        // Sets are a per-doc pure function, so the keeper-restricted
+        // store slice verifies identically to sets rebuilt from the
+        // restricted hr (only keeper pairs are ever candidates).
+        sets = Some(shingleSetsStore(s, dir).join(keepIds, "doc_id")),
         maxBandOccupancy = BandCap)
     }
 

@@ -42,16 +42,23 @@ private[graft] object QueriesDedup {
     "near_dup_minhash" -> ((s, dir) =>
       Dedup.nearDupMinhashFromHashes(minhashStore(s, dir),
         bands = Some(minhashBandsStore(s, dir)),
+        sets = Some(shingleSetsStore(s, dir)),
         maxBandOccupancy = BandCap)
         .orderBy("doc_a", "doc_b")),
 
     // X4 — SimHash banded near-dup, Hamming ≤ 3; probes the simhash
     // chunk half of the session signature store.
-    "near_dup_simhash" -> ((s, dir) =>
-      castLongs(Dedup.nearDupSimhashFromChunks(
-        store(s, dir, "simhash_chunks")(
-          Dedup.simhashChunks(Tables.documents(s, dir)))), "hamming")
-        .orderBy("doc_a", "doc_b")),
+    "near_dup_simhash" -> ((s, dir) => {
+      // The fingerprint table (4 ints per doc — the majority vote
+      // collapsed at ingest) is the persisted artifact; the probe is
+      // the banded self-join + Hamming verify only (r17).
+      val chunks = store(s, dir, "simhash_chunks")(
+        Dedup.simhashChunks(Tables.documents(s, dir)))
+      castLongs(Dedup.nearDupSimhashFromChunks(chunks,
+        fingerprints = Some(store(s, dir, "simhash_fp")(
+          Dedup.simhashFingerprints(chunks)))), "hamming")
+        .orderBy("doc_a", "doc_b")
+    }),
 
     // X4 — char-5-gram Jaccard ≥ 0.8 within lang; probes the char-gram
     // half of the session signature store. 5-grams, not 3: the 3-gram
@@ -63,9 +70,8 @@ private[graft] object QueriesDedup {
     // sorted-merge; the lossless AllPairs prefix plan remains the
     // small-corpus API (ngramJaccardBlocked, property-tested).
     "ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardBanded(
-        store(s, dir, "chargram_sets")(
-          Dedup.charGramSets(Tables.documents(s, dir))))
+      Dedup.ngramJaccardBanded(chargramSetsStore(s, dir),
+        bands = Some(chargramBandsStore(s, dir)))
         .orderBy("doc_a", "doc_b")),
 
     // X4 — containment near-dup: |A∩B| / min(|A|,|B|) ≥ 0.8 over the
@@ -75,6 +81,7 @@ private[graft] object QueriesDedup {
     "containment_near_dup" -> ((s, dir) =>
       Dedup.containmentNearDupFromHashes(minhashStore(s, dir),
         bands = Some(minhashBandsStore(s, dir)),
+        sets = Some(shingleSetsStore(s, dir)),
         maxBandOccupancy = BandCap)
         .orderBy("doc_a", "doc_b")),
 
@@ -88,7 +95,8 @@ private[graft] object QueriesDedup {
     "containment_stratified" -> ((s, dir) =>
       Dedup.containmentNearDupStratifiedFromHashes(minhashStore(s, dir),
         bands = Some(minhashBandsStore(s, dir)),
-        sigRows = Some(minhashSigRowsStore(s, dir)), maxSigOccupancy = 64,
+        sigRows = Some(minhashSigRowsStore(s, dir)),
+        sets = Some(shingleSetsStore(s, dir)), maxSigOccupancy = 64,
         maxBandOccupancy = BandCap)
         .orderBy("doc_a", "doc_b")),
 
@@ -139,6 +147,7 @@ private[graft] object QueriesDedup {
       Dedup.sourceOverlapFromHashes(
         Tables.documents(s, dir), minhashStore(s, dir),
         bands = Some(minhashBandsStore(s, dir)),
+        sets = Some(shingleSetsStore(s, dir)),
         maxBandOccupancy = BandCap)
         .orderBy("source_a", "source_b")),
 
@@ -159,14 +168,16 @@ private[graft] object QueriesDedup {
       // store-filtered ≡ recomputed-from-docs; CorpusPrepSpec's parquet
       // round trip); only the incoming 20% tokenizes in-query — the
       // at-scale contract of nearDupAgainstStore.
-      val hrE = minhashStore(s, dir)
-        .where(pmod(col("doc_id"), lit(10)) < 8)
       // Band-occupancy cap over the unioned (store + batch) band table
       // — the family-wide r14 trade; census ≡ full-corpus bd, mirrored
-      // by the oracle's bdc gate.
+      // by the oracle's bdc gate. Both existing-side halves are
+      // store-FILTERED slices (bands by residue, sets by residue):
+      // per-doc pure functions, so the slice ≡ recomputed-from-docs
+      // (CorpusPrepSpec's parquet round trip) — no per-probe
+      // collect_set over the 80% corpus.
       Dedup.nearDupAgainstStore(
         minhashBandsStore(s, dir).where(pmod(col("doc_id"), lit(10)) < 8),
-        Dedup.shingleSets(hrE),
+        shingleSetsStore(s, dir).where(pmod(col("doc_id"), lit(10)) < 8),
         docs.where(pmod(col("doc_id"), lit(10)) >= 8),
         maxBandOccupancy = BandCap)
         .orderBy("doc_new", "doc_match")
@@ -205,7 +216,8 @@ private[graft] object QueriesDedup {
     // exactly by the oracle's occupancy gate.
     "probe_near_dups" -> ((s, dir) =>
       Dedup.nearDupLookup(minhashBandsStore(s, dir), minhashStore(s, dir),
-          pmod(col("doc_id"), lit(3)) === 0, maxBandOccupancy = BandCap)
+          pmod(col("doc_id"), lit(3)) === 0, maxBandOccupancy = BandCap,
+          storeSets = Some(shingleSetsStore(s, dir)))
         .orderBy("probe_id", "match_id")),
 
     // Corpus — RefinedWeb-style boilerplate line removal.

@@ -121,9 +121,20 @@ private[graft] object QueriesSketches {
     // oracle replays the same md5-based bucket chain and min.
     "cms_freq" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val toks = docs.select(explode(TextOps.tokens(col("text"))).as("token"))
-      Sketches.cmsEstimate(Sketches.cmsSketch(toks, "token"),
-          TextOps.wordFreq(docs, 20), "token")
+      // ONE tokenize pass + one token aggregate feed BOTH halves (r17,
+      // guide §2.3): the sketch adds each distinct token's count to its
+      // d counters (cmsSketchWeighted ≡ per-occurrence cmsSketch — the
+      // counters are sums) and the top-20 probe list is the same count
+      // table's TakeOrdered (≡ TextOps.wordFreq). The former shape
+      // tokenized the corpus twice and ran the md5 bucket chain per
+      // OCCURRENCE. Checkpoint: the count table is vocabulary-scale and
+      // feeds two consumers.
+      val counts = graft.ext.Ckpt.ser(
+        docs.select(explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n")))
+      val top = counts.orderBy(col("n").desc, col("token")).limit(20)
+      Sketches.cmsEstimate(Sketches.cmsSketchWeighted(counts, "token", "n"),
+          top, "token")
         .orderBy(col("n").desc, col("token"))
     }),
 
@@ -152,12 +163,18 @@ private[graft] object QueriesSketches {
     "cms_ingest_replay" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       // Document-atomic batches (the spanIngest/cmsIngest contract):
-      // cut on doc_id residue, tokens explode inside each batch.
+      // cut on doc_id residue, tokens explode inside each batch. Each
+      // batch builds its counters from its own token-count aggregate
+      // (cmsSketchWeighted ≡ per-occurrence within the batch — sums
+      // commute), so the per-batch md5 bucket chain runs per distinct
+      // token, not per occurrence (the cms_freq r17 shape); the fold
+      // across batches is the same cmsMerge addition.
       val store = (0 until 3)
-        .map(i => Sketches.cmsSketch(
+        .map(i => Sketches.cmsSketchWeighted(
           docs.where(pmod(col("doc_id"), lit(3)) === i)
-            .select(explode(TextOps.tokens(col("text"))).as("token")),
-          "token"))
+            .select(explode(TextOps.tokens(col("text"))).as("token"))
+            .groupBy("token").agg(count(lit(1)).as("n")),
+          "token", "n"))
         .reduce(Sketches.cmsMerge)
       Sketches.cmsEstimate(store, TextOps.wordFreq(docs, 20), "token")
         .orderBy(col("n").desc, col("token"))

@@ -82,11 +82,18 @@ object BloomJoin {
     val nWords = mBits / 64
     val h = keyHash(key)
     val zeros = build.sparkSession.range(nWords)
-      .select(col("id").cast("int").as("w"), lit(0L).as("bits"))
+      .select(col("id").cast("int").as("w"),
+        lit(0L).as("bits"))
+    // Zeros union BEFORE the word aggregate (r17): bit_or(x, 0) = x, so
+    // densification rides the same map-side-combined exchange as the
+    // word OR itself — one word shuffle instead of two (guide §2.4,
+    // shared exchange). The former shape aggregated sparse words first
+    // and re-grouped after the union, paying a second exchange for the
+    // same one-row result.
     build
       .select(explode(array((0 until hashes).map(i => bitPos(h, i, mBits)): _*)).as("pos"))
-      .groupBy((col("pos") / 64).cast("int").as("w"))
-      .agg(bit_or(expr("shiftleft(1L, int(pos % 64))")).as("bits"))
+      .select((col("pos") / 64).cast("int").as("w"),
+        expr("shiftleft(1L, int(pos % 64))").as("bits"))
       .unionByName(zeros)
       .groupBy("w").agg(bit_or(col("bits")).as("bits"))
       .agg(transform(array_sort(collect_list(struct(col("w"), col("bits")))),

@@ -217,10 +217,11 @@ object Dedup {
   def nearDupMinhashFromHashes(hr: DataFrame, threshold: Double = 0.5,
       broadcastCandidates: Boolean = false,
       bands: Option[DataFrame] = None,
+      sets: Option[DataFrame] = None,
       maxBandOccupancy: Int = 0): DataFrame =
     // |A ∪ B| = |A| + |B| − |A ∩ B| for distinct inputs: one codegen'd
     // two-pointer merge yields exact Jaccard per candidate.
-    bandedScoredPairs(hr, broadcastCandidates, bands, maxBandOccupancy)
+    bandedScoredPairs(hr, broadcastCandidates, bands, sets, maxBandOccupancy)
       .withColumn("jaccard", TextOps.trunc6(col("inter") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double")))
       .where(col("jaccard") >= threshold)
@@ -257,8 +258,9 @@ object Dedup {
   def containmentNearDupFromHashes(hr: DataFrame, threshold: Double = 0.8,
       broadcastCandidates: Boolean = false,
       bands: Option[DataFrame] = None,
+      sets: Option[DataFrame] = None,
       maxBandOccupancy: Int = 0): DataFrame =
-    bandedScoredPairs(hr, broadcastCandidates, bands, maxBandOccupancy)
+    bandedScoredPairs(hr, broadcastCandidates, bands, sets, maxBandOccupancy)
       .withColumn("containment", TextOps.trunc6(col("inter") /
         least(size(col("sh_a")), size(col("sh_b"))).cast("double")))
       .where(col("containment") >= threshold)
@@ -354,6 +356,7 @@ object Dedup {
       minSigMatches: Int = 2, broadcastCandidates: Boolean = false,
       strata: Int = 2, bands: Option[DataFrame] = None,
       sigRows: Option[DataFrame] = None,
+      sets: Option[DataFrame] = None,
       maxSigOccupancy: Int = 0, maxBandOccupancy: Int = 0): DataFrame = {
     require(strata == 2 || strata == 3, s"strata must be 2 or 3, got $strata")
     // Sig rows carry the set size from their own aggregate — no second
@@ -374,7 +377,7 @@ object Dedup {
     scoredPairs(hr,
       bandedCandidates(bands.getOrElse(minhashBands(hr)), maxBandOccupancy)
         .union(skew),
-      broadcastCandidates)
+      broadcastCandidates, sets)
       .withColumn("containment", TextOps.trunc6(col("inter") /
         least(size(col("sh_a")), size(col("sh_b"))).cast("double")))
       .where(col("containment") >= threshold)
@@ -451,10 +454,11 @@ object Dedup {
   private def bandedScoredPairs(hr: DataFrame,
       broadcastCandidates: Boolean,
       bands: Option[DataFrame] = None,
+      sets: Option[DataFrame] = None,
       maxBandOccupancy: Int = 0): DataFrame =
     scoredPairs(hr,
       bandedCandidates(bands.getOrElse(minhashBands(hr)), maxBandOccupancy),
-      broadcastCandidates)
+      broadcastCandidates, sets)
 
   /** The standard 2-row-band candidate channel: pairs sharing any packed
     * band key (doc_a < doc_b). Takes the BAND TABLE (the signature
@@ -508,26 +512,34 @@ object Dedup {
     * [[containmentNearDupStratified]]); verification is shared.
     */
   private def scoredPairs(hr: DataFrame, cand0: DataFrame,
-      broadcastCandidates: Boolean): DataFrame = {
+      broadcastCandidates: Boolean,
+      setsStore: Option[DataFrame] = None): DataFrame = {
     // localCheckpoint: cand is collision pairs — small — and it is
     // consumed three times below (id filter twice, pair join once);
     // materializing it keeps the candidate-generation subtree from
     // re-executing per consumer.
     val cand = Ckpt.ser(cand0.distinct())
-    // Shingle sets ONLY for docs that appear in some candidate pair: the
-    // id semi-filter drops non-candidates BEFORE the collect_set, so the
-    // heavy aggregate shuffles candidate shingles instead of the whole
-    // corpus's (at 100 TB the full-corpus set aggregate IS the job;
-    // candidates are band collisions, usually orders of magnitude
-    // fewer — but see the broadcastCandidates contract above: on a
-    // duplicate-saturated corpus candIds IS the corpus, so none of these
-    // joins may assume a broadcast; AQE re-instates it when warranted).
-    // One filtered pass, materialized because both verification joins
-    // consume it.
-    val candIds = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sets = Ckpt.ser(shingleSets(
-      hr.join(maybeBroadcast(candIds, broadcastCandidates), "doc_id")))
+    // Verification sets: with a persisted SHINGLE-SET store (the other
+    // at-rest half of the signature store — `(doc_id, sh)` written at
+    // ingest beside the band table, see [[nearDupIncremental]]), the
+    // verification joins are point reads against the stored sets by
+    // candidate id — no per-query collect_set aggregate at all. Without
+    // one, sets build from hr for docs that appear in some candidate
+    // pair: the id semi-filter drops non-candidates BEFORE the
+    // collect_set, so the heavy aggregate shuffles candidate shingles
+    // instead of the whole corpus's (at 100 TB the full-corpus set
+    // aggregate IS the job; candidates are band collisions, usually
+    // orders of magnitude fewer — but see the broadcastCandidates
+    // contract above: on a duplicate-saturated corpus candIds IS the
+    // corpus, so none of these joins may assume a broadcast; AQE
+    // re-instates it when warranted). One filtered pass, materialized
+    // because both verification joins consume it.
+    val sets = setsStore.getOrElse {
+      val candIds = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      Ckpt.ser(shingleSets(
+        hr.join(maybeBroadcast(candIds, broadcastCandidates), "doc_id")))
+    }
     val withA = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       .join(maybeBroadcast(cand, broadcastCandidates), "doc_a")
     sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
@@ -584,7 +596,11 @@ object Dedup {
       incoming: DataFrame, threshold: Double = 0.5,
       broadcastCandidates: Boolean = false,
       maxBandOccupancy: Int = 0): DataFrame = {
-    val hrI = hashedShingleRows(incoming)
+    // The batch's hashed-shingle scan feeds its band table AND its set
+    // table (which is itself consumed twice below): checkpoint so the
+    // batch tokenize+shingle+md5 pass runs once, not three times — the
+    // corpusManifest shared-scan precedent, batch-sized state only.
+    val hrI = Ckpt.ser(hashedShingleRows(incoming))
     val bands0 = existingBands
       .select(col("doc_id"), col("band_idx"), col("band_val")) // store col order free
       .withColumn("is_new", lit(false))
@@ -613,7 +629,9 @@ object Dedup {
     // Verification streams the batch's sets against the candidate list;
     // the match side unions the stored sets in (at rest that read is a
     // pruned lookup by candidate doc_id, not a scan).
-    val batchSets = shingleSets(hrI)
+    // Consumed twice (the probe-side join and the match-side union):
+    // materialize the batch-sized aggregate once.
+    val batchSets = Ckpt.ser(shingleSets(hrI))
     val sets = existingSets.select(col("doc_id"), col("sh")).unionByName(batchSets)
     val withA = batchSets.select(col("doc_id").as("doc_new"), col("sh").as("sh_a"))
       .join(maybeBroadcast(cand, broadcastCandidates), "doc_new")
@@ -664,7 +682,8 @@ object Dedup {
     * the store itself and the skip is a partition-pruned read.
     */
   def nearDupLookup(storeBands: DataFrame, hr: DataFrame, probe: Column,
-      threshold: Double = 0.5, maxBandOccupancy: Int = 0): DataFrame = {
+      threshold: Double = 0.5, maxBandOccupancy: Int = 0,
+      storeSets: Option[DataFrame] = None): DataFrame = {
     // Saturated-bucket list: tiny (only buckets above the cap), so the
     // anti joins below broadcast it; the aggregate is one scan of the
     // band store (at rest: the store's maintained occupancy census).
@@ -689,9 +708,14 @@ object Dedup {
       .select(col("a.doc_id").as("probe_id"), col("b.doc_id").as("match_id"))
       .distinct()
       .localCheckpoint() // three consumers: two set joins + the id filter
-    val ids = cand.select(col("probe_id").as("doc_id"))
-      .unionByName(cand.select(col("match_id").as("doc_id"))).distinct()
-    val sets = shingleSets(hr.join(ids, Seq("doc_id"), "left_semi"))
+    // With the persisted shingle-set store the verification joins are
+    // point reads by candidate id (the at-rest read path the scaladoc
+    // describes); otherwise build sets from hr for candidate ids only.
+    val sets = storeSets.getOrElse {
+      val ids = cand.select(col("probe_id").as("doc_id"))
+        .unionByName(cand.select(col("match_id").as("doc_id"))).distinct()
+      shingleSets(hr.join(ids, Seq("doc_id"), "left_semi"))
+    }
     cand
       .join(sets.select(col("doc_id").as("probe_id"), col("sh").as("sh_a")), "probe_id")
       .join(sets.select(col("doc_id").as("match_id"), col("sh").as("sh_b")), "match_id")
@@ -737,9 +761,10 @@ object Dedup {
     */
   def dupGroupsFromHashes(hr: DataFrame, threshold: Double = 0.5,
       maxIters: Int = 25, bands: Option[DataFrame] = None,
+      sets: Option[DataFrame] = None,
       maxBandOccupancy: Int = 0): DataFrame =
     connectedComponents(
-      nearDupMinhashFromHashes(hr, threshold, bands = bands,
+      nearDupMinhashFromHashes(hr, threshold, bands = bands, sets = sets,
         maxBandOccupancy = maxBandOccupancy)
         .select("doc_a", "doc_b"),
       "doc_a", "doc_b", maxIters)
@@ -812,10 +837,11 @@ object Dedup {
     */
   def sourceOverlapFromHashes(docs: DataFrame, hr: DataFrame,
       threshold: Double = 0.5, bands: Option[DataFrame] = None,
+      sets: Option[DataFrame] = None,
       maxBandOccupancy: Int = 0): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
     val pairs = nearDupMinhashFromHashes(hr, threshold, bands = bands,
-      maxBandOccupancy = maxBandOccupancy)
+      sets = sets, maxBandOccupancy = maxBandOccupancy)
       .withColumn("j_micro", round(col("jaccard") * 1000000).cast("long"))
     pairs
       .join(src.withColumnRenamed("doc_id", "doc_a")
@@ -995,21 +1021,33 @@ object Dedup {
       .distinct()
   }
 
-  /** [[nearDupSimhash]] over a precomputed [[simhashChunks]] frame —
-    * the signature-store probe form.
+  /** Per-doc simhash FINGERPRINTS (doc_id, band0..band3) — the majority
+    * vote collapsed from [[simhashChunks]]: band j bit k set iff a
+    * strict majority of the doc's distinct shingles set it (2·ones > n;
+    * ties → 0, the sign(Σ±1) convention). A pure per-document function
+    * of the chunk store — THE at-rest form a pipeline persists (4 ints
+    * per doc vs a chunk row per shingle), so probes skip the 64-bit-sum
+    * aggregate entirely (r17; the minhashBands store discipline).
     */
-  def nearDupSimhashFromChunks(chunks: DataFrame, maxHamming: Int = 6): DataFrame = {
+  def simhashFingerprints(chunks: DataFrame): DataFrame = {
     val bitSums = for (j <- 0 until SimhashBands; k <- 0 until BandBits)
       yield sum(shiftright(col(s"c$j"), k).bitwiseAND(lit(1))).as(s"s_${j}_$k")
     val agg = chunks.groupBy("doc_id").agg(count(lit(1)).as("n"), bitSums: _*)
-    // Band j bit k set iff a strict majority of shingles set it
-    // (2·ones > n; ties → 0, matching the old sign(Σ±1) convention).
     val bandCols = (0 until SimhashBands).map { j =>
       (0 until BandBits).map { k =>
         when(col(s"s_${j}_$k") * 2 > col("n"), lit(1 << k)).otherwise(lit(0))
       }.reduce(_ + _).as(s"band$j")
     }
-    val fp = agg.select(col("doc_id") +: bandCols: _*)
+    agg.select(col("doc_id") +: bandCols: _*)
+  }
+
+  /** [[nearDupSimhash]] over a precomputed [[simhashChunks]] frame —
+    * the signature-store probe form. `fingerprints` (a persisted
+    * [[simhashFingerprints]] store) skips the majority-vote aggregate.
+    */
+  def nearDupSimhashFromChunks(chunks: DataFrame, maxHamming: Int = 6,
+      fingerprints: Option[DataFrame] = None): DataFrame = {
+    val fp = fingerprints.getOrElse(simhashFingerprints(chunks))
     val bandRefs = (0 until SimhashBands).map(j => col(s"band$j"))
     val banded = fp.select(col("doc_id") +: bandRefs :+
       posexplode(array(bandRefs: _*)).as(Seq("band_idx", "band_val")): _*)
@@ -1336,10 +1374,15 @@ object Dedup {
     * the declared query stays hash-checkable. [[ngramJaccardBlocked]]
     * remains the exact small-corpus form (property-tested lossless).
     */
-  def ngramJaccardBanded(g: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def ngramJaccardBanded(g: DataFrame, threshold: Double = 0.8,
+      bands: Option[DataFrame] = None): DataFrame = {
     val parallelism =
       g.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val bd = gramMinhashBands(g)
+    // A persisted gram BAND store ([[gramMinhashBands]] — "computable at
+    // probe time or persisted beside it") skips the 96-permutation
+    // min-aggregate, which otherwise runs on BOTH sides of the band
+    // self-join every probe.
+    val bd = bands.getOrElse(gramMinhashBands(g))
     val cand = bd.as("a")
       .join(bd.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

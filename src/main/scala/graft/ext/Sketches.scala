@@ -205,6 +205,30 @@ object Sketches {
       .agg(count(lit(1)).as("cms_cnt"))
   }
 
+  /** [[cmsSketch]] from PRE-AGGREGATED (value, weight) rows: each
+    * counter adds the value's weight instead of 1 per occurrence, so
+    * `cmsSketchWeighted(counts(v), ...)` ≡ `cmsSketch(occurrences, ...)`
+    * bit-for-bit when `weightCol` is the value's occurrence count (the
+    * counters are sums; addition commutes). The point at scale (guide
+    * §2.3 — aggregate before you shuffle, and hash less): the md5 +
+    * d-row modular bucket chain runs once per DISTINCT value, not once
+    * per occurrence — on a token stream the distinct set is the Zipf
+    * head+tail, orders of magnitude smaller than the stream.
+    */
+  def cmsSketchWeighted(df: DataFrame, valueCol: String, weightCol: String,
+      depth: Int = 4, width: Int = 4096): DataFrame = {
+    require(depth >= 1 && depth <= Dedup.SigCount,
+      s"depth must be in [1, ${Dedup.SigCount}], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    val h = Dedup.hash60(col(valueCol).cast("string"))
+    df.where(col(valueCol).isNotNull)
+      .select(col(weightCol).as("__cms_w"),
+        explode(array((0 until depth).map(i =>
+          struct(lit(i).as("cms_row"), cmsBucket(h, i, width).as("cms_bucket"))): _*)).as("rb"))
+      .groupBy(col("rb.cms_row").as("cms_row"), col("rb.cms_bucket").as("cms_bucket"))
+      .agg(sum(col("__cms_w")).as("cms_cnt"))
+  }
+
   /** Merge counter tables by addition — associative and commutative, so
     * any batch cut converges to the one-shot sketch bit-for-bit.
     */

@@ -97,6 +97,46 @@ class SignatureStoreSpec extends SparkSpec {
     assert(novParquet === novDirect)
   }
 
+  test("shingle-set store: probing stored sets ≡ candidate-filtered rebuild") {
+    // r17: verification joins read the persisted (doc_id, sh) half of
+    // the signature store instead of re-aggregating candidate shingle
+    // sets per query. Sets are a per-doc pure function, so the stored
+    // form (parquet round-tripped like the at-rest table) must verify
+    // bit-identically across the whole probe family.
+    val hr = Dedup.hashedShingleRows(docs)
+    val sets = roundTrip(Dedup.shingleSets(hr), "sets")
+    assert(Dedup.nearDupMinhashFromHashes(hr, sets = Some(sets)).collect().toSet
+      === Dedup.nearDupMinhashFromHashes(hr).collect().toSet)
+    assert(Dedup.containmentNearDupFromHashes(hr, sets = Some(sets)).collect().toSet
+      === Dedup.containmentNearDupFromHashes(hr).collect().toSet)
+    assert(Dedup.containmentNearDupStratifiedFromHashes(hr, sets = Some(sets))
+      .collect().toSet
+      === Dedup.containmentNearDupStratifiedFromHashes(hr).collect().toSet)
+    import org.apache.spark.sql.functions.lit
+    assert(Dedup.nearDupLookup(Dedup.minhashBands(hr), hr, lit(true),
+      storeSets = Some(sets)).collect().toSet
+      === Dedup.nearDupLookup(Dedup.minhashBands(hr), hr, lit(true)).collect().toSet)
+  }
+
+  test("char-gram band store: probing stored bands ≡ probe-time banding") {
+    // r17: the 96-permutation gram minhash bands persist beside the gram
+    // sets; the banded probe must be identical fed either form.
+    val g = Dedup.charGramSets(docs)
+    val bands = roundTrip(Dedup.gramMinhashBands(g), "gbands")
+    assert(Dedup.ngramJaccardBanded(g, bands = Some(bands)).collect().toSet
+      === Dedup.ngramJaccardBanded(g).collect().toSet)
+  }
+
+  test("simhash fingerprint store: probing stored fingerprints ≡ chunk vote") {
+    // r17: the 4-int majority-vote fingerprint is the persisted form;
+    // probing it must equal voting from the chunk store at probe time.
+    val ch = Dedup.simhashChunks(docs)
+    val fp = roundTrip(Dedup.simhashFingerprints(ch), "simfp")
+    assert(Dedup.nearDupSimhashFromChunks(ch, fingerprints = Some(fp))
+      .collect().toSet
+      === Dedup.nearDupSimhashFromChunks(ch).collect().toSet)
+  }
+
   test("manifest keeper-label store: probing labels equals recomputing") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     val corpus = docs.where(pmod(col("doc_id"), lit(20)) =!= 0)

@@ -171,6 +171,20 @@ class SketchesSpec extends SparkSpec {
     assert(key(merged) === key(oneShot))
   }
 
+  test("weighted count-min from pre-aggregated counts is bit-identical") {
+    // r17: cmsSketchWeighted over (value, occurrence-count) rows must
+    // reproduce the per-occurrence sketch exactly — the counters are
+    // sums, so adding a value's count once ≡ adding 1 per occurrence.
+    val df = cmsFixture
+    val oneShot = Sketches.cmsSketch(df, "v")
+    val counts = df.groupBy("v").agg(count(lit(1)).as("n"))
+    val weighted = Sketches.cmsSketchWeighted(counts, "v", "n")
+    val key = (d: org.apache.spark.sql.DataFrame) =>
+      d.select("cms_row", "cms_bucket", "cms_cnt")
+        .as[(Int, Long, Long)].collect().sorted.toSeq
+    assert(key(weighted) === key(oneShot))
+  }
+
   test("count-min estimates zero for a value with an untouched bucket") {
     val sk = Sketches.cmsSketch(Seq("a").toDF("v"), "v", depth = 4, width = 4096)
     // one inserted value occupies 4 buckets of 16384; a probe colliding
