@@ -114,6 +114,17 @@ object ExtQueries {
       .select(col("p_partkey").as("node"),
         expr("p_partkey div 10").as("parent"))
 
+  /** The flattened (node, root, depth) CLOSURE table of [[partForest]]
+    * — the materialized form a warehouse maintains beside a category
+    * dimension (a recursive CTE resolved once at dim load, re-derived
+    * only when the forest changes). The rollup/share reports probe it
+    * (r17); `hierarchy_flatten` itself still runs the pointer-doubling
+    * resolution in-query — the closure BUILD is what that query
+    * declares and measures.
+    */
+  private[graft] def partClosureStore(s: SparkSession, dir: String): DataFrame =
+    store(s, dir, "part_closure")(Hierarchy.flatten(partForest(s, dir)))
+
   /** The minhash SIGNATURE STORE (hashed shingle rows — the per-doc
     * pure function every X4 operator consumes; `Dedup.minhashBands`
     * scaladoc documents the at-scale persisted form). One ingest per

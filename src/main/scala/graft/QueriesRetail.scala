@@ -168,7 +168,7 @@ private[graft] object QueriesRetail {
         .select(col("l_partkey"),
           expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
             .as("rev_c"))
-        .join(Hierarchy.flatten(partForest(s, dir)),
+        .join(partClosureStore(s, dir),
           col("l_partkey") === col("node"))
         .groupBy("root")
         .agg(sum("rev_c").as("revenue_cents"),
@@ -239,7 +239,7 @@ private[graft] object QueriesRetail {
         .select(col("l_partkey"),
           expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
             .as("rev_c"))
-        .join(Hierarchy.flatten(partForest(s, dir)),
+        .join(partClosureStore(s, dir),
           col("l_partkey") === col("node"))
         .groupBy("node", "root").agg(sum("rev_c").as("node_cents"))
       val roots = rev.groupBy("root").agg(sum("node_cents").as("root_cents"))

@@ -222,10 +222,16 @@ private[graft] object QueriesSketches {
     // is the shared-span census (n_docs ≥ 2) the boilerplate gate
     // consumes, oracled one-shot in DuckDB.
     "span_ingest_replay" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      // Each batch's (doc_id, h) spans come from the k-shingle store
+      // sliced by the batch's doc-id residue (per-doc purity: slice ≡
+      // shingleHashes of the batch, the decontaminate discipline) — the
+      // replay still folds three real batch summaries through the
+      // store's addition merge, it just no longer re-tokenizes the
+      // corpus three times per probe (r17).
+      val sh = k8ShingleStore(s, dir)
       (0 until 3)
-        .map(i => Corpus.spanCounts(
-          docs.where(pmod(col("doc_id"), lit(3)) === i)))
+        .map(i => Corpus.spanCountsFromHashes(
+          sh.where(pmod(col("doc_id"), lit(3)) === i)))
         .reduce(Corpus.spanStoreMerge)
         .where(col("n_docs") >= 2)
         .select(col("h"), col("n_docs").cast("long").as("n_docs"))
